@@ -1,13 +1,252 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.vector
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here has a DuckDB-runnable oracle in [[SparkEntry.oracleSql]].
+  * Float-bearing outputs are engineered for bit-exact cross-engine parity:
+  * money aggregates go through DECIMAL (order-independent exact sums), and
+  * vector distances use sequential double folds — the same element-order
+  * accumulation the [[graft.functions]] kernels use — expressed in the oracle
+  * with list_reduce/list_transform.
+  */
 object SparkEntry {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects —
+    * read nanos as long and rebuild a (µs-precision) timestamp column. */
+  private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- SQL
+  // snippets for the DuckDB oracle: sequential double folds matching the
+  // engine's distance kernels (graft.functions.VectorExpressions).
+  private def sqlL2Sq(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+  private def sqlCosineDist(a: String, b: String): String =
+    s"(1.0 - (${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))))"
+
+  object Queries {
+    // --- relational core -------------------------------------------------
+
+    /** TPC-H Q1-style pricing summary. DECIMAL sums → exact, order-independent. */
+    def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+    def q02TopOrders(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+
+    /** Join chain with a broadcast dim (nation) — revenue per nation. */
+    def q03RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem"); val n = tbl(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }
+
+    /** Per-customer top-3 orders by price (window + filter). */
+    def q04TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }
+
+    /** Selective filter over the fact table (predicate pushdown surface). */
+    def q05SelectiveFilter(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
+
+    /** Anti join: customers with no orders. */
+    def q06CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_cust"))
+    }
+
+    /** Events rollup: counts, distinct users, exact value totals. */
+    def q07EventsByType(s: SparkSession, dir: String): DataFrame =
+      eventsTbl(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+
+    /** Hourly tumbling-window event counts (streaming-shaped agg on batch). */
+    def q08EventsHourly(s: SparkSession, dir: String): DataFrame =
+      eventsTbl(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("h"), col("event_type"))
+
+    // --- vector search core ---------------------------------------------
+
+    private def knnBase(s: SparkSession, dir: String, distCol: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), distCol(e).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }
+
+    /** Exact top-k NN, l2sq metric — the reference's flagship query shape
+      * (`ORDER BY array_distance(vec, q) LIMIT k`, reference README.md:17-19).
+      * Planned as TakeOrderedAndProject: per-partition top-k + merge. */
+    def q10KnnL2(s: SparkSession, dir: String): DataFrame =
+      knnBase(s, dir, _ => vector.array_distance_sq(col("embedding"), col("qv")))
+
+    def q11KnnCosine(s: SparkSession, dir: String): DataFrame =
+      knnBase(s, dir, _ => vector.array_cosine_distance(col("embedding"), col("qv")))
+
+    def q12KnnInnerProduct(s: SparkSession, dir: String): DataFrame =
+      knnBase(s, dir, _ => vector.array_negative_inner_product(col("embedding"), col("qv")))
+
+    // --- dedup / text ----------------------------------------------------
+
+    /** Exact dedup by content hash: canonical representative + dup count. */
+    def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+
+    /** Whitespace token counts + chars-per-token quality signal. */
+    def q21TokenStats(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+          col("n_chars"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01PricingSummary _),
+    "q02_top_orders" -> (Queries.q02TopOrders _),
+    "q03_revenue_by_nation" -> (Queries.q03RevenueByNation _),
+    "q04_top_orders_per_customer" -> (Queries.q04TopOrdersPerCustomer _),
+    "q05_selective_filter" -> (Queries.q05SelectiveFilter _),
+    "q06_customers_without_orders" -> (Queries.q06CustomersWithoutOrders _),
+    "q07_events_by_type" -> (Queries.q07EventsByType _),
+    "q08_events_hourly" -> (Queries.q08EventsHourly _),
+    "q10_knn_l2" -> (Queries.q10KnnL2 _),
+    "q11_knn_cosine" -> (Queries.q11KnnCosine _),
+    "q12_knn_ip" -> (Queries.q12KnnInnerProduct _),
+    "q20_dedup_exact" -> (Queries.q20DedupExact _),
+    "q21_token_stats" -> (Queries.q21TokenStats _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q05_selective_filter" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10""".stripMargin,
+    "q06_customers_without_orders" ->
+      """SELECT count(*) AS n_cust FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q07_events_by_type" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q08_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_knn_l2" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q11_knn_cosine" ->
+      s"""SELECT e.vec_id, ${sqlCosineDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q12_knn_ip" ->
+      s"""SELECT e.vec_id, -${sqlDot("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | n_chars,
+        | CAST(n_chars AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }
