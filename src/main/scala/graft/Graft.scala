@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.vector
+import graft.index.{IndexCatalog, IndexEntry}
+
+/** User-facing facade of the engine: table registration (rowid
+  * materialization), top-k vector search, and index-accelerated KNN join.
+  *
+  * Spark tables have no rowids, so the engine materializes a stable
+  * `__rowid BIGINT` at registration (SURVEY.md §7.1 decision 3) — the
+  * stand-in for DuckDB's `row_t` that the reference keys its index by
+  * (reference src/hnsw/hnsw_index.hpp:28). */
+object Graft {
+
+  val RowIdCol = "__rowid"
+
+  /** Register `df` as engine table `name` with a materialized rowid. The
+    * DataFrame is cached: rowids must be stable across actions (DML and
+    * index lookups join on them). */
+  def registerTable(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val withId = df.withColumn(RowIdCol, monotonically_increasing_id()).cache()
+    withId.createOrReplaceTempView(name)
+    withId
+  }
+
+  /** Exact top-k by metric distance — the reference's flagship
+    * `ORDER BY array_distance(vec, q) LIMIT k` shape. Planned by Catalyst as
+    * TakeOrderedAndProject: per-partition top-k, then a k-row merge on the
+    * driver. No shuffle of the full table, scales linearly with partitions. */
+  def topK(table: DataFrame, vecCol: String, query: Array[Float], k: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val dist = vector.metricDistance(metric)(col(vecCol), lit(query))
+    table.withColumn("dist", dist).orderBy(col("dist")).limit(k)
+  }
+
+  /** Approximate top-k through a registered HNSW index: search happens on the
+    * driver against the (broadcastable) index, then a semi join by rowid
+    * fetches the rows — the Spark analog of the reference's index-scan
+    * table function (reference src/hnsw/hnsw_index_scan.cpp:21-153). */
+  def indexTopK(spark: SparkSession, indexName: String, query: Array[Float],
+      k: Int): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val ef = IndexCatalog.effectiveEf(spark, entry)
+    val hits = entry.index.search(query, k, ef)
+    val hitDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(hits.toSeq.map(h => Row(h._1, h._2)), 1),
+      StructType(Seq(StructField("__hit_rowid", LongType, nullable = false),
+        StructField("dist", DoubleType, nullable = false))))
+    val table = spark.table(entry.table)
+    table.join(broadcast(hitDf), table(entry.rowidCol) === hitDf("__hit_rowid"))
+      .drop("__hit_rowid")
+      .orderBy(col("dist"))
+  }
+
+  /** Index-accelerated KNN join: for each outer row's vector, the k nearest
+    * rows of the indexed table, with a 1-indexed `rank` — the engine's
+    * guaranteed path for the reference's lateral-KNN-join rewrite
+    * (reference src/hnsw/hnsw_optimize_join.cpp:33-181; SURVEY.md §3.3).
+    *
+    * Scale shape: the index is broadcast once; the outer side streams
+    * partition-parallel with NO shuffle; the rowid fetch is a broadcast-able
+    * hash join keyed on at most outer×k rowids. Outer rows with NULL vectors
+    * produce no matches (reference NULL semantics,
+    * test/sql/hnsw/hnsw_lateral_join.test:46-67). */
+  def knnJoin(spark: SparkSession, outer: DataFrame, outerVecCol: String,
+      indexName: String, k: Int): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val ef = IndexCatalog.effectiveEf(spark, entry)
+    val bc = spark.sparkContext.broadcast(entry.index)
+    val outSchema = outer.schema
+      .add("__match_rowid", LongType).add("rank", LongType).add("dist", DoubleType)
+    val vecIdx = outer.schema.fieldIndex(outerVecCol)
+    val matches = outer.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = if (r.isNullAt(vecIdx)) null else r.getSeq[Float](vecIdx)
+        if (v == null) Iterator.empty
+        else bc.value.search(v.toArray, k, ef).iterator.zipWithIndex.map {
+          case ((rowid, d), i) =>
+            Row.fromSeq(r.toSeq :+ rowid :+ (i + 1).toLong :+ d)
+        }
+      }
+    }(Encoders.row(outSchema))
+    val inner = spark.table(entry.table)
+    matches.join(inner, matches("__match_rowid") === inner(entry.rowidCol))
+      .drop("__match_rowid", entry.rowidCol)
+  }
+
+  /** Engine DML over immutable storage (SURVEY.md §7.3): append rows to a
+    * registered table AND its indexes; NULL vectors are skipped on insert
+    * exactly as the reference does (reference src/hnsw/hnsw_index.cpp:437-439). */
+  def insertInto(spark: SparkSession, table: String, rows: DataFrame): DataFrame = {
+    val existing = spark.table(table)
+    val maxId = existing.agg(max(col(RowIdCol))).head().getLong(0)
+    val withIds = rows.withColumn(RowIdCol,
+      monotonically_increasing_id() + lit(maxId + 1)).cache()
+    val updated = existing.unionByName(withIds).cache()
+    updated.createOrReplaceTempView(table)
+    IndexCatalog.list.filter(_.table == table).foreach { e =>
+      withIds.select(col(RowIdCol), col(e.column)).where(col(e.column).isNotNull)
+        .collect().foreach { r =>
+          e.index.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+        }
+    }
+    updated
+  }
+
+  /** Delete rows matching `cond` from a registered table; tombstones the
+    * rowids in every index on the table (reference Delete hook,
+    * src/hnsw/hnsw_index.cpp:466-482). */
+  def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
+    val existing = spark.table(table)
+    val goneIds = existing.where(cond).select(col(RowIdCol)).collect().map(_.getLong(0))
+    val remaining = existing.where(!cond || cond.isNull).cache()
+    remaining.createOrReplaceTempView(table)
+    IndexCatalog.list.filter(_.table == table).foreach { e =>
+      goneIds.foreach(e.index.delete)
+    }
+    remaining
+  }
+
+  /** Register every engine SQL function on the session. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.vector.registerAll(spark)
+    graft.functions.MinByK.registerAll(spark)
+  }
+}

@@ -146,6 +146,47 @@ object SparkEntry {
     def q12KnnInnerProduct(s: SparkSession, dir: String): DataFrame =
       knnBase(s, dir, _ => vector.array_negative_inner_product(col("embedding"), col("qv")))
 
+    /** Brute-force KNN join (`vss_join` macro re-expressed Spark-first):
+      * crossJoin(broadcast) → bounded top-k aggregate → explode. The shuffle
+      * carries at most k rows per query row (map-side combine in MinByK). */
+    def q13VssJoin(s: SparkSession, dir: String): DataFrame = {
+      val e = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val items = e.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      graft.operators.VssJoins.vssJoin(queries, items, "qvec", "nvec", 3)
+        .select(col("left_tbl.qid").as("qid"), col("right_tbl.nid").as("nid"),
+          col("score"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
+    /** `vss_match` macro: per query row, an array of the k best
+      * {score, nid} structs. */
+    def q14VssMatch(s: SparkSession, dir: String): DataFrame = {
+      val e = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val items = e.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      graft.operators.VssJoins.vssMatch(queries, items, "qvec", "nvec", 3)
+        .select(
+          col("left_tbl.qid").as("qid"),
+          transform(col("matches"),
+            m => struct(m.getField("score").as("score"),
+              m.getField("row").getField("nid").as("nid"))).as("matches"))
+        .orderBy(col("qid"))
+    }
+
+    /** k-ary min_by (the aggregate the reference's topk rewrite targets,
+      * reference src/hnsw/hnsw_optimize_topk.cpp:80-91). */
+    def q15MinByK(s: SparkSession, dir: String): DataFrame = {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          vector.array_distance_sq(col("embedding"), col("qv")).as("dist"))
+        .agg(graft.functions.MinByK.minByK(col("vec_id"), col("dist"), 5).as("top_ids"))
+    }
+
     // --- dedup / text ----------------------------------------------------
 
     /** Exact dedup by content hash: canonical representative + dup count. */
@@ -180,6 +221,9 @@ object SparkEntry {
     "q10_knn_l2" -> (Queries.q10KnnL2 _),
     "q11_knn_cosine" -> (Queries.q11KnnCosine _),
     "q12_knn_ip" -> (Queries.q12KnnInnerProduct _),
+    "q13_vss_join" -> (Queries.q13VssJoin _),
+    "q14_vss_match" -> (Queries.q14VssMatch _),
+    "q15_min_by_k" -> (Queries.q15MinByK _),
     "q20_dedup_exact" -> (Queries.q20DedupExact _),
     "q21_token_stats" -> (Queries.q21TokenStats _),
   )
@@ -239,6 +283,29 @@ object SparkEntry {
       s"""SELECT e.vec_id, -${sqlDot("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q13_vss_join" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS score
+         | FROM embeddings a, embeddings b WHERE a.vec_id < 5)
+         |SELECT qid, nid, score, CAST(rnk AS BIGINT) AS rank FROM (
+         | SELECT qid, nid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rnk
+         | FROM scored) t
+         |WHERE rnk <= 3 ORDER BY qid, rank""".stripMargin,
+    "q14_vss_match" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS score
+         | FROM embeddings a, embeddings b WHERE a.vec_id < 5)
+         |SELECT qid,
+         | (list(struct_pack(score := score, nid := nid) ORDER BY score, nid))[1:3] AS matches
+         |FROM scored GROUP BY qid ORDER BY qid""".stripMargin,
+    "q15_min_by_k" ->
+      s"""WITH scored AS (
+         | SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         | FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
+         |SELECT (list(vec_id ORDER BY dist, vec_id))[1:5] AS top_ids FROM scored""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -1,0 +1,246 @@
+package graft.index
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Options for index creation, validated with the same rules (and error
+  * wording) as the reference binder
+  * (reference src/hnsw/hnsw_index_plan.cpp:33-80). */
+case class HnswOptions(
+    metric: String = "l2sq",
+    efConstruction: Int = 128,
+    efSearch: Int = 64,
+    m: Int = 16,
+    m0Opt: Option[Int] = None) {
+  def m0: Int = m0Opt.getOrElse(2 * m) // reference: M0 defaults to 2*M (hnsw_index.cpp:181)
+}
+
+object HnswOptions {
+  val ValidMetrics: Set[String] = Set("l2sq", "cosine", "ip")
+
+  def fromMap(opts: Map[String, String]): HnswOptions = {
+    var o = HnswOptions()
+    opts.foreach { case (key, value) =>
+      key.toLowerCase match {
+        case "metric" =>
+          if (!ValidMetrics.contains(value)) {
+            throw new IllegalArgumentException(s"Unknown metric kind: $value")
+          }
+          o = o.copy(metric = value)
+        case "ef_construction" =>
+          val v = value.toInt
+          if (v < 1) throw new IllegalArgumentException(
+            "ef_construction must be at least 1")
+          o = o.copy(efConstruction = v)
+        case "ef_search" =>
+          val v = value.toInt
+          if (v < 1) throw new IllegalArgumentException("ef_search must be at least 1")
+          o = o.copy(efSearch = v)
+        case "m" =>
+          val v = value.toInt
+          if (v < 2) throw new IllegalArgumentException("M must be at least 2")
+          o = o.copy(m = v)
+        case "m0" =>
+          val v = value.toInt
+          if (v < 2) throw new IllegalArgumentException("M0 must be at least 2")
+          o = o.copy(m0Opt = Some(v))
+        case other =>
+          throw new IllegalArgumentException(s"Unknown option for HNSW index: $other")
+      }
+    }
+    o
+  }
+}
+
+/** Catalog entry: index + what it was built over. `plan` is the analyzed
+  * logical plan of the indexed table, used by the optimizer rules to decide
+  * whether a query subtree is "the indexed table" (the Spark stand-in for the
+  * reference's table-pointer identity check,
+  * reference src/hnsw/hnsw_optimize_scan.cpp:90-94). */
+case class IndexEntry(
+    name: String,
+    table: String,
+    column: String,
+    options: HnswOptions,
+    index: VectorIndex,
+    plan: LogicalPlan,
+    rowidCol: String)
+
+/** Engine-level secondary-index catalog — the Spark equivalent of the
+  * reference's index-type registration + catalog entries
+  * (reference src/hnsw/hnsw_index.cpp:667-691,
+  * src/hnsw/hnsw_index_physical_create.cpp:263-279). Spark has no native
+  * secondary-index concept, so the engine owns the mapping
+  * name → (table, column, params, artifact).
+  *
+  * Session conf knobs:
+  *   - `graft.hnsw.efSearch`: query-time ef override (the reference's
+  *     `SET hnsw_ef_search`, reference src/hnsw/hnsw_index.cpp:285-299).
+  */
+object IndexCatalog {
+  private val entries = TrieMap.empty[String, IndexEntry]
+
+  val EfSearchConfKey = "graft.hnsw.efSearch"
+
+  def get(name: String): Option[IndexEntry] = entries.get(name)
+  def list: Seq[IndexEntry] = entries.values.toSeq.sortBy(_.name)
+  def clear(): Unit = entries.clear()
+
+  /** Query-time ef: session conf beats the index's build-time default. */
+  def effectiveEf(spark: SparkSession, entry: IndexEntry): Int =
+    spark.conf.getOption(EfSearchConfKey).map(_.toInt)
+      .getOrElse(entry.options.efSearch)
+
+  private def vecColOrThrow(df: DataFrame, column: String): Unit =
+    df.schema.fields.find(_.name == column) match {
+      case Some(StructField(_, ArrayType(FloatType, _), _, _)) => ()
+      case Some(f) => throw new IllegalArgumentException(
+        s"HNSW index keys must be of type FLOAT[N], got ${f.dataType.simpleString}")
+      case None => throw new IllegalArgumentException(
+        s"column $column not found in table")
+    }
+
+  /** CREATE INDEX ... USING HNSW — builds and registers.
+    *
+    * `sharded=true` builds one sub-graph per partition in parallel on the
+    * executors (the 100TB path: build is shuffle-free and embarrassingly
+    * parallel, mirroring the reference's parallel two-phase build,
+    * reference src/hnsw/hnsw_index_physical_create.cpp:283-306).
+    * `sharded=false` streams to a single driver-built graph — the faithful
+    * single-node analog.
+    *
+    * The table must carry a stable BIGINT rowid column (default `__rowid`);
+    * NULL vectors are filtered before the build, exactly as the reference
+    * injects IS NOT NULL (reference src/hnsw/hnsw_index_plan.cpp:118-133). */
+  def createIndex(
+      spark: SparkSession,
+      name: String,
+      table: String,
+      column: String,
+      options: Map[String, String] = Map.empty,
+      sharded: Boolean = false,
+      rowidCol: String = "__rowid"): IndexEntry = {
+    val opts = HnswOptions.fromMap(options)
+    val df = spark.table(table)
+    vecColOrThrow(df, column)
+    require(df.schema.fieldNames.contains(rowidCol),
+      s"table $table must carry a materialized $rowidCol BIGINT column " +
+        "(register it with Graft.registerTable)")
+
+    val pairs = df.select(col(rowidCol).cast(LongType), col(column))
+      .where(col(column).isNotNull)
+
+    val index: VectorIndex =
+      if (sharded) {
+        val shards = pairs.rdd.mapPartitions { it =>
+          var idx: HnswIndex = null
+          it.foreach { row =>
+            val vec = row.getSeq[Float](1).toArray
+            if (idx == null) {
+              idx = new HnswIndex(vec.length, opts.metric, opts.m, opts.m0,
+                opts.efConstruction, opts.efSearch)
+            }
+            idx.add(row.getLong(0), vec)
+          }
+          if (idx == null) Iterator.empty else Iterator.single(idx)
+        }.collect()
+        if (shards.isEmpty) {
+          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
+        }
+        new ShardedHnswIndex(shards)
+      } else {
+        var idx: HnswIndex = null
+        pairs.toLocalIterator().forEachRemaining { row =>
+          val vec = row.getSeq[Float](1).toArray
+          if (idx == null) {
+            idx = new HnswIndex(vec.length, opts.metric, opts.m, opts.m0,
+              opts.efConstruction, opts.efSearch)
+          }
+          idx.add(row.getLong(0), vec)
+        }
+        if (idx == null) {
+          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
+        }
+        new SingleHnswIndex(idx)
+      }
+
+    val entry = IndexEntry(name, table, column, opts, index,
+      df.queryExecution.analyzed, rowidCol)
+    entries(name) = entry
+    entry
+  }
+
+  /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489). */
+  def dropIndex(name: String): Boolean = entries.remove(name).isDefined
+
+  /** PRAGMA hnsw_compact_index('name')
+    * (reference src/hnsw/hnsw_index_pragmas.cpp:154-197). */
+  def compactIndex(name: String): Unit = entries.get(name) match {
+    case Some(e) => entries(name) = e.copy(index = e.index.compacted())
+    case None => throw new IllegalArgumentException(s"no HNSW index named $name")
+  }
+
+  /** Find indexes on a given table+column+metric (rule-side lookup). */
+  def forTableColumn(table: String, column: String, metric: String): Option[IndexEntry] =
+    entries.values.find(e => e.table == table && e.column == column &&
+      e.options.metric == metric)
+
+  /** `pragma_hnsw_index_info()` equivalent — same 11-column schema
+    * (reference src/hnsw/hnsw_index_pragmas.cpp:22-61, FIXTURES.md). */
+  def describe(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("catalog_name", StringType),
+      StructField("schema_name", StringType),
+      StructField("index_name", StringType),
+      StructField("table_name", StringType),
+      StructField("metric", StringType),
+      StructField("dimensions", LongType),
+      StructField("count", LongType),
+      StructField("capacity", LongType),
+      StructField("approx_memory_usage", LongType),
+      StructField("levels", LongType),
+      StructField("levels_stats", ArrayType(StructType(Seq(
+        StructField("nodes", LongType),
+        StructField("edges", LongType),
+        StructField("max_edges", LongType),
+        StructField("allocated_bytes", LongType)))))))
+    val rows = list.map { e =>
+      Row("spark_catalog", "default", e.name, e.table, e.options.metric,
+        e.index.dim.toLong, e.index.size.toLong, e.index.capacity,
+        e.index.approxMemoryBytes, e.index.levels.toLong,
+        e.index.levelStats.map(s => Row(s.nodes, s.edges, s.maxEdges, s.allocatedBytes)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** CHECKPOINT analog: persist every index artifact under `dir`
+    * (reference PersistToDisk at checkpoint, src/hnsw/hnsw_index.cpp:510-532). */
+  def persistAll(dir: String): Seq[String] = list.map { e =>
+    val path = e.index match {
+      case _: ShardedHnswIndex => s"$dir/${e.name}"
+      case _ => s"$dir/${e.name}.hnsw"
+    }
+    e.index.save(path)
+    path
+  }
+
+  /** Lazy reload of a persisted index into the catalog (deferred full
+    * deserialization on first access, reference README.md:76). */
+  def loadIndex(spark: SparkSession, name: String, path: String, table: String,
+      column: String, options: Map[String, String] = Map.empty,
+      rowidCol: String = "__rowid"): IndexEntry = {
+    val opts = HnswOptions.fromMap(options)
+    val idx: VectorIndex =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
+        ShardedHnswIndex.load(path)
+      } else new SingleHnswIndex(HnswIndex.load(path))
+    val entry = IndexEntry(name, table, column, opts, idx,
+      spark.table(table).queryExecution.analyzed, rowidCol)
+    entries(name) = entry
+    entry
+  }
+}

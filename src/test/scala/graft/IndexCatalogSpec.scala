@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.index.IndexCatalog
+
+class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    IndexCatalog.clear()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, "emb_idx_t", emb)
+  }
+
+  private def queryVec(id: Int): Array[Float] =
+    spark.table("emb_idx_t").filter($"vec_id" === id)
+      .select($"embedding").head().getSeq[Float](0).toArray
+
+  test("createIndex validates options with reference error wording") {
+    val e1 = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "embedding",
+        Map("metric" -> "taxicab"))
+    }
+    assert(e1.getMessage.contains("Unknown metric kind: taxicab"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "embedding",
+        Map("m" -> "1"))
+    }
+    assert(e2.getMessage.contains("M must be at least 2"))
+    val e3 = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "embedding",
+        Map("bogus_opt" -> "1"))
+    }
+    assert(e3.getMessage.contains("Unknown option for HNSW index: bogus_opt"))
+    val e4 = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "vec_id")
+    }
+    assert(e4.getMessage.contains("FLOAT[N]"))
+  }
+
+  test("driver-built index: indexTopK top-1 is the exact NN; recall@10 >= 0.9") {
+    IndexCatalog.createIndex(spark, "emb_l2", "emb_idx_t", "embedding")
+    val q = queryVec(0)
+    val exact = Graft.topK(spark.table("emb_idx_t"), "embedding", q, 10)
+      .select($"vec_id").as[Long].collect()
+    val approx = Graft.indexTopK(spark, "emb_l2", q, 10)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.length == 10)
+    assert(approx.head == exact.head)
+    assert(exact.toSet.intersect(approx.toSet).size >= 9)
+  }
+
+  test("sharded index: same contract, built executor-side") {
+    IndexCatalog.createIndex(spark, "emb_l2_sh", "emb_idx_t", "embedding",
+      sharded = true)
+    val q = queryVec(7)
+    val exact = Graft.topK(spark.table("emb_idx_t"), "embedding", q, 5)
+      .select($"vec_id").as[Long].collect()
+    val approx = Graft.indexTopK(spark, "emb_l2_sh", q, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.head == exact.head)
+    assert(exact.toSet.intersect(approx.toSet).size >= 4)
+  }
+
+  test("ef_search session conf override is honored (SET hnsw_ef_search analog)") {
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "500")
+    try {
+      val q = queryVec(3)
+      val exact = Graft.topK(spark.table("emb_idx_t"), "embedding", q, 10)
+        .select($"vec_id").as[Long].collect()
+      val approx = Graft.indexTopK(spark, "emb_l2", q, 10)
+        .select($"vec_id").as[Long].collect()
+      assert(approx.toSeq == exact.toSeq) // ef >= n ⇒ effectively exhaustive
+    } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
+  test("knnJoin: per-outer-row top-k with 1-indexed rank, NULL outer skipped") {
+    val outer = spark.table("emb_idx_t").filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val joined = Graft.knnJoin(spark, outer, "qvec", "emb_l2", 4)
+    val got = joined.select($"qid", $"vec_id", $"rank", $"dist")
+      .orderBy($"qid", $"rank").collect()
+    assert(got.length == 12)
+    // self-match at rank 1, distance 0
+    assert(got.filter(_.getDouble(3) == 0.0).map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    assert(got.map(_.getLong(2)).take(4).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("describe() matches the pragma_hnsw_index_info schema") {
+    val info = IndexCatalog.describe(spark)
+    assert(info.schema.fieldNames.toSeq == Seq("catalog_name", "schema_name",
+      "index_name", "table_name", "metric", "dimensions", "count", "capacity",
+      "approx_memory_usage", "levels", "levels_stats"))
+    val row = info.filter($"index_name" === "emb_l2").head()
+    assert(row.getAs[Long]("dimensions") == 64L)
+    assert(row.getAs[Long]("count") == 500L)
+    assert(row.getAs[Long]("levels") >= 1L)
+  }
+
+  test("persistAll + loadIndex round-trip (CHECKPOINT analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val paths = IndexCatalog.persistAll(dir)
+    assert(paths.nonEmpty)
+    val q = queryVec(11)
+    val before = Graft.indexTopK(spark, "emb_l2", q, 5).select($"vec_id").as[Long].collect()
+    IndexCatalog.dropIndex("emb_l2")
+    assert(IndexCatalog.get("emb_l2").isEmpty)
+    IndexCatalog.loadIndex(spark, "emb_l2", s"$dir/emb_l2.hnsw", "emb_idx_t", "embedding")
+    val after = Graft.indexTopK(spark, "emb_l2", q, 5).select($"vec_id").as[Long].collect()
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("DML: insertInto + deleteFrom propagate to the index (hnsw_crud.test)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, "emb_crud_t", emb)
+    IndexCatalog.createIndex(spark, "crud_idx", "emb_crud_t", "embedding")
+    val sizeBefore = IndexCatalog.get("crud_idx").get.index.size
+
+    // insert a distinctive vector far outside the data distribution
+    val probe = Array.fill(64)(9f)
+    val newRows = Seq((9999L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+    Graft.insertInto(spark, "emb_crud_t", newRows)
+    assert(IndexCatalog.get("crud_idx").get.index.size == sizeBefore + 1)
+    val hit = Graft.indexTopK(spark, "crud_idx", probe, 1).select($"vec_id").as[Long].head()
+    assert(hit == 9999L)
+
+    // delete it again — tombstoned, then compact prunes
+    Graft.deleteFrom(spark, "emb_crud_t", $"vec_id" === 9999L)
+    assert(IndexCatalog.get("crud_idx").get.index.deletedCount == 1)
+    val hitAfter = Graft.indexTopK(spark, "crud_idx", probe, 1).select($"vec_id").as[Long].head()
+    assert(hitAfter != 9999L)
+    IndexCatalog.compactIndex("crud_idx")
+    assert(IndexCatalog.get("crud_idx").get.index.deletedCount == 0)
+    assert(IndexCatalog.get("crud_idx").get.index.size == sizeBefore)
+  }
+}

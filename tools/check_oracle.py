@@ -36,6 +36,8 @@ def norm(x):
         if math.isnan(x):
             return "NaN"
         return x
+    if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0:  # numpy array
+        return [norm(v) for v in x.tolist()]
     if hasattr(x, "item"):  # numpy scalar
         try:
             return norm(x.item())
