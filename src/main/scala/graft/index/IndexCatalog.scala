@@ -168,8 +168,11 @@ object IndexCatalog {
         new SingleHnswIndex(idx)
       }
 
+    // withCachedData: optimizer rules compare against the *cache-substituted*
+    // plan (registerTable caches), which is what query plans contain by the
+    // time custom rules run.
     val entry = IndexEntry(name, table, column, opts, index,
-      df.queryExecution.analyzed, rowidCol)
+      df.queryExecution.withCachedData, rowidCol)
     entries(name) = entry
     entry
   }
@@ -239,7 +242,7 @@ object IndexCatalog {
         ShardedHnswIndex.load(path)
       } else new SingleHnswIndex(HnswIndex.load(path))
     val entry = IndexEntry(name, table, column, opts, idx,
-      spark.table(table).queryExecution.analyzed, rowidCol)
+      spark.table(table).queryExecution.withCachedData, rowidCol)
     entries(name) = entry
     entry
   }

@@ -1,0 +1,288 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.index.{IndexCatalog, IndexEntry}
+
+/** Expression canonicalization — the reference's `CosineDistanceRule`
+  * (reference src/hnsw/hnsw_optimize_expr.cpp:18-96): rewrites
+  * `1.0 - array_cosine_similarity(a,b)` to `array_cosine_distance(a,b)` and
+  * `-array_inner_product(a,b)` to `array_negative_inner_product(a,b)`.
+  * Fires regardless of any index (the reference's does too,
+  * test/sql/hnsw/hnsw_rewrite.test:11-22); it both simplifies plans and
+  * normalizes the shape the index-scan rules match on. */
+object CosineDistanceRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Subtract(Literal(one, DoubleType), ArrayCosineSimilarity(a, b), _)
+        if one == 1.0 =>
+      ArrayCosineDistance(a, b)
+    case UnaryMinus(ArrayInnerProduct(a, b), _) =>
+      ArrayNegativeInnerProduct(a, b)
+  }
+}
+
+/** Shared matcher: a metric-distance expression between an attribute and a
+  * constant float vector (either argument order — the reference swaps and
+  * retries, src/hnsw/hnsw_optimize_scan.cpp:117-129). Returns the index
+  * metric it serves: array_distance (l2) matches an l2sq index because their
+  * orderings coincide (reference README.md:59). */
+object DistancePattern {
+  private def asVec(e: Expression): Option[Array[Float]] = e match {
+    case Literal(ad: ArrayData, ArrayType(FloatType, _)) =>
+      Some(ad.toFloatArray())
+    case _ => None
+  }
+  private def split(l: Expression, r: Expression): Option[(AttributeReference, Array[Float])] =
+    (l, r) match {
+      case (a: AttributeReference, v) => asVec(v).map(a -> _)
+      case (v, a: AttributeReference) => asVec(v).map(a -> _)
+      case _ => None
+    }
+  def unapply(e: Expression): Option[(String, AttributeReference, Array[Float])] = e match {
+    case ArrayDistanceSq(l, r) => split(l, r).map { case (a, v) => ("l2sq", a, v) }
+    case ArrayDistance(l, r) => split(l, r).map { case (a, v) => ("l2sq", a, v) }
+    case ArrayCosineDistance(l, r) => split(l, r).map { case (a, v) => ("cosine", a, v) }
+    case ArrayNegativeInnerProduct(l, r) => split(l, r).map { case (a, v) => ("ip", a, v) }
+    case _ => None
+  }
+}
+
+private[plans] object IndexRuleSupport {
+  /** k bound shared by the reference's rewrites (STANDARD_VECTOR_SIZE,
+    * reference src/hnsw/hnsw_optimize_topk.cpp:163). */
+  val MaxK = 2048
+
+  /** Unwrap a Project/Filter chain, substituting project aliases into
+    * `expr` so it is phrased over the base relation's attributes.
+    * Returns (resolved expr, base relation) or None if the chain contains
+    * anything else (e.g. an already-injected join — which also makes the
+    * surrounding fixed-point batch converge). */
+  def resolveThroughChain(expr0: Expression, child: LogicalPlan): Option[(Expression, LogicalPlan)] = {
+    var expr = expr0
+    var node = child
+    while (true) {
+      node match {
+        case Project(projList, c) =>
+          val substs = projList.collect { case a: Alias => a.exprId -> a.child }.toMap
+          expr = expr.transformUp {
+            case ar: AttributeReference if substs.contains(ar.exprId) => substs(ar.exprId)
+          }
+          node = c
+        case Filter(_, c) => node = c
+        case other => return Some((expr, other))
+      }
+    }
+    None
+  }
+
+  /** Find a registered index matching (metric, column) whose indexed table is
+    * exactly `rel`. */
+  def findEntry(metric: String, colAttr: AttributeReference, rel: LogicalPlan): Option[IndexEntry] =
+    if (!rel.outputSet.contains(colAttr)) None
+    else IndexCatalog.list.find { e =>
+      e.options.metric == metric && e.column == colAttr.name &&
+        rel.sameResult(e.plan)
+    }
+
+  /** Replace `rel` inside `child` with `rel LEFT SEMI JOIN index-hits` on
+    * rowid — restricting the relation to the k index candidates. Mirrors the
+    * reference's rewrite structure: the TopN/aggregate above stays (it now
+    * runs over ≤ k rows), and any Filters in the chain naturally apply
+    * *after* candidate selection, i.e. the reference's filter pull-up
+    * semantics (reference src/hnsw/hnsw_optimize_scan.cpp:161-187, which
+    * accepts possibly-short results). */
+  def injectCandidates(child: LogicalPlan, rel: LogicalPlan, entry: IndexEntry,
+      queryVec: Array[Float], k: Int): Option[LogicalPlan] =
+    rel.output.find(_.name == entry.rowidCol).map { rowidAttr =>
+      val scan = HnswIndexScan.create(entry.name, queryVec, k)
+      val joined = Join(rel, scan, LeftSemi,
+        Some(EqualTo(rowidAttr, scan.output.head)),
+        JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+      child.transformUp { case p if p eq rel => joined }
+    }
+}
+
+/** TopN → index scan — the reference's `HNSWIndexScanOptimizer`
+  * (reference src/hnsw/hnsw_optimize_scan.cpp:23-258). Matches
+  * `ORDER BY <distance to const vector> ASC LIMIT k` over a
+  * (projected/filtered) indexed relation and restricts the relation to the
+  * index's k candidates via a broadcast semi join. The Sort+Limit stay: over
+  * k rows they cost nothing, and they preserve output order/columns exactly. */
+object TopKToIndexScan extends Rule[LogicalPlan] {
+  import IndexRuleSupport._
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case l @ GlobalLimit(IntegerLiteral(k),
+        ll @ LocalLimit(_, s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
+        if k > 0 && k < MaxK =>
+      val rewritten = for {
+        (resolved, rel) <- resolveThroughChain(key, child)
+        (metric, colAttr, vec) <- DistancePattern.unapply(resolved)
+        entry <- findEntry(metric, colAttr, rel)
+        newChild <- injectCandidates(child, rel, entry, vec, k)
+      } yield l.copy(child = ll.copy(child = s.copy(child = newChild)))
+      rewritten.getOrElse(l)
+  }
+}
+
+/** `min_by(value, dist, k)` with no GROUP BY → aggregate over the index's k
+  * candidates — the reference's `HNSWTopKOptimizer`
+  * (reference src/hnsw/hnsw_optimize_topk.cpp:58-234). */
+object MinByKToIndexScan extends Rule[LogicalPlan] {
+  import IndexRuleSupport._
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, Seq(Alias(ae: AggregateExpression, _)), child, _)
+        if ae.aggregateFunction.isInstanceOf[MinByK] && !ae.isDistinct =>
+      val mbk = ae.aggregateFunction.asInstanceOf[MinByK]
+      val rewritten = for {
+        k <- mbk.kExpr match {
+          case IntegerLiteral(k) if k > 0 && k < MaxK && !mbk.descending => Some(k)
+          case _ => None
+        }
+        (resolved, rel) <- resolveThroughChain(mbk.ordExpr, child)
+        (metric, colAttr, vec) <- DistancePattern.unapply(resolved)
+        entry <- findEntry(metric, colAttr, rel)
+        newChild <- injectCandidates(child, rel, entry, vec, k)
+      } yield agg.copy(child = newChild)
+      rewritten.getOrElse(agg)
+  }
+}
+
+/** Windowed KNN-join pattern → index join — the reference's
+  * `HNSWIndexJoinOptimizer` (reference src/hnsw/hnsw_optimize_join.cpp:323-715).
+  * Spark's stable formulation of the lateral-KNN idiom (SURVEY.md §3.3) is
+  *   Filter(rn <= k,
+  *     Window(rn = row_number() OVER (PARTITION BY <outer cols>
+  *                                    ORDER BY dist(outer.vec, inner.vec) ASC),
+  *       Join(outer, inner, Cross/Inner, no condition)))
+  * which this rule rewrites to HnswKnnCandidates(outer) ⋈rowid inner. The
+  * rank attribute keeps the window alias's exprId, so projections above keep
+  * resolving. Assumes outer partition keys identify outer rows (the
+  * decorrelated-lateral contract the reference matches on). */
+object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
+  import IndexRuleSupport._
+
+  /** Split a Project/Filter chain from its base relation. */
+  private def stripChain(p: LogicalPlan): (Seq[LogicalPlan], LogicalPlan) = {
+    val chain = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    var node = p
+    var done = false
+    while (!done) {
+      node match {
+        case pr: Project => chain += pr; node = pr.child
+        case fl: Filter => chain += fl; node = fl.child
+        case _ => done = true
+      }
+    }
+    (chain.toSeq, node)
+  }
+
+  private def asLimit(cond: Expression, rnId: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(ar: AttributeReference, IntegerLiteral(k)) if ar.exprId == rnId => Some(k)
+    case LessThan(ar: AttributeReference, IntegerLiteral(k)) if ar.exprId == rnId => Some(k - 1)
+    case _ => None
+  }
+
+  /** Walk the chain below the Window down to a condition-less cross/inner
+    * Join, resolving `dist` through Project aliases and collecting the
+    * Project/Filter nodes (top-down) so they can be rebuilt above the index
+    * join. WindowGroupLimit nodes (inserted by Spark 3.5+'s rank-filter
+    * optimization) are stripped — the index join subsumes them. */
+  private def findJoin(dist0: Expression, child: LogicalPlan)
+      : Option[(Expression, Seq[LogicalPlan], Join)] = {
+    var dist = dist0
+    var node = child
+    val chain = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    while (true) {
+      node match {
+        case p @ Project(projList, c) =>
+          val substs = projList.collect { case a: Alias => a.exprId -> a.child }.toMap
+          dist = dist.transformUp {
+            case ar: AttributeReference if substs.contains(ar.exprId) => substs(ar.exprId)
+          }
+          chain += p; node = c
+        case fl @ Filter(_, c) => chain += fl; node = c
+        case wgl: WindowGroupLimit => node = wgl.child // drop: subsumed by index join
+        case j @ Join(_, _, jt, None, _) if jt.sql == "CROSS" || jt.sql == "INNER" =>
+          return Some((dist, chain.toSeq, j))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partSpec, Seq(SortOrder(distKey, Ascending, _, _)), windowChild, _)) =>
+      val rnAttr = alias.toAttribute
+      val rewritten = for {
+        k <- asLimit(cond, rnAttr.exprId)
+        if k > 0 && k < MaxK
+        (dist, chain, join) <- findJoin(distKey, windowChild)
+        outer = join.left
+        inner = join.right
+        if partSpec.nonEmpty && partSpec.forall {
+          case a: AttributeReference => outer.outputSet.contains(a)
+          case _ => false
+        }
+        (metric, outerVec, innerVec) <- matchTwoSided(dist, outer, inner)
+        // column pruning may have projected the rowid off the inner side:
+        // match the *base* relation and rebuild the chain with rowid restored
+        (innerChain, innerBase) = stripChain(inner)
+        if innerBase.outputSet.contains(innerVec)
+        entry <- IndexCatalog.list.find { e =>
+          e.options.metric == metric && e.column == innerVec.name &&
+            innerBase.sameResult(e.plan)
+        }
+        innerRowid <- innerBase.output.find(_.name == entry.rowidCol)
+      } yield {
+        val candRowid = AttributeReference("__knn_rowid", LongType, nullable = false)()
+        val rankOut = rnAttr // same exprId: downstream references keep resolving
+        val cands = HnswKnnCandidates(entry.name, k, outerVec, candRowid, rankOut, outer)
+        val newInner = innerChain.reverse.foldLeft(innerBase: LogicalPlan) {
+          case (acc, Project(pl, _)) =>
+            Project(if (pl.exists(_.exprId == innerRowid.exprId)) pl else pl :+ innerRowid, acc)
+          case (acc, Filter(c, _)) => Filter(c, acc)
+          case (acc, _) => acc
+        }
+        val joined = Join(cands, newInner, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(EqualTo(candRowid, innerRowid)), JoinHint.NONE)
+        // rebuild the Project/Filter chain bottom-up, passing the rank through
+        val rebuilt = chain.reverse.foldLeft(joined: LogicalPlan) {
+          case (acc, Project(projList, _)) => Project(projList :+ rankOut, acc)
+          case (acc, Filter(c, _)) => Filter(c, acc)
+          case (acc, _) => acc
+        }
+        // Window emitted childOutput :+ rn; the Filter(rn<=k) is subsumed
+        Project(f.output, rebuilt)
+      }
+      rewritten.getOrElse(f)
+  }
+
+  /** Distance over (outer attr, inner attr), either order. */
+  private def matchTwoSided(e: Expression, outer: LogicalPlan, inner: LogicalPlan)
+      : Option[(String, AttributeReference, AttributeReference)] = {
+    def sides(l: Expression, r: Expression): Option[(AttributeReference, AttributeReference)] =
+      (l, r) match {
+        case (a: AttributeReference, b: AttributeReference) =>
+          if (outer.outputSet.contains(a) && inner.outputSet.contains(b)) Some((a, b))
+          else if (outer.outputSet.contains(b) && inner.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+    e match {
+      case ArrayDistanceSq(l, r) => sides(l, r).map { case (o, i) => ("l2sq", o, i) }
+      case ArrayDistance(l, r) => sides(l, r).map { case (o, i) => ("l2sq", o, i) }
+      case ArrayCosineDistance(l, r) => sides(l, r).map { case (o, i) => ("cosine", o, i) }
+      case ArrayNegativeInnerProduct(l, r) => sides(l, r).map { case (o, i) => ("ip", o, i) }
+      case _ => None
+    }
+  }
+}
