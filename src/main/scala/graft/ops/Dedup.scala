@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding near-dup.
+  *
+  * Hash design note: MinHash permutations and SimHash bits derive from
+  * md5(<seed>:<token>) — md5 is identical across engines, so every op here
+  * has an exact DuckDB oracle (Spark's murmur `hash()` and DuckDB's `hash()`
+  * do not agree). MinHash signatures compare md5 hex strings
+  * lexicographically — a uniform "permutation" without any hex→int
+  * conversion (which DuckDB 1.0 cannot express).
+  *
+  * Scale shape: everything is explode → per-doc aggregate (map-side
+  * combined) → equi-join on bucket keys. No cross joins; the only shuffles
+  * are by doc_id and by band key, both bounded by data size, and band-bucket
+  * join fan-out is the LSH candidate set, not n². */
+object Dedup {
+
+  /** Exact dedup: first (min id) row per distinct key wins. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of `text`, as a distinct-exploded (id, shingle)
+    * DataFrame. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0)) - lit(when(size(words) < n, 0).otherwise(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(col(idCol), explode(
+        when(size(words) >= n, grams).otherwise(array())).as("shingle"))
+      .where(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** MinHash signature columns: for permutation p, min over shingles of
+    * md5('<p>:'||shingle) (lexicographic string min ≡ a random permutation). */
+  def minHashSignatures(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+    val aggs = (0 until numPerms).map { p =>
+      min(md5(concat(lit(s"$p:"), col("shingle")))).as(s"mh$p")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band (bands of `rowsPerBand`
+    * signature rows), with the MinHash similarity estimate
+    * (#agreeing perms / perms). Returns (a, b, est_sim), a < b. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val sigs = minHashSignatures(shingles(docs, idCol, textCol, shingleLen), idCol, numPerms)
+    val numBands = numPerms / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), concat(cols: _*).as("band_val"))
+    }
+    val exploded = sigs.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_val"))
+    val l = exploded.select(col(idCol).as("a"), col("band_id"), col("band_val"))
+    val r = exploded.select(col(idCol).as("b"), col("band_id"), col("band_val"))
+    val cand = l.join(r, Seq("band_id", "band_val")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == idCol) "a" else s"a_$c").toIndexedSeq: _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == idCol) "b" else s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until numPerms)
+      .map(p => when(col(s"a_mh$p") === col(s"b_mh$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (agree.cast(DoubleType) / lit(numPerms.toDouble)).as("est_sim"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens, returned as a 16-hex-char-derived
+    * bit string ('0'/'1' × 64, MSB first). Bit j of token t = bit j of
+    * md5(t)'s first 16 hex chars; simhash bit = majority vote. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val h = md5(col("tok"))
+    // per hex position (0..15), the nibble value 0..15
+    val nibbleVals = (0 until 16).map { pos =>
+      (unhexDigit(substring(h, pos + 1, 1))).as(s"nib$pos")
+    }
+    val withNibs = tokens.select(col(idCol) +: nibbleVals: _*)
+    // each nibble contributes 4 bits; vote = sum(+1/-1)
+    val votes = (0 until 64).map { bit =>
+      val pos = bit / 4
+      val bitInNib = 3 - (bit % 4) // MSB first within the nibble
+      val bitVal = shiftright(col(s"nib$pos"), bitInNib) % 2
+      sum(when(bitVal === 1, 1).otherwise(-1)).as(s"v$bit")
+    }
+    val voted = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bitChars = (0 until 64).map(b => when(col(s"v$b") > 0, "1").otherwise("0"))
+    voted.select(col(idCol), concat(bitChars.map(lit0 => lit0.cast(StringType)): _*).as("simhash"))
+  }
+
+  /** Hex digit '0'..'f' → 0..15 via position arithmetic (portable; no conv()). */
+  private def unhexDigit(c: Column): Column =
+    (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs that share at
+    * least one shingle. Returns (a, b, jaccard), a < b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val inter = a.join(b, "shingle").where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col(idCol).as("a"), col("n").as("n_a")), "a")
+      .join(counts.select(col(idCol).as("b"), col("n").as("n_b")), "b")
+      .select(col("a"), col("b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: for every row, its nearest *other* row by cosine
+    * distance; pairs under `maxDist` are near-duplicates. Brute-force
+    * (crossJoin+minByK, one bounded shuffle); swap in the ANN index path for
+    * the 100TB scale. Returns (a, b, dist) with a's nearest b. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxDist: Double): DataFrame = {
+    val l = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val scored = l.crossJoin(broadcast(r)).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
+    scored.groupBy(col("a"))
+      .agg(graft.functions.MinByK.minByK(
+        struct(col("dist"), col("b")), col("dist"), 1).as("best"))
+      .select(col("a"), col("best").getItem(0).getField("b").as("b"),
+        col("best").getItem(0).getField("dist").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, language ID, quality scoring, document fingerprinting.
+  *
+  * Every op is pure column algebra (whole-stage codegen, no UDFs) and is
+  * deliberately built from cross-engine-deterministic primitives (replace
+  * counts, integer/double arithmetic, md5) so each has an exact DuckDB
+  * oracle. At scale these are narrow transformations: no shuffle at all
+  * unless the caller aggregates. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast(LongType)
+
+  /** Occurrences of `needle` via replace-length arithmetic (exact, portable). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)
+      .cast(LongType)
+
+  /** Distinctive stopword markers per language. Real pipelines plug in real
+    * lexicons; the op contract is the heuristic shape: per-language marker
+    * counts → argmax with deterministic tie-break, "und" when nothing hits. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "es" -> Seq(" el ", " que ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " est ", " une "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Marker-count score for one language over ' '+text+' '. */
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langMarkers.toMap.apply(lang)
+      .map(m => occurrences(padded, m))
+      .reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of marker counts, ties broken by language
+    * code order, "und" when all scores are zero. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, _) => (lang, langScore(text, lang)) }
+    val best = scores.reduceLeft[(String, Column)] { case ((l1, s1), (l2, s2)) =>
+      // strictly-greater keeps the earlier (alphabetically first) language on ties
+      (l1, when(s2 > s1, s2).otherwise(s1))
+    }
+    val bestScore = best._2
+    val bestLang = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === bestScore && bestScore > 0, lit(lang)).otherwise(acc)
+    }
+    bestLang
+  }
+
+  /** Quality signals + a linear score in [0,1]. Pure +,*,/ and min/max —
+    * no transcendentals, so double results are bit-identical across engines. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTokens = tokenCount(text)
+    val charsPerToken = nChars.cast(DoubleType) / nTokens.cast(DoubleType)
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType)
+    val digitRatio = digits / nChars.cast(DoubleType)
+    // plausible-word-length band [3,12] scores high; digit soup scores low
+    val lenScore = greatest(lit(0.0),
+      lit(1.0) - abs(charsPerToken - lit(6.0)) / lit(6.0))
+    val digitScore = greatest(lit(0.0), lit(1.0) - digitRatio * lit(4.0))
+    least(lit(1.0), lenScore * lit(0.7) + digitScore * lit(0.3))
+  }
+
+  /** Canonical-content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Two documents with the same fingerprint are exact near-dupes up to
+    * case/whitespace. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Convenience: annotate a documents DataFrame with all signals. */
+  def annotate(docs: DataFrame, textCol: String = "text",
+      nCharsCol: String = "n_chars"): DataFrame =
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol), col(nCharsCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}
