@@ -148,7 +148,9 @@ object SparkEntry {
 
     /** Brute-force KNN join (`vss_join` macro re-expressed Spark-first):
       * crossJoin(broadcast) → bounded top-k aggregate → explode. The shuffle
-      * carries at most k rows per query row (map-side combine in MinByK). */
+      * carries at most k rows per query row (map-side combine in MinByK).
+      * Metric l2sq → score is `array_distance` (√), min-k — the reference
+      * macro's contract (reference src/hnsw/hnsw_index_macros.cpp:22-41). */
     def q13VssJoin(s: SparkSession, dir: String): DataFrame = {
       val e = tbl(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
@@ -160,20 +162,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
-    /** `vss_match` macro: per query row, an array of the k best
-      * {score, nid} structs. */
+    /** `vss_match` macro with metric=cosine: score is raw cosine SIMILARITY
+      * and the k best are the k LARGEST (`max_by`), per the reference macro
+      * (reference src/hnsw/hnsw_index_macros.cpp:49-75). The matches array is
+      * flattened to one (qid, rank, score, nid) row per match. */
     def q14VssMatch(s: SparkSession, dir: String): DataFrame = {
       val e = tbl(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val items = e.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-      graft.operators.VssJoins.vssMatch(queries, items, "qvec", "nvec", 3)
-        .select(
-          col("left_tbl.qid").as("qid"),
-          transform(col("matches"),
-            m => struct(m.getField("score").as("score"),
-              m.getField("row").getField("nid").as("nid"))).as("matches"))
-        .orderBy(col("qid"))
+      graft.operators.VssJoins.vssMatch(queries, items, "qvec", "nvec", 3, "cosine")
+        .select(col("left_tbl.qid").as("qid"),
+          posexplode(col("matches")).as(Seq("pos", "m")))
+        .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("m.score").as("score"), col("m.row.nid").as("nid"))
+        .orderBy(col("qid"), col("rank"))
     }
 
     /** k-ary min_by (the aggregate the reference's topk rewrite targets,
@@ -286,7 +289,7 @@ object SparkEntry {
     "q13_vss_join" ->
       s"""WITH scored AS (
          | SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS score
+         |  sqrt(${sqlL2Sq("a.embedding", "b.embedding")}) AS score
          | FROM embeddings a, embeddings b WHERE a.vec_id < 5)
          |SELECT qid, nid, score, CAST(rnk AS BIGINT) AS rank FROM (
          | SELECT qid, nid, score,
@@ -296,11 +299,14 @@ object SparkEntry {
     "q14_vss_match" ->
       s"""WITH scored AS (
          | SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS score
+         |  (${sqlDot("a.embedding", "b.embedding")} /
+         |   (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")}))) AS score
          | FROM embeddings a, embeddings b WHERE a.vec_id < 5)
-         |SELECT qid,
-         | (list(struct_pack(score := score, nid := nid) ORDER BY score, nid))[1:3] AS matches
-         |FROM scored GROUP BY qid ORDER BY qid""".stripMargin,
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, score, nid FROM (
+         | SELECT qid, nid, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+         | FROM scored) t
+         |WHERE rnk <= 3 ORDER BY qid, rank""".stripMargin,
     "q15_min_by_k" ->
       s"""WITH scored AS (
          | SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist

@@ -72,8 +72,18 @@ case class MinByK(
       s"$prettyName: k must be a positive integer literal, got $other")
   }
 
-  @transient private lazy val valueOrdering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(valueExpr.dataType)
+  // Null-safe: interpreted orderings for atomic types NPE on null, and the
+  // value CAN be null (ord non-null, value null). Nulls sort last.
+  @transient private lazy val valueOrdering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(valueExpr.dataType)
+    new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) 1
+        else if (b == null) -1
+        else base.compare(a, b)
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = ordExpr.dataType match {
     case _: NumericType if kExpr.foldable => TypeCheckResult.TypeCheckSuccess

@@ -367,7 +367,13 @@ object HnswIndex {
       while (t < nTomb) {
         val tid = in.readInt()
         idx.tombstones += tid
-        idx.keyToId.remove(idx.keys(tid))
+        // A key deleted then re-added before save stores two nodes with the
+        // same key (one tombstoned). Only drop the mapping when it still
+        // points at the tombstoned node — otherwise the live newer node would
+        // lose its mapping and the key could be added a third time.
+        if (idx.keyToId.get(idx.keys(tid)).contains(tid)) {
+          idx.keyToId.remove(idx.keys(tid))
+        }
         t += 1
       }
       idx

@@ -32,7 +32,7 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0)) - lit(when(size(words) < n, 0).otherwise(0))),
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
     df.select(col(idCol), explode(
         when(size(words) >= n, grams).otherwise(array())).as("shingle"))

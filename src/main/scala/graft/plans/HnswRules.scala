@@ -233,6 +233,11 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
           case _ => false
         }
         (metric, outerVec, innerVec) <- matchTwoSided(dist, outer, inner)
+        // NULL outer vectors rank FIRST in the window formulation (ASC =
+        // NULLS FIRST) but emit nothing from the index join — a silent
+        // result change. Only rewrite when the outer vector can't be NULL:
+        // non-nullable attribute, or an explicit IS NOT NULL filter below.
+        if !outerVec.nullable || hasNotNullGuard(outer, outerVec)
         // column pruning may have projected the rowid off the inner side:
         // match the *base* relation and rebuild the chain with rowid restored
         (innerChain, innerBase) = stripChain(inner)
@@ -264,6 +269,38 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
         Project(f.output, rebuilt)
       }
       rewritten.getOrElse(f)
+  }
+
+  /** Does the outer chain filter the vector to be non-NULL? Walks Project
+    * alias indirections down the chain looking for an `IsNotNull` conjunct on
+    * the attribute the vector resolves to. */
+  private def hasNotNullGuard(outer: LogicalPlan, vec: AttributeReference): Boolean = {
+    var target = vec.exprId
+    var node = outer
+    while (true) {
+      node match {
+        case Project(projList, c) =>
+          projList.find(_.exprId == target) match {
+            case Some(a: Alias) => a.child match {
+              case ar: AttributeReference => target = ar.exprId
+              case _ => return false
+            }
+            case Some(_) => () // direct pass-through keeps the exprId
+            case None => return false
+          }
+          node = c
+        case Filter(cond, c) =>
+          val tgt = target
+          val guarded = cond.exists {
+            case IsNotNull(ar: AttributeReference) => ar.exprId == tgt
+            case _ => false
+          }
+          if (guarded) return true
+          node = c
+        case _ => return false
+      }
+    }
+    false
   }
 
   /** Distance over (outer attr, inner attr), either order. */

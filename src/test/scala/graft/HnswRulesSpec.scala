@@ -124,7 +124,10 @@ class HnswRulesSpec extends GraftSparkSpec with BeforeAndAfterAll {
   }
 
   test("windowed KNN-join pattern rewrites to HnswKnnJoin and matches the window plan") {
-    val outer = spark.table("rules_emb").filter($"vec_id" < 4)
+    // the isNotNull guard is required for the rewrite: parquet arrays are
+    // nullable and NULL outer vectors would change results silently
+    val outer = spark.table("rules_emb")
+      .filter($"vec_id" < 4 && $"embedding".isNotNull)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val inner = spark.table("rules_emb")
 

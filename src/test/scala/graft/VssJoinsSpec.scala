@@ -29,8 +29,9 @@ class VssJoinsSpec extends GraftSparkSpec {
   }
 
   test("vssJoin agrees with a window-function formulation") {
+    // reference macro contract: l2sq metric scores with array_distance (√)
     val wdf = s.crossJoin(grid)
-      .withColumn("score", graft.functions.vector.array_distance_sq($"s_vec", $"vec"))
+      .withColumn("score", graft.functions.vector.array_distance($"s_vec", $"vec"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"sid").orderBy($"score", $"id")))
       .filter($"rn" <= 3)
@@ -59,10 +60,20 @@ class VssJoinsSpec extends GraftSparkSpec {
     assert(got.toSeq == Seq(Row(1, 1))) // only non-null pair survives
   }
 
-  test("cosine metric variant") {
+  test("cosine metric variant scores with SIMILARITY and keeps the k max") {
     val out = VssJoins.vssJoin(s, grid, "s_vec", "vec", 1, metric = "cosine")
     val got = out.select($"left_tbl.sid", $"score").orderBy($"sid").as[(Int, Double)].collect()
-    // [5,5,5] and [1,1,1] are colinear with grid diagonal → cosine distance 0
-    assert(got.forall(_._2 < 1e-12))
+    // [5,5,5] and [1,1,1] are colinear with grid diagonal → similarity 1
+    // (reference macro scores cosine with array_cosine_similarity via max_by)
+    assert(got.forall(p => math.abs(1.0 - p._2) < 1e-12))
+  }
+
+  test("ip metric scores with raw inner product, k largest first") {
+    val out = VssJoins.vssJoin(s, grid, "s_vec", "vec", 3, metric = "ip")
+    val scores = out.filter($"left_tbl.sid" === 1)
+      .orderBy($"rank").select($"score").as[Double].collect()
+    // best-first for ip = largest inner product first; grid max is [9,9,9]
+    assert(scores.length == 3 && scores.head == 135.0) // 5*9*3
+    assert(scores.sameElements(scores.sorted.reverse))
   }
 }
