@@ -18,11 +18,27 @@ object Graft {
 
   val RowIdCol = "__rowid"
 
-  /** Register `df` as engine table `name` with a materialized rowid. The
-    * DataFrame is cached: rowids must be stable across actions (DML and
-    * index lookups join on them). */
-  def registerTable(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    val withId = df.withColumn(RowIdCol, monotonically_increasing_id()).cache()
+  /** Default location for materialized engine tables (rowid parquet). At
+    * cluster scale this would be an object-store path. */
+  def defaultTableDir: String =
+    sys.props.getOrElse("graft.tables.dir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-tables")
+
+  /** Register `df` as engine table `name` with a materialized rowid.
+    *
+    * Rowids must be stable across actions (DML and index lookups join on
+    * them), so they are materialized ONCE to parquet and the table is served
+    * from that storage — the scale-safe analog of DuckDB's persistent row_t.
+    * A `cache()`-based registration would pin the whole table in memory
+    * (impossible at 100 TB) and silently recompute ids on eviction if
+    * partitioning changed; a write-once parquet costs one pass over the data
+    * and is immutable after that. */
+  def registerTable(spark: SparkSession, name: String, df: DataFrame,
+      tableDir: String = defaultTableDir): DataFrame = {
+    val path = s"$tableDir/$name"
+    df.withColumn(RowIdCol, monotonically_increasing_id())
+      .write.mode("overwrite").parquet(path)
+    val withId = spark.read.parquet(path)
     withId.createOrReplaceTempView(name)
     withId
   }

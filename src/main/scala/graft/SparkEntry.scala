@@ -190,6 +190,85 @@ object SparkEntry {
         .agg(graft.functions.MinByK.minByK(col("vec_id"), col("dist"), 5).as("top_ids"))
     }
 
+    // --- index path (oracle-backed) --------------------------------------
+    // All four queries execute through the engine's HNSW index machinery.
+    // Exactness: ef_search is set >= table size, which makes the HNSW beam
+    // search exhaustive, so index results equal brute force and an exact
+    // DuckDB oracle applies — the same equivalence the reference's own tests
+    // rely on (test/sql/hnsw/hnsw_lateral_join.test:36-43).
+
+    /** Fetch one embedding as a query vector. */
+    private def embQueryVec(s: SparkSession, table: String, vecId: Long): Array[Float] =
+      s.table(table).filter(col("vec_id") === vecId)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    private def setupIndex(s: SparkSession, dir: String, table: String,
+        index: String, options: Map[String, String]): Unit = {
+      graft.plans.GraftExtensions.install(s)
+      Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
+      graft.index.IndexCatalog.dropIndex(index)
+      graft.index.IndexCatalog.createIndex(s, index, table, "embedding", options)
+    }
+
+    /** TopN through the TopKToIndexScan optimizer rule: the inner
+      * `ORDER BY dist LIMIT 10` is rewritten onto an HnswIndexScan semi join
+      * (reference src/hnsw/hnsw_optimize_scan.cpp:23-258); the outer sort
+      * only makes tie order deterministic for the oracle compare. */
+    def q16IndexTopK(s: SparkSession, dir: String): DataFrame = {
+      setupIndex(s, dir, "q16_emb", "q16_idx", Map("ef_search" -> "100000"))
+      val qv = embQueryVec(s, "q16_emb", 0)
+      s.table("q16_emb")
+        .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+        .orderBy(col("dist")).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** Windowed KNN-join idiom through the KnnJoinToIndexJoin rule →
+      * HnswKnnJoin exec (reference src/hnsw/hnsw_optimize_join.cpp:323-715). */
+    def q17IndexKnnJoin(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      setupIndex(s, dir, "q17_emb", "q17_idx", Map("ef_search" -> "100000"))
+      val outer = s.table("q17_emb")
+        .filter(col("vec_id") < 5 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val inner = s.table("q17_emb")
+      outer.crossJoin(inner)
+        .withColumn("dist", vector.array_distance_sq(col("qvec"), col("embedding")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"))))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"),
+          col("rn").cast(LongType).as("rank"), col("dist"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
+    /** `pragma_hnsw_index_info` equivalent — stable columns of
+      * IndexCatalog.describe (reference src/hnsw/hnsw_index_pragmas.cpp:22-148). */
+    def q18IndexInfo(s: SparkSession, dir: String): DataFrame = {
+      setupIndex(s, dir, "q18_emb", "q18_idx", Map.empty)
+      graft.index.IndexCatalog.describe(s)
+        .where(col("index_name") === "q18_idx")
+        .select(col("index_name"), col("table_name"), col("metric"),
+          col("dimensions"), col("count"))
+    }
+
+    /** CRUD lifecycle (reference test/sql/hnsw/hnsw_crud.test:10-47):
+      * create index → INSERT (clones shifted +100000) → DELETE (every 7th
+      * vec_id) → compact → index-accelerated top-k over the survivors. */
+    def q19IndexCrud(s: SparkSession, dir: String): DataFrame = {
+      setupIndex(s, dir, "q19_emb", "q19_idx", Map("ef_search" -> "100000"))
+      val ins = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      Graft.insertInto(s, "q19_emb", ins)
+      Graft.deleteFrom(s, "q19_emb", col("vec_id") % 7 === 0)
+      graft.index.IndexCatalog.compactIndex("q19_idx")
+      val qv = embQueryVec(s, "q19_emb", 1)
+      Graft.indexTopK(s, "q19_idx", qv, 10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
     // --- dedup / text ----------------------------------------------------
 
     /** Exact dedup by content hash: canonical representative + dup count. */
@@ -227,6 +306,10 @@ object SparkEntry {
     "q13_vss_join" -> (Queries.q13VssJoin _),
     "q14_vss_match" -> (Queries.q14VssMatch _),
     "q15_min_by_k" -> (Queries.q15MinByK _),
+    "q16_index_topk" -> (Queries.q16IndexTopK _),
+    "q17_index_knn_join" -> (Queries.q17IndexKnnJoin _),
+    "q18_index_info" -> (Queries.q18IndexInfo _),
+    "q19_index_crud" -> (Queries.q19IndexCrud _),
     "q20_dedup_exact" -> (Queries.q20DedupExact _),
     "q21_token_stats" -> (Queries.q21TokenStats _),
   )
@@ -312,6 +395,35 @@ object SparkEntry {
          | SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          | FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q)
          |SELECT (list(vec_id ORDER BY dist, vec_id))[1:5] AS top_ids FROM scored""".stripMargin,
+    "q16_index_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q17_index_knn_join" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a, embeddings b
+         | WHERE a.vec_id < 5 AND a.embedding IS NOT NULL)
+         |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, dist FROM (
+         | SELECT qid, nid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         | FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+    "q18_index_info" ->
+      """SELECT 'q18_idx' AS index_name, 'q18_emb' AS table_name,
+        | 'l2sq' AS metric,
+        | CAST((SELECT max(len(embedding)) FROM embeddings) AS BIGINT) AS dimensions,
+        | (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS count""".stripMargin,
+    "q19_index_crud" ->
+      s"""WITH tab AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | UNION ALL
+         | SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 3),
+         |live AS (SELECT * FROM tab WHERE vec_id % 7 <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         |SELECT live.vec_id, ${sqlL2Sq("live.embedding", "q.qv")} AS dist
+         |FROM live, q ORDER BY dist, live.vec_id LIMIT 10""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
