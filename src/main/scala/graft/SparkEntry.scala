@@ -288,7 +288,54 @@ object SparkEntry {
         .withColumn("chars_per_token",
           col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
         .orderBy(col("doc_id"))
+
+    /** MinHash + LSH near-dup candidate pairs (bucketed band join, never
+      * all-pairs — the 100TB shape). md5-based permutations make the whole
+      * pipeline replayable in DuckDB. */
+    def q22MinHashLsh(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.minHashLshPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+
+    /** 64-bit SimHash per document as a '0'/'1' bit string. */
+    def q23SimHash(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+
+    /** Exact n-gram Jaccard over LSH-free shingle join, with the
+      * document-frequency skew cap on shingles. */
+    def q24JaccardPairs(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.05, maxShingleDocFreq = 100)
+        .orderBy(col("a"), col("b"))
+
+    /** Language ID + quality score + canonical fingerprint — pure column
+      * algebra, bit-identical across engines. */
+    def q25TextSignals(s: SparkSession, dir: String): DataFrame =
+      graft.ops.TextAnalysis.annotate(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
+          col("quality"), col("fingerprint"))
+        .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------- SQL
+  // oracle fragments for the dedup/text ops (DuckDB 1.0 dialect).
+
+  /** Distinct word-3-gram shingles per doc — mirrors Dedup.shingles. */
+  private val sqlShingles: String =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
+      |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |WHERE len(shingle) > 0""".stripMargin
+
+  /** Per-language marker-count score — mirrors TextAnalysis.langScore
+    * (occurrence counting via replace-length arithmetic over ' '+text+' '). */
+  private def sqlLangScore(markers: Seq[String]): String =
+    markers.map { m =>
+      val esc = m.replace("'", "''")
+      s"CAST((len(p) - len(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
+    }.mkString(" + ")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -312,6 +359,10 @@ object SparkEntry {
     "q19_index_crud" -> (Queries.q19IndexCrud _),
     "q20_dedup_exact" -> (Queries.q20DedupExact _),
     "q21_token_stats" -> (Queries.q21TokenStats _),
+    "q22_minhash_lsh_pairs" -> (Queries.q22MinHashLsh _),
+    "q23_simhash" -> (Queries.q23SimHash _),
+    "q24_jaccard_pairs" -> (Queries.q24JaccardPairs _),
+    "q25_text_signals" -> (Queries.q25TextSignals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,5 +484,73 @@ object SparkEntry {
         | n_chars,
         | CAST(n_chars AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_minhash_lsh_pairs" -> {
+      val mins = (0 until 8).map(p => s"min(md5('$p:' || shingle)) AS mh$p").mkString(", ")
+      val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS ($sqlShingles),
+         |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band_id, mh0||mh1 AS band_val FROM sigs
+         | UNION ALL SELECT doc_id, 1, mh2||mh3 FROM sigs
+         | UNION ALL SELECT doc_id, 2, mh4||mh5 FROM sigs
+         | UNION ALL SELECT doc_id, 3, mh6||mh7 FROM sigs),
+         |cand AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
+         | WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, CAST($agree AS DOUBLE) / 8.0 AS est_sim
+         |FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
+    "q23_simhash" -> {
+      val votes = (0 until 64).map { bit =>
+        val pos = bit / 4
+        val pow = 1 << (3 - bit % 4)
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, ${pos + 1}, 1)) - 1) // $pow) % 2 = 1 THEN 1 ELSE -1 END) AS v$bit"
+      }.mkString(", ")
+      val bits = (0 until 64).map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH toks AS (
+         | SELECT doc_id, md5(tok) AS h FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+         | WHERE len(tok) > 0),
+         |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "q24_jaccard_pairs" ->
+      s"""WITH sh0 AS ($sqlShingles),
+         |keep AS (SELECT shingle FROM (
+         |  SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1) WHERE df <= 100),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE) AS jaccard
+         |FROM inter JOIN cnt na ON inter.a = na.doc_id JOIN cnt nb ON inter.b = nb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE) >= 0.05
+         |ORDER BY a, b""".stripMargin,
+    "q25_text_signals" -> {
+      val langs = graft.ops.TextAnalysis.langMarkers
+      val scoreCols = langs.map { case (lang, ms) => s"${sqlLangScore(ms)} AS s_$lang" }
+        .mkString(", ")
+      val langCases = langs.map { case (lang, _) =>
+        s"WHEN m > 0 AND s_$lang = m THEN '$lang'"
+      }.mkString(" ")
+      val maxExpr = langs.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+      s"""WITH base AS (
+         | SELECT doc_id, text, n_chars, (' ' || text || ' ') AS p,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |scored AS (SELECT doc_id, text, n_chars, n_tokens, $scoreCols FROM base),
+         |lang AS (SELECT *, $maxExpr AS m FROM scored)
+         |SELECT doc_id, n_tokens,
+         | CASE $langCases ELSE 'und' END AS lang_pred,
+         | least(1.0,
+         |  greatest(0.0, 1.0 - abs(CAST(n_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) - 6.0)/6.0) * 0.7 +
+         |  greatest(0.0, 1.0 - (CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/CAST(n_chars AS DOUBLE)) * 4.0) * 0.3) AS quality,
+         | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM lang ORDER BY doc_id""".stripMargin
+    },
   )
 }

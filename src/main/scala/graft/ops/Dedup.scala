@@ -107,10 +107,26 @@ object Dedup {
     (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
 
   /** Exact n-gram Jaccard similarity for all candidate pairs that share at
-    * least one shingle. Returns (a, b, jaccard), a < b. */
+    * least one shingle. Returns (a, b, jaccard), a < b.
+    *
+    * `maxShingleDocFreq` is the skew guard for the self-join: one hot
+    * boilerplate shingle appearing in d documents alone produces O(d²)
+    * candidate pairs; capping document frequency bounds the per-key join
+    * fan-out. Set sizes are computed AFTER the cap, so jaccard stays a
+    * consistent similarity over the retained (rare) shingle space. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleLen)
+      shingleLen: Int = 3, minJaccard: Double = 0.0,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol, shingleLen)
+    val sh =
+      if (maxShingleDocFreq == Int.MaxValue) sh0
+      else {
+        val keep = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDocFreq)
+          .select(col("shingle"))
+        sh0.join(keep, "shingle")
+      }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))
