@@ -62,7 +62,13 @@ object Graft {
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
-    val hits = entry.index.search(query, k, ef)
+    val hits = entry.index match {
+      // sharded: fan the search out to the executors holding the shards;
+      // the driver only merges shards × k hits
+      case sharded: graft.index.ShardedHnswIndex =>
+        sharded.searchDistributed(spark, query, k, ef)
+      case idx => idx.search(query, k, ef)
+    }
     val hitDf = spark.createDataFrame(
       spark.sparkContext.parallelize(hits.toSeq.map(h => Row(h._1, h._2)), 1),
       StructType(Seq(StructField("__hit_rowid", LongType, nullable = false),
@@ -113,13 +119,17 @@ object Graft {
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): DataFrame = {
     val existing = spark.table(table)
     val maxId = existing.agg(max(col(RowIdCol))).head().getLong(0)
+    // only the DELTA is cached (its rowids must not be recomputed); the
+    // existing side stays storage-backed — never pin the base table
     val withIds = rows.withColumn(RowIdCol,
       monotonically_increasing_id() + lit(maxId + 1)).cache()
-    val updated = existing.unionByName(withIds).cache()
+    val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
     IndexCatalog.list.filter(_.table == table).foreach { e =>
+      // stream the delta partition-by-partition: driver memory is bounded by
+      // one partition, not the insert volume
       withIds.select(col(RowIdCol), col(e.column)).where(col(e.column).isNotNull)
-        .collect().foreach { r =>
+        .toLocalIterator().forEachRemaining { r =>
           e.index.insert(r.getLong(0), r.getSeq[Float](1).toArray)
         }
     }
@@ -128,15 +138,21 @@ object Graft {
 
   /** Delete rows matching `cond` from a registered table; tombstones the
     * rowids in every index on the table (reference Delete hook,
-    * src/hnsw/hnsw_index.cpp:466-482). */
+    * src/hnsw/hnsw_index.cpp:466-482). The doomed rowid set streams to the
+    * driver partition-by-partition — "delete 1% of 100TB" never materializes
+    * all ids at once. */
   def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
     val existing = spark.table(table)
-    val goneIds = existing.where(cond).select(col(RowIdCol)).collect().map(_.getLong(0))
-    val remaining = existing.where(!cond || cond.isNull).cache()
-    remaining.createOrReplaceTempView(table)
-    IndexCatalog.list.filter(_.table == table).foreach { e =>
-      goneIds.foreach(e.index.delete)
+    val indexes = IndexCatalog.list.filter(_.table == table)
+    if (indexes.nonEmpty) {
+      existing.where(cond).select(col(RowIdCol)).toLocalIterator()
+        .forEachRemaining { r =>
+          val id = r.getLong(0)
+          indexes.foreach(_.index.delete(id))
+        }
     }
+    val remaining = existing.where(!cond || cond.isNull)
+    remaining.createOrReplaceTempView(table)
     remaining
   }
 

@@ -65,6 +65,14 @@ class HnswIndex(
 
   private def maxNeighbors(level: Int): Int = if (level == 0) m0 else m
 
+  // Guards concurrent build (addAll): searches run under the read lock,
+  // graph mutation under the write lock — the JVM analog of the reference's
+  // per-thread concurrent construct tasks + rwlock
+  // (reference src/hnsw/hnsw_index_physical_create.cpp:231-306,
+  // src/hnsw/hnsw_index.cpp:391-449).
+  @transient private lazy val rwLock =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   /** Insert one vector. NULL-skipping is the caller's job (the reference
     * skips NULL vectors on insert, reference src/hnsw/hnsw_index.cpp:437-439). */
   def add(key: Long, vec: Array[Float]): Unit = {
@@ -134,6 +142,126 @@ class HnswIndex(
       topLevel = level
       entryPoint = id
     }
+  }
+
+  /** Parallel bulk build: N threads pull from `items` and insert
+    * concurrently. Each insert splits into three phases — node allocation
+    * (write lock), beam search for neighbors (read lock, the dominant cost,
+    * runs in parallel), and graph linking (write lock). A node allocated but
+    * not yet linked is unreachable, so concurrent searches never see a
+    * half-inserted node. Graph shape depends on thread interleaving (level
+    * draws and insertion order), but search contracts are unaffected:
+    * exact-search (ef >= N) results are identical, ANN recall statistically
+    * equivalent. Mirrors the reference's one-construct-task-per-scheduler-
+    * thread bulk build (reference src/hnsw/hnsw_index_physical_create.cpp:283-306). */
+  def addAll(items: Iterator[(Long, Array[Float])], numThreads: Int): Unit = {
+    if (numThreads <= 1) { items.foreach { case (k, v) => add(k, v) }; return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(numThreads)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val lockObj = new Object
+    def nextItem(): (Long, Array[Float]) = lockObj.synchronized {
+      if (items.hasNext) items.next() else null
+    }
+    (0 until numThreads).foreach { _ =>
+      pool.execute(new Runnable {
+        def run(): Unit = try {
+          var item = nextItem()
+          while (item != null && err.get() == null) {
+            addConcurrent(item._1, item._2)
+            item = nextItem()
+          }
+        } catch { case t: Throwable => err.compareAndSet(null, t) }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    if (err.get() != null) throw err.get()
+  }
+
+  private def addConcurrent(key: Long, vec: Array[Float]): Unit = {
+    require(vec.length == dim, s"vector dimension ${vec.length} != index dimension $dim")
+    val w = rwLock.writeLock(); val r = rwLock.readLock()
+
+    // phase 1: allocate the node (invisible until linked)
+    var id = -1
+    var level = 0
+    w.lock()
+    try {
+      if (keyToId.contains(key)) {
+        throw new IllegalArgumentException(s"duplicate key $key")
+      }
+      id = keys.size
+      level = math.min(
+        math.floor(-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 63)
+      keys += key
+      vecs += vec
+      nodeLevel += level
+      neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      keyToId(key) = id
+      if (entryPoint < 0) {
+        entryPoint = id
+        topLevel = level
+        return
+      }
+    } finally w.unlock()
+
+    // phase 2: beam-search candidate neighbors per level (parallel)
+    val perLevel = mutable.ArrayBuffer.empty[(Int, List[(Double, Int)])]
+    r.lock()
+    try {
+      var ep = entryPoint
+      var epDist = dist(vec, vecs(ep))
+      var l = topLevel
+      while (l > level) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val nbrs = neighborsAt(ep, l)
+          var i = 0
+          while (i < nbrs.length) {
+            val cand = nbrs(i)
+            val d = dist(vec, vecs(cand))
+            if (d < epDist) { ep = cand; epDist = d; changed = true }
+            i += 1
+          }
+        }
+        l -= 1
+      }
+      var lev = math.min(level, topLevel)
+      var eps = List((epDist, ep))
+      while (lev >= 0) {
+        val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
+        perLevel += ((lev, found))
+        eps = found
+        lev -= 1
+      }
+    } finally r.unlock()
+
+    // phase 3: link (serial, but much cheaper than the search)
+    w.lock()
+    try {
+      perLevel.foreach { case (lev, found0) =>
+        val found = found0.filterNot(_._2 == id)
+        val selected = selectNeighborsHeuristic(vec, found, m)
+        val nbrs = neighbors(id)(lev)
+        selected.foreach { case (_, nid) => if (!nbrs.contains(nid)) nbrs += nid }
+        selected.foreach { case (_, nid) =>
+          val theirNbrs = neighbors(nid)(lev)
+          if (!theirNbrs.contains(id)) theirNbrs += id
+          val cap = maxNeighbors(lev)
+          if (theirNbrs.length > cap) {
+            val pruned = selectNeighborsHeuristic(
+              vecs(nid), theirNbrs.map(x => (dist(vecs(nid), vecs(x)), x)).toList, cap)
+            theirNbrs.clear()
+            pruned.foreach { case (_, x) => theirNbrs += x }
+          }
+        }
+      }
+      if (level > topLevel) {
+        topLevel = level
+        entryPoint = id
+      }
+    } finally w.unlock()
   }
 
   private def neighborsAt(id: Int, level: Int): Array[Int] = {
@@ -253,15 +381,20 @@ class HnswIndex(
     case _ => false
   }
 
+  /** Visit every live (key, vector) pair — tombstoned nodes skipped. */
+  def forEachLive(f: (Long, Array[Float]) => Unit): Unit = {
+    var id = 0
+    while (id < keys.size) {
+      if (!tombstones.contains(id)) f(keys(id), vecs(id))
+      id += 1
+    }
+  }
+
   /** Rebuild without tombstoned entries (the reference's
     * `PRAGMA hnsw_compact_index`, reference src/hnsw/hnsw_index_pragmas.cpp:154-197). */
   def compact(): HnswIndex = {
     val fresh = new HnswIndex(dim, metric, m, m0, efConstruction, efSearch, seed)
-    var id = 0
-    while (id < keys.size) {
-      if (!tombstones.contains(id)) fresh.add(keys(id), vecs(id))
-      id += 1
-    }
+    forEachLive((key, vec) => fresh.add(key, vec))
     fresh
   }
 

@@ -86,6 +86,11 @@ object IndexCatalog {
 
   val EfSearchConfKey = "graft.hnsw.efSearch"
 
+  /** Where shard artifacts land (shared storage at cluster scale). */
+  def indexArtifactDir: String =
+    sys.props.getOrElse("graft.indexes.dir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-indexes")
+
   def get(name: String): Option[IndexEntry] = entries.get(name)
   def list: Seq[IndexEntry] = entries.values.toSeq.sortBy(_.name)
   def clear(): Unit = entries.clear()
@@ -123,7 +128,8 @@ object IndexCatalog {
       column: String,
       options: Map[String, String] = Map.empty,
       sharded: Boolean = false,
-      rowidCol: String = "__rowid"): IndexEntry = {
+      rowidCol: String = "__rowid",
+      numShards: Int = 0): IndexEntry = {
     val opts = HnswOptions.fromMap(options)
     val df = spark.table(table)
     vecColOrThrow(df, column)
@@ -131,12 +137,23 @@ object IndexCatalog {
       s"table $table must carry a materialized $rowidCol BIGINT column " +
         "(register it with Graft.registerTable)")
 
-    val pairs = df.select(col(rowidCol).cast(LongType), col(column))
+    val pairs0 = df.select(col(rowidCol).cast(LongType), col(column))
       .where(col(column).isNotNull)
+    // numShards sizes shard graphs to executor memory independently of the
+    // scan's partitioning (one shard per partition otherwise)
+    val pairs = if (sharded && numShards > 0) pairs0.repartition(numShards) else pairs0
 
     val index: VectorIndex =
       if (sharded) {
-        val shards = pairs.rdd.mapPartitions { it =>
+        // Executor-resident build: each task constructs its partition's
+        // sub-graph AND persists it to shared storage in place; only
+        // ShardMeta (path + stats) returns to the driver. Driver memory is
+        // O(shards), never the vectors — the scale contract the driver-
+        // collected variant could not meet. Artifact paths are versioned so
+        // per-JVM shard caches never go stale.
+        val shardDir = s"$indexArtifactDir/$name-${System.currentTimeMillis()}"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+        val metas = pairs.rdd.mapPartitionsWithIndex { (pid, it) =>
           var idx: HnswIndex = null
           it.foreach { row =>
             val vec = row.getSeq[Float](1).toArray
@@ -146,25 +163,41 @@ object IndexCatalog {
             }
             idx.add(row.getLong(0), vec)
           }
-          if (idx == null) Iterator.empty else Iterator.single(idx)
-        }.collect()
-        if (shards.isEmpty) {
-          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
-        }
-        new ShardedHnswIndex(shards)
-      } else {
-        var idx: HnswIndex = null
-        pairs.toLocalIterator().forEachRemaining { row =>
-          val vec = row.getSeq[Float](1).toArray
-          if (idx == null) {
-            idx = new HnswIndex(vec.length, opts.metric, opts.m, opts.m0,
-              opts.efConstruction, opts.efSearch)
+          if (idx == null) Iterator.empty
+          else {
+            val p = s"$shardDir/shard-$pid.hnsw"
+            idx.save(p)
+            Iterator.single(ShardMeta(p, idx.dim, idx.metric, idx.size,
+              idx.levels, idx.levelStats, idx.approxMemoryBytes, idx.capacity))
           }
-          idx.add(row.getLong(0), vec)
-        }
-        if (idx == null) {
+        }.collect()
+        if (metas.isEmpty) {
           throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
         }
+        new ShardedHnswIndex(metas)
+      } else {
+        // Driver-built single graph, parallel construct phase: rows stream in
+        // via toLocalIterator (driver memory = one partition at a time) and
+        // N threads insert concurrently — the reference's two-phase bulk
+        // build (reference src/hnsw/hnsw_index_physical_create.cpp:283-306).
+        val it = pairs.toLocalIterator()
+        if (!it.hasNext) {
+          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
+        }
+        val first = it.next()
+        val firstVec = first.getSeq[Float](1).toArray
+        val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
+          opts.efConstruction, opts.efSearch)
+        idx.add(first.getLong(0), firstVec)
+        val threads = math.min(16, Runtime.getRuntime.availableProcessors())
+        val rows = new Iterator[(Long, Array[Float])] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Array[Float]) = {
+            val row = it.next()
+            (row.getLong(0), row.getSeq[Float](1).toArray)
+          }
+        }
+        idx.addAll(rows, threads)
         new SingleHnswIndex(idx)
       }
 
@@ -225,10 +258,59 @@ object IndexCatalog {
   def persistAll(dir: String): Seq[String] = list.map { e =>
     val path = e.index match {
       case _: ShardedHnswIndex => s"$dir/${e.name}"
+      case _: LazyLoadedIndex => s"$dir/${e.name}"
       case _ => s"$dir/${e.name}.hnsw"
     }
     e.index.save(path)
     path
+  }
+
+  /** Gate for persistence — the reference refuses disk-backed HNSW indexes
+    * unless `hnsw_enable_experimental_persistence` is set
+    * (reference src/hnsw/hnsw_index_plan.cpp:21-30,
+    * test/sql/hnsw/hnsw_experimental_persistence.test:14-17). */
+  val PersistenceConfKey = "graft.hnsw.enableExperimentalPersistence"
+
+  private def persistenceEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(PersistenceConfKey).exists(_.toBoolean)
+
+  /** CHECKPOINT: persist all index artifacts + a catalog manifest so a
+    * restarted session can reload them. Refuses unless the experimental-
+    * persistence gate is set, with the reference's error wording. */
+  def checkpoint(spark: SparkSession, dir: String): Seq[String] = {
+    if (!persistenceEnabled(spark)) {
+      throw new IllegalStateException(
+        "HNSW indexes can only be created in in-memory databases, or when the " +
+          "configuration option 'hnsw_enable_experimental_persistence' is set to true.")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val paths = persistAll(dir)
+    val manifest = list.zip(paths).map { case (e, p) =>
+      (e.name, e.table, e.column, e.options, e.rowidCol, p)
+    }
+    val out = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+    try out.writeObject(manifest) finally out.close()
+    paths
+  }
+
+  /** Restart recovery: re-register every checkpointed index with a LAZY
+    * artifact load — full deserialization is deferred to first access, the
+    * reference's deferred-load behavior (reference README.md:76,
+    * src/hnsw/hnsw_index.cpp:193-206). Tables must already be registered
+    * (they are storage-backed; see Graft.registerTable). */
+  def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
+    val in = new java.io.ObjectInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+    val manifest =
+      try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
+      finally in.close()
+    manifest.map { case (name, table, column, opts, rowidCol, path) =>
+      val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
+        spark.table(table).queryExecution.withCachedData, rowidCol)
+      entries(name) = entry
+      entry
+    }
   }
 
   /** Lazy reload of a persisted index into the catalog (deferred full

@@ -52,6 +52,29 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall was $recall")
   }
 
+  test("parallel addAll: same search contracts as serial build") {
+    val dim = 16
+    val vecs = (0 until 2000).map(i => i.toLong -> vecOf(i, dim)).toMap
+    val idx = new HnswIndex(dim, "l2sq")
+    idx.addAll(vecs.toSeq.sortBy(_._1).iterator.map { case (id, v) => (id, v) }, 8)
+    assert(idx.size == 2000)
+    // exhaustive ef makes the graph shape irrelevant: results must be exact
+    (0 until 10).foreach { qi =>
+      val q = vecOf(20000 + qi, dim)
+      val expected = bruteTopK(vecs, q, 10, "l2sq")
+      val got = idx.search(q, 10, ef = 4000).map(_._1).toSeq
+      assert(got == expected, s"query $qi")
+    }
+    // default-ef ANN recall stays statistically healthy under parallel build
+    var hits = 0
+    (0 until 50).foreach { qi =>
+      val q = vecOf(30000 + qi, dim)
+      val expected = bruteTopK(vecs, q, 10, "l2sq").toSet
+      hits += expected.intersect(idx.search(q, 10).map(_._1).toSet).size
+    }
+    assert(hits.toDouble / 500 >= 0.9, s"recall was ${hits / 500.0}")
+  }
+
   test("search results are distance-ordered and within k") {
     val dim = 8
     val idx = new HnswIndex(dim, "cosine")

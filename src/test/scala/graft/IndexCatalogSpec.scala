@@ -63,6 +63,44 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(exact.toSet.intersect(approx.toSet).size >= 4)
   }
 
+  test("sharded build from 8+ partitions: executor-resident artifacts, exact merge") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, "emb_sh8_t", emb)
+    IndexCatalog.createIndex(spark, "emb_sh8", "emb_sh8_t", "embedding",
+      sharded = true, numShards = 8)
+    val idx = IndexCatalog.get("emb_sh8").get.index
+      .asInstanceOf[graft.index.ShardedHnswIndex]
+    // the driver holds only shard metadata (paths + stats), not graphs
+    assert(idx.shards.length >= 8)
+    idx.shards.foreach(s => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s.path))))
+    assert(idx.size == 500)
+    // per-shard exhaustive ef ⇒ the k-way merge is exact
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "600")
+    try {
+      val q = queryVec(42)
+      val exact = Graft.topK(spark.table("emb_sh8_t"), "embedding", q, 10)
+        .select($"vec_id").as[Long].collect()
+      val viaIndex = Graft.indexTopK(spark, "emb_sh8", q, 10)
+        .select($"vec_id").as[Long].collect()
+      assert(viaIndex.toSeq == exact.toSeq)
+    } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
+  test("sharded DML: delta inserts, tombstone deletes, compaction rewrites shards") {
+    val idx = IndexCatalog.get("emb_sh8").get.index
+    val probe = Array.fill(64)(-9f)
+    idx.insert(77777L, probe)
+    assert(idx.search(probe, 1).head._1 == 77777L)
+    assert(idx.delete(0L))
+    assert(idx.search(queryVec(0), 1, ef = 600).head._1 != 0L)
+    assert(idx.deletedCount == 1)
+    val compacted = idx.compacted()
+    assert(compacted.deletedCount == 0)
+    assert(compacted.size == idx.size)
+    assert(compacted.search(probe, 1).head._1 == 77777L)
+    assert(compacted.search(queryVec(0), 1, ef = 600).head._1 != 0L)
+  }
+
   test("ef_search session conf override is honored (SET hnsw_ef_search analog)") {
     spark.conf.set(IndexCatalog.EfSearchConfKey, "500")
     try {
