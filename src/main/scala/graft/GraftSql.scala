@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.index.IndexCatalog
+
+/** String-SQL surface for the engine's DDL — the statements DuckDB core
+  * parses for the reference and hands to its registered index type
+  * (reference src/hnsw/hnsw_index.cpp:667-691, pragmas at
+  * src/hnsw/hnsw_index_pragmas.cpp:195-203):
+  *
+  *   CREATE INDEX name ON table USING HNSW (col) [WITH (metric='l2sq', ...)]
+  *   DROP INDEX name
+  *   PRAGMA hnsw_compact_index('name')
+  *   SELECT * FROM pragma_hnsw_index_info()   (also: PRAGMA hnsw_index_info)
+  *   CHECKPOINT 'dir'
+  *
+  * Anything else falls through to `spark.sql` with the engine's scalar
+  * functions registered, so `ORDER BY array_distance(...) LIMIT k` strings
+  * work — and get index-accelerated when the optimizer rules are installed. */
+object GraftSql {
+
+  private val CreateIndexRe =
+    """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+HNSW\s*\(\s*(\w+)\s*\)(?:\s+WITH\s*\((.*?)\))?\s*;?\s*""".r
+  private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s*;?\s*""".r
+  private val CompactRe =
+    """(?is)\s*PRAGMA\s+hnsw_compact_index\s*\(\s*'(\w+)'\s*\)\s*;?\s*""".r
+  private val InfoRe =
+    """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
+  private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
+
+  /** Parse `metric = 'cosine', ef_construction = 200` into an options map
+    * (quotes optional, keys case-insensitive — validation happens in
+    * HnswOptions with the reference's error wording). */
+  private def parseWith(opts: String): Map[String, String] =
+    if (opts == null || opts.trim.isEmpty) Map.empty
+    else opts.split(",").map { kv =>
+      val parts = kv.split("=", 2)
+      require(parts.length == 2, s"malformed WITH option: '$kv'")
+      parts(0).trim.toLowerCase -> parts(1).trim.stripPrefix("'").stripSuffix("'")
+    }.toMap
+
+  def sql(spark: SparkSession, statement: String): DataFrame = statement match {
+    case CreateIndexRe(name, table, column, opts) =>
+      IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
+      spark.emptyDataFrame
+    case DropIndexRe(name) =>
+      if (!IndexCatalog.dropIndex(name)) {
+        throw new IllegalArgumentException(s"no HNSW index named $name")
+      }
+      spark.emptyDataFrame
+    case CompactRe(name) =>
+      IndexCatalog.compactIndex(name)
+      spark.emptyDataFrame
+    case InfoRe() =>
+      IndexCatalog.describe(spark)
+    case CheckpointRe(dir) =>
+      IndexCatalog.checkpoint(spark, dir)
+      spark.emptyDataFrame
+    case other =>
+      Graft.registerFunctions(spark)
+      spark.sql(other)
+  }
+}

@@ -315,6 +315,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("lang_pred"),
           col("quality"), col("fingerprint"))
         .orderBy(col("doc_id"))
+
+    /** Multimodal binary-column plumbing: opaque payloads (UTF-8 bytes as
+      * the fixture modality), byte-exact metadata, and REAL frame slicing —
+      * n_frames/n_sampled come from materialized 64-byte frame arrays, which
+      * the oracle cross-checks with independent arithmetic. */
+    def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
+      val media = graft.ops.Multimodal.fromText(tbl(s, dir, "documents"))
+      graft.ops.Multimodal.withByteStats(media)
+        .withColumn("n_frames",
+          size(graft.ops.Multimodal.frameSample(col("media"), 64, 1)).cast(LongType))
+        .withColumn("n_sampled",
+          size(graft.ops.Multimodal.frameSample(col("media"), 64, 4)).cast(LongType))
+        .select(col("doc_id"), col("n_bytes"), col("content_md5"),
+          col("n_frames"), col("n_sampled"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -363,6 +379,7 @@ object SparkEntry {
     "q23_simhash" -> (Queries.q23SimHash _),
     "q24_jaccard_pairs" -> (Queries.q24JaccardPairs _),
     "q25_text_signals" -> (Queries.q25TextSignals _),
+    "q26_multimodal" -> (Queries.q26Multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,5 +569,12 @@ object SparkEntry {
          | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
          |FROM lang ORDER BY doc_id""".stripMargin
     },
+    "q26_multimodal" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5,
+        | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+        | CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -117,16 +117,41 @@ private[plans] object IndexRuleSupport {
   * k rows they cost nothing, and they preserve output order/columns exactly. */
 object TopKToIndexScan extends Rule[LogicalPlan] {
   import IndexRuleSupport._
+
+  /** SQL queries project the sort key away ABOVE the Sort
+    * (`SELECT vec_id ... ORDER BY dist LIMIT k` optimizes to
+    * Limit → Project → Sort); peel those Projects and rebuild them. */
+  private def splitProjects(p: LogicalPlan): (Seq[Project], LogicalPlan) = {
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Project]
+    var node = p
+    while (node.isInstanceOf[Project]) {
+      val pr = node.asInstanceOf[Project]
+      chain += pr
+      node = pr.child
+    }
+    (chain.toSeq, node)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case l @ GlobalLimit(IntegerLiteral(k),
-        ll @ LocalLimit(_, s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
+    case l @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, inner))
         if k > 0 && k < MaxK =>
-      val rewritten = for {
-        (resolved, rel) <- resolveThroughChain(key, child)
-        (metric, colAttr, vec) <- DistancePattern.unapply(resolved)
-        entry <- findEntry(metric, colAttr, rel)
-        newChild <- injectCandidates(child, rel, entry, vec, k)
-      } yield l.copy(child = ll.copy(child = s.copy(child = newChild)))
+      val (projs, sortNode) = splitProjects(inner)
+      val rewritten = sortNode match {
+        case s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _) =>
+          for {
+            (resolved, rel) <- resolveThroughChain(key, child)
+            (metric, colAttr, vec) <- DistancePattern.unapply(resolved)
+            entry <- findEntry(metric, colAttr, rel)
+            newChild <- injectCandidates(child, rel, entry, vec, k)
+          } yield {
+            val newSort = s.copy(child = newChild)
+            val rebuilt = projs.reverse.foldLeft(newSort: LogicalPlan) {
+              (acc, pr) => pr.copy(child = acc)
+            }
+            l.copy(child = ll.copy(child = rebuilt))
+          }
+        case _ => None
+      }
       rewritten.getOrElse(l)
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.index.IndexCatalog
+import graft.plans.GraftExtensions
+
+/** The string-DDL surface the reference registers through DuckDB's parser
+  * (CREATE INDEX ... USING HNSW, DROP INDEX, pragmas — reference
+  * src/hnsw/hnsw_index.cpp:667-691, test/sql/hnsw/hnsw_options.test). */
+class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    GraftExtensions.install(spark)
+    IndexCatalog.clear()
+    Graft.registerTable(spark, "sql_emb",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+  }
+
+  test("CREATE INDEX ... USING HNSW with options, then index-accelerated SQL") {
+    GraftSql.sql(spark,
+      "CREATE INDEX sql_idx ON sql_emb USING HNSW (embedding) WITH (metric = 'l2sq', ef_search = 600)")
+    val e = IndexCatalog.get("sql_idx").get
+    assert(e.table == "sql_emb" && e.options.efSearch == 600)
+
+    val q = spark.table("sql_emb").filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val vecLit = q.mkString("array(", "F,", "F)")
+    val df = GraftSql.sql(spark,
+      s"SELECT vec_id FROM sql_emb ORDER BY array_distance_sq(embedding, $vecLit) LIMIT 5")
+    assert(df.queryExecution.executedPlan.toString.contains("HnswIndexScan"))
+    assert(df.collect().head.getLong(0) == 0L)
+  }
+
+  test("WITH option validation keeps the reference error wording") {
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE INDEX bad ON sql_emb USING HNSW (embedding) WITH (metric = 'taxicab')")
+    }
+    assert(err.getMessage.contains("Unknown metric kind: taxicab"))
+  }
+
+  test("pragma_hnsw_index_info and PRAGMA hnsw_compact_index") {
+    val info = GraftSql.sql(spark, "SELECT * FROM pragma_hnsw_index_info()")
+    assert(info.filter($"index_name" === "sql_idx").count() == 1)
+    GraftSql.sql(spark, "PRAGMA hnsw_compact_index('sql_idx')")
+    assert(IndexCatalog.get("sql_idx").get.index.deletedCount == 0)
+  }
+
+  test("DROP INDEX removes the entry; dropping twice errors") {
+    GraftSql.sql(spark, "DROP INDEX sql_idx")
+    assert(IndexCatalog.get("sql_idx").isEmpty)
+    intercept[IllegalArgumentException](GraftSql.sql(spark, "DROP INDEX sql_idx"))
+  }
+
+  test("CHECKPOINT 'dir' goes through the persistence gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlckpt").toString
+    intercept[IllegalStateException](GraftSql.sql(spark, s"CHECKPOINT '$dir'"))
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    try {
+      GraftSql.sql(spark, "CREATE INDEX sql_idx2 ON sql_emb USING HNSW (embedding)")
+      GraftSql.sql(spark, s"CHECKPOINT '$dir'")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
+}
