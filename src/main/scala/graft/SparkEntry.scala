@@ -123,6 +123,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("h"), col("event_type"))
 
+    /** `range(a,b)` table-function surface (reference hnsw_basic.test:13). */
+    def q09Range(s: SparkSession, dir: String): DataFrame =
+      s.range(0, 1000)
+        .select(col("id"), (col("id") * col("id")).as("sq"))
+        .orderBy(col("id"))
+
     // --- vector search core ---------------------------------------------
 
     private def knnBase(s: SparkSession, dir: String, distCol: DataFrame => org.apache.spark.sql.Column): DataFrame = {
@@ -253,6 +259,35 @@ object SparkEntry {
           col("dimensions"), col("count"))
     }
 
+    /** The reference's lateral-KNN entry point verbatim as SQL
+      * (reference test/sql/hnsw/hnsw_lateral_join.test:19-27, SURVEY.md §3.3):
+      * Spark's own LATERAL decorrelation answers it; the engine contributes
+      * the distance function. */
+    def q27LateralKnn(s: SparkSession, dir: String): DataFrame = {
+      Graft.registerFunctions(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("q27_emb")
+      // the outer restriction lives in the CTE: Spark's decorrelation
+      // evaluates the lateral once per DISTINCT outer vector, so the filter
+      // must shrink the outer side BEFORE the domain join, not after
+      s.sql(
+        """WITH q AS (SELECT vec_id, embedding FROM q27_emb WHERE vec_id < 5)
+          |SELECT q.vec_id AS qid, m.vec_id AS nid, m.dist
+          |FROM q,
+          |LATERAL (SELECT e.vec_id, array_distance_sq(e.embedding, q.embedding) AS dist
+          |         FROM q27_emb e ORDER BY dist LIMIT 3) m
+          |ORDER BY qid, dist, nid""".stripMargin)
+    }
+
+    /** Embedding near-dup through the ANN index (the 100TB path for the
+      * dedup suite): per row, the nearest OTHER row via index KNN join. */
+    def q28EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+      setupIndex(s, dir, "q28_emb", "q28_idx",
+        Map("metric" -> "cosine", "ef_search" -> "100000"))
+      graft.ops.Dedup.embeddingNearDupViaIndex(s, "q28_emb", "vec_id", "q28_idx",
+        maxDist = 0.65)
+        .orderBy(col("a"))
+    }
+
     /** CRUD lifecycle (reference test/sql/hnsw/hnsw_crud.test:10-47):
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
@@ -363,6 +398,7 @@ object SparkEntry {
     "q06_customers_without_orders" -> (Queries.q06CustomersWithoutOrders _),
     "q07_events_by_type" -> (Queries.q07EventsByType _),
     "q08_events_hourly" -> (Queries.q08EventsHourly _),
+    "q09_range" -> (Queries.q09Range _),
     "q10_knn_l2" -> (Queries.q10KnnL2 _),
     "q11_knn_cosine" -> (Queries.q11KnnCosine _),
     "q12_knn_ip" -> (Queries.q12KnnInnerProduct _),
@@ -380,6 +416,8 @@ object SparkEntry {
     "q24_jaccard_pairs" -> (Queries.q24JaccardPairs _),
     "q25_text_signals" -> (Queries.q25TextSignals _),
     "q26_multimodal" -> (Queries.q26Multimodal _),
+    "q27_lateral_knn" -> (Queries.q27LateralKnn _),
+    "q28_embedding_neardup" -> (Queries.q28EmbeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,6 +463,8 @@ object SparkEntry {
     "q08_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_range" ->
+      """SELECT range AS id, range * range AS sq FROM range(0, 1000) ORDER BY id""",
     "q10_knn_l2" ->
       s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
@@ -576,5 +616,24 @@ object SparkEntry {
         | CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
         | CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_lateral_knn" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a, embeddings b WHERE a.vec_id < 5)
+         |SELECT qid, nid, dist FROM (
+         | SELECT qid, nid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         | FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, dist, nid""".stripMargin,
+    "q28_embedding_neardup" ->
+      s"""WITH pairs AS (
+         | SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ${sqlCosineDist("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |best AS (
+         | SELECT a, b, dist, row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn
+         | FROM pairs)
+         |SELECT a, b, dist FROM best WHERE rn = 1 AND dist <= 0.65 ORDER BY a""".stripMargin,
   )
 }

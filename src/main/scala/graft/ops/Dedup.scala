@@ -141,10 +141,30 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Embedding near-dup through a registered ANN index — the 100TB path:
+    * the index broadcast is shard paths + delta (tiny), the outer side
+    * streams partition-parallel with no shuffle, and per row only k=2
+    * candidates come back (self + nearest other). Exact when the index ef
+    * covers the table. Returns (a, b, dist): each row's nearest OTHER row,
+    * kept when within `maxDist`. */
+  def embeddingNearDupViaIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, indexName: String, maxDist: Double): DataFrame = {
+    val entry = graft.index.IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val t = spark.table(table)
+    val outer = t.select(col(idCol).as("a"), col(entry.column).as("__qv"))
+      .where(col("__qv").isNotNull)
+    graft.Graft.knnJoin(spark, outer, "__qv", indexName, 2)
+      .where(col("a") =!= col(idCol)) // drop the self-match whatever its rank
+      .select(col("a"), col(idCol).as("b"), col("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Embedding near-dup: for every row, its nearest *other* row by cosine
     * distance; pairs under `maxDist` are near-duplicates. Brute-force
-    * (crossJoin+minByK, one bounded shuffle); swap in the ANN index path for
-    * the 100TB scale. Returns (a, b, dist) with a's nearest b. */
+    * (crossJoin+minByK, one bounded shuffle) — correctness baseline and
+    * small-table path; `embeddingNearDupViaIndex` is the scale path.
+    * Returns (a, b, dist) with a's nearest b. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       maxDist: Double): DataFrame = {
     val l = df.select(col(idCol).as("a"), col(vecCol).as("va"))

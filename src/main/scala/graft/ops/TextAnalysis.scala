@@ -42,18 +42,19 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: argmax of marker counts, ties broken by language
-    * code order, "und" when all scores are zero. */
+    * code order, "und" when all scores are zero.
+    *
+    * Shape matters: a naive max-fold nests `when(s2 > s1, ...)` and doubles
+    * the expression tree per language (2^N growth — measured 5x slower at
+    * sf0.1). `greatest` + a flat when-chain keeps every score expression at
+    * O(1) occurrences, which codegen subexpression elimination then shares. */
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (lang, _) => (lang, langScore(text, lang)) }
-    val best = scores.reduceLeft[(String, Column)] { case ((l1, s1), (l2, s2)) =>
-      // strictly-greater keeps the earlier (alphabetically first) language on ties
-      (l1, when(s2 > s1, s2).otherwise(s1))
+    val m = greatest(scores.map(_._2): _*)
+    // foldRight: the earliest language's `when` sits outermost, so it wins ties
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(m > 0 && s === m, lit(lang)).otherwise(acc)
     }
-    val bestScore = best._2
-    val bestLang = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === bestScore && bestScore > 0, lit(lang)).otherwise(acc)
-    }
-    bestLang
   }
 
   /** Quality signals + a linear score in [0,1]. Pure +,*,/ and min/max —
