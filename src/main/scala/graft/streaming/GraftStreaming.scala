@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference has no streams — its "continuous" path is transactional DML
+  * arriving row-by-row through index hooks (reference
+  * src/hnsw/hnsw_index.cpp:466-500). The Spark-native generalization:
+  * micro-batches appended to an engine table AND its HNSW indexes via
+  * `foreachBatch` → [[graft.Graft.insertInto]], plus event-time windowed
+  * aggregation with watermarks for the analytics side.
+  *
+  * Scale shape: each micro-batch is a bounded delta (rowids continue from
+  * the table's max; NULL vectors skipped exactly like batch DML), so state
+  * never accumulates on the driver beyond the index delta itself; the
+  * windowed aggregations keep bounded state via watermark eviction. */
+object GraftStreaming {
+
+  /** Continuous ingestion into a registered engine table + its indexes:
+    * every micro-batch flows through the same DML path as batch inserts
+    * (rowid continuation, NULL-vector skip, index append). Call `.start()`
+    * on the returned writer (optionally after setting checkpoint options). */
+  def indexAppendWriter(spark: SparkSession, table: String,
+      stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.Graft.insertInto(spark, table, batch)
+        ()
+      }
+
+  /** Start the ingestion immediately (in-memory checkpointing). */
+  def startIndexAppend(spark: SparkSession, table: String,
+      stream: DataFrame): StreamingQuery =
+    indexAppendWriter(spark, table, stream).start()
+
+  /** Event-time tumbling-window counts with bounded state — the streaming
+    * shape of the hourly-events rollup (q08): watermark evicts windows older
+    * than `lateness`, so state is O(active windows), not O(stream). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLength: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.index.IndexCatalog
+import graft.streaming.GraftStreaming
+
+class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  test("streaming ingestion appends to the table AND its HNSW index per micro-batch") {
+    IndexCatalog.clear()
+    Graft.registerTable(spark, "stream_t",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    IndexCatalog.createIndex(spark, "stream_idx", "stream_t", "embedding")
+    val size0 = IndexCatalog.get("stream_idx").get.index.size
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+
+    val probe1 = Seq.fill(64)(21f)
+    val probe2 = Seq.fill(64)(-21f)
+    mem.addData((90001L, probe1, 1))
+    val q = GraftStreaming.startIndexAppend(spark, "stream_t", stream)
+    q.processAllAvailable()
+    mem.addData((90002L, probe2, 2))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(IndexCatalog.get("stream_idx").get.index.size == size0 + 2)
+    assert(Graft.indexTopK(spark, "stream_idx", probe1.toArray, 1)
+      .select($"vec_id").as[Long].head() == 90001L)
+    assert(Graft.indexTopK(spark, "stream_idx", probe2.toArray, 1)
+      .select($"vec_id").as[Long].head() == 90002L)
+    // the TABLE view sees the streamed rows too (same DML path as batch)
+    assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
+  }
+
+  test("windowed event-time counts with watermark (streaming shape of q08)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = GraftStreaming.windowedCounts(
+      mem.toDF().toDF("ts", "etype"), "ts", "etype", "1 hour", "2 hours")
+
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(10, 5), "click"), (t(10, 40), "click"), (t(11, 10), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts")
+      .select($"w_start", $"etype", $"n").orderBy($"w_start", $"etype").collect()
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("2026-01-01 10:00:00.0", "click", 2L), ("2026-01-01 11:00:00.0", "view", 1L)))
+  }
+}

@@ -101,6 +101,28 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(compacted.search(queryVec(0), 1, ef = 600).head._1 != 0L)
   }
 
+  test("knnJoin over a SHARDED index: broadcast ships paths, results exact with full ef") {
+    // fresh index: the DML test above tombstones keys in emb_sh8
+    IndexCatalog.createIndex(spark, "emb_sh8_join", "emb_sh8_t", "embedding",
+      sharded = true, numShards = 8)
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "600")
+    try {
+      val outer = spark.table("emb_sh8_t").filter($"vec_id" < 4)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val got = Graft.knnJoin(spark, outer, "qvec", "emb_sh8_join", 3)
+        .select($"qid", $"vec_id", $"rank").orderBy($"qid", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // brute-force differential
+      val brute = outer.crossJoin(spark.table("emb_sh8_t"))
+        .withColumn("d", graft.functions.vector.array_distance_sq($"qvec", $"embedding"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"d", $"vec_id")))
+        .filter($"rn" <= 3).orderBy($"qid", $"rn")
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      assert(got.toSeq == brute.toSeq)
+    } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
   test("ef_search session conf override is honored (SET hnsw_ef_search analog)") {
     spark.conf.set(IndexCatalog.EfSearchConfKey, "500")
     try {
