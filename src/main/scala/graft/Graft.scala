@@ -66,7 +66,7 @@ object Graft {
       // sharded: fan the search out to the executors holding the shards;
       // the driver only merges shards × k hits
       case sharded: graft.index.ShardedHnswIndex =>
-        sharded.searchDistributed(spark, query, k, ef)
+        sharded.searchDistributed(spark.sparkContext, query, k, ef)
       case idx => idx.search(query, k, ef)
     }
     val hitDf = spark.createDataFrame(

@@ -123,6 +123,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("h"), col("event_type"))
 
+    /** Misc aggregate/scalar surface the reference's tests lean on
+      * (reference hnsw_join_macro.test:22, hnsw_lateral_join.test:71,
+      * hnsw_index_macros.cpp:24-41): bool_and, ordered list aggregation
+      * (as sort_array ∘ collect_list), CASE WHEN. */
+    def q29MiscAggregates(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          count(lit(1)).as("n"),
+          slice(sort_array(collect_list(col("o_orderkey"))), 1, 5).as("first_keys"))
+        .withColumn("bucket",
+          when(col("n") > 1000, lit("big")).otherwise(lit("small")))
+        .select(col("o_orderstatus"), col("all_pos"), col("n"),
+          col("first_keys"), col("bucket"))
+        .orderBy(col("o_orderstatus"))
+
     /** `range(a,b)` table-function surface (reference hnsw_basic.test:13). */
     def q09Range(s: SparkSession, dir: String): DataFrame =
       s.range(0, 1000)
@@ -418,6 +435,7 @@ object SparkEntry {
     "q26_multimodal" -> (Queries.q26Multimodal _),
     "q27_lateral_knn" -> (Queries.q27LateralKnn _),
     "q28_embedding_neardup" -> (Queries.q28EmbeddingNearDup _),
+    "q29_misc_aggregates" -> (Queries.q29MiscAggregates _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -635,5 +653,12 @@ object SparkEntry {
          | SELECT a, b, dist, row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn
          | FROM pairs)
          |SELECT a, b, dist FROM best WHERE rn = 1 AND dist <= 0.65 ORDER BY a""".stripMargin,
+    "q29_misc_aggregates" ->
+      """SELECT o_orderstatus,
+        | bool_and(o_totalprice > 0) AS all_pos,
+        | count(*) AS n,
+        | (list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_keys,
+        | CASE WHEN count(*) > 1000 THEN 'big' ELSE 'small' END AS bucket
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

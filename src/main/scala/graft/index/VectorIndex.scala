@@ -5,8 +5,6 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
-
 /** Common surface of the engine's ANN indexes — the reference's
   * `HNSWIndex` API (reference src/hnsw/hnsw_index.hpp:24-119) expressed
   * engine-side: search, DML (insert / tombstone delete), compact, persist,
@@ -131,11 +129,11 @@ class ShardedHnswIndex(
 
   /** Cluster fan-out: one task per shard, k hits back per shard, exact k-way
     * merge on the driver. Driver memory O(shards × k). */
-  def searchDistributed(spark: SparkSession, q: Array[Float], k: Int,
+  def searchDistributed(sc: org.apache.spark.SparkContext, q: Array[Float], k: Int,
       ef: Int = -1): Array[(Long, Double)] = {
     val paths = shards.map(_.path).toSeq
     val qb = q
-    val hits = spark.sparkContext
+    val hits = sc
       .parallelize(paths, paths.length)
       .flatMap(p => ShardCache.get(p).search(qb, k, ef))
       .collect()

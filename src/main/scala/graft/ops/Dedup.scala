@@ -55,7 +55,10 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    // signatures feed three consumers (band explode + both join sides);
+    // materialize ONCE instead of recomputing the shingle explode per branch
     val sigs = minHashSignatures(shingles(docs, idCol, textCol, shingleLen), idCol, numPerms)
+      .localCheckpoint()
     val numBands = numPerms / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -118,15 +121,20 @@ object Dedup {
       shingleLen: Int = 3, minJaccard: Double = 0.0,
       maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol, shingleLen)
-    val sh =
+    val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {
-        val keep = sh0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("__df"))
+        // window count instead of groupBy+self-join: the cap costs one
+        // shuffle by shingle, not a join
+        val w = Window.partitionBy(col("shingle"))
+        sh0.withColumn("__df", count(lit(1)).over(w))
           .where(col("__df") <= maxShingleDocFreq)
-          .select(col("shingle"))
-        sh0.join(keep, "shingle")
+          .drop("__df")
       }
+    // the capped shingle table feeds three consumers (set sizes + both join
+    // sides); materialize it once — the 100TB pipeline would persist this
+    // intermediate table rather than re-explode the corpus per branch
+    val sh = capped.localCheckpoint()
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))

@@ -47,7 +47,13 @@ case class HnswIndexScanExec(
     val ef = conf.getConfString(IndexCatalog.EfSearchConfKey,
       entry.options.efSearch.toString).toInt
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val rows = entry.index.search(queryVec, k, ef).toSeq.map { case (rowid, dist) =>
+    val hits = entry.index match {
+      // sharded: fan out to the shard artifacts, don't load them driver-side
+      case sharded: graft.index.ShardedHnswIndex =>
+        sharded.searchDistributed(sparkContext, queryVec, k, ef)
+      case idx => idx.search(queryVec, k, ef)
+    }
+    val rows = hits.toSeq.map { case (rowid, dist) =>
       proj(InternalRow(rowid, dist)).copy(): InternalRow
     }
     sparkContext.parallelize(rows, 1)
