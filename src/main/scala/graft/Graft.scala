@@ -118,7 +118,9 @@ object Graft {
     * exactly as the reference does (reference src/hnsw/hnsw_index.cpp:437-439). */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): DataFrame = {
     val existing = spark.table(table)
-    val maxId = existing.agg(max(col(RowIdCol))).head().getLong(0)
+    // max(rowid) is NULL on an empty table (legal: index created before data)
+    val maxId = Option(existing.agg(max(col(RowIdCol))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     // only the DELTA is cached (its rowids must not be recomputed); the
     // existing side stays storage-backed — never pin the base table
     val withIds = rows.withColumn(RowIdCol,

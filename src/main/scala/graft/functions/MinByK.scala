@@ -188,12 +188,25 @@ object MinByK {
   /** k values with the largest ord, best first. */
   def maxByK(value: Column, ord: Column, k: Int): Column = agg(value, ord, k, descending = true)
 
-  /** SQL surface: `min_by_k(value, ord, k)` / `max_by_k(value, ord, k)`. */
+  /** SQL surface: `min_by_k(value, ord, k)` / `max_by_k(value, ord, k)`,
+    * plus DuckDB-parity 3-arg dispatch on `min_by`/`max_by` themselves
+    * (the k-ary form the reference's queries use,
+    * reference test/sql/hnsw/hnsw_topk.test:16-26); the 2-arg form falls
+    * back to Spark's native aggregates. */
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("min_by_k",
       es => MinByK(es(0), es(1), es(2), descending = false).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("max_by_k",
       es => MinByK(es(0), es(1), es(2), descending = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("min_by",
+      es =>
+        if (es.length == 3) MinByK(es(0), es(1), es(2), descending = false).toAggregateExpression()
+        else MinBy(es(0), es(1)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("max_by",
+      es =>
+        if (es.length == 3) MinByK(es(0), es(1), es(2), descending = true).toAggregateExpression()
+        else MaxBy(es(0), es(1)).toAggregateExpression(), "built-in")
   }
 }

@@ -15,7 +15,8 @@ case class HnswOptions(
     efConstruction: Int = 128,
     efSearch: Int = 64,
     m: Int = 16,
-    m0Opt: Option[Int] = None) {
+    m0Opt: Option[Int] = None,
+    dimensions: Option[Int] = None) {
   def m0: Int = m0Opt.getOrElse(2 * m) // reference: M0 defaults to 2*M (hnsw_index.cpp:181)
 }
 
@@ -48,6 +49,13 @@ object HnswOptions {
           val v = value.toInt
           if (v < 2) throw new IllegalArgumentException("M0 must be at least 2")
           o = o.copy(m0Opt = Some(v))
+        case "dimensions" =>
+          // engine extension: Spark can't read the dimension off a FLOAT[N]
+          // type (SURVEY.md §7.3), so an EMPTY table needs it declared to
+          // build an index the reference can build from the column type
+          val v = value.toInt
+          if (v < 1) throw new IllegalArgumentException("dimensions must be at least 1")
+          o = o.copy(dimensions = Some(v))
         case other =>
           throw new IllegalArgumentException(s"Unknown option for HNSW index: $other")
       }
@@ -172,9 +180,8 @@ object IndexCatalog {
           }
         }.collect()
         if (metas.isEmpty) {
-          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
-        }
-        new ShardedHnswIndex(metas)
+          emptyIndexOrThrow(table, opts)
+        } else new ShardedHnswIndex(metas)
       } else {
         // Driver-built single graph, parallel construct phase: rows stream in
         // via toLocalIterator (driver memory = one partition at a time) and
@@ -182,23 +189,8 @@ object IndexCatalog {
         // build (reference src/hnsw/hnsw_index_physical_create.cpp:283-306).
         val it = pairs.toLocalIterator()
         if (!it.hasNext) {
-          throw new IllegalArgumentException(s"table $table has no non-NULL vectors to index")
-        }
-        val first = it.next()
-        val firstVec = first.getSeq[Float](1).toArray
-        val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
-          opts.efConstruction, opts.efSearch)
-        idx.add(first.getLong(0), firstVec)
-        val threads = math.min(16, Runtime.getRuntime.availableProcessors())
-        val rows = new Iterator[(Long, Array[Float])] {
-          def hasNext: Boolean = it.hasNext
-          def next(): (Long, Array[Float]) = {
-            val row = it.next()
-            (row.getLong(0), row.getSeq[Float](1).toArray)
-          }
-        }
-        idx.addAll(rows, threads)
-        new SingleHnswIndex(idx)
+          emptyIndexOrThrow(table, opts)
+        } else buildSingle(it, opts)
       }
 
     // withCachedData: optimizer rules compare against the *cache-substituted*
@@ -208,6 +200,37 @@ object IndexCatalog {
       df.queryExecution.withCachedData, rowidCol)
     entries(name) = entry
     entry
+  }
+
+  /** Empty-table index: legal when `dimensions` is declared (the reference
+    * reads N off the FLOAT[N] column type and happily builds an empty index,
+    * test/sql/hnsw/hnsw_insert.test:10-21; Spark's type system can't carry
+    * N, so it arrives as an option). */
+  private def emptyIndexOrThrow(table: String, opts: HnswOptions): VectorIndex =
+    opts.dimensions match {
+      case Some(d) => new SingleHnswIndex(new HnswIndex(d, opts.metric, opts.m,
+        opts.m0, opts.efConstruction, opts.efSearch))
+      case None => throw new IllegalArgumentException(
+        s"table $table has no non-NULL vectors to index " +
+          "(declare WITH (dimensions = N) to create an empty index)")
+    }
+
+  private def buildSingle(it: java.util.Iterator[Row], opts: HnswOptions): VectorIndex = {
+    val first = it.next()
+    val firstVec = first.getSeq[Float](1).toArray
+    val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
+      opts.efConstruction, opts.efSearch)
+    idx.add(first.getLong(0), firstVec)
+    val threads = math.min(16, Runtime.getRuntime.availableProcessors())
+    val rows = new Iterator[(Long, Array[Float])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Long, Array[Float]) = {
+        val row = it.next()
+        (row.getLong(0), row.getSeq[Float](1).toArray)
+      }
+    }
+    idx.addAll(rows, threads)
+    new SingleHnswIndex(idx)
   }
 
   /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489). */

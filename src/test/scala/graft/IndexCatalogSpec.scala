@@ -148,6 +148,43 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(got.map(_.getLong(2)).take(4).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("empty-table index with declared dimensions (hnsw_insert.test step 1)") {
+    Graft.registerTable(spark, "emb_empty_t",
+      spark.read.parquet(s"$sfDir/embeddings.parquet").filter($"vec_id" < 0))
+    // without dimensions: the engine can't know N
+    val e = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "empty_idx", "emb_empty_t", "embedding")
+    }
+    assert(e.getMessage.contains("dimensions"))
+    // with dimensions: count 0, then inserts make it searchable
+    IndexCatalog.createIndex(spark, "empty_idx", "emb_empty_t", "embedding",
+      Map("dimensions" -> "64"))
+    val idx = IndexCatalog.get("empty_idx").get.index
+    assert(idx.size == 0 && idx.dim == 64)
+    assert(idx.search(Array.fill(64)(0f), 3).isEmpty)
+    val probe = Seq.fill(64)(3f)
+    val rows = Seq((1L, probe, 0)).toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+    Graft.insertInto(spark, "emb_empty_t", rows)
+    assert(idx.size == 1)
+    assert(Graft.indexTopK(spark, "empty_idx", probe.toArray, 1)
+      .select($"vec_id").as[Long].head() == 1L)
+  }
+
+  test("SQL 3-arg min_by/max_by dispatch to the k-ary aggregate (DuckDB surface)") {
+    Graft.registerFunctions(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .createOrReplaceTempView("mb_t")
+    val k3 = spark.sql(
+      "SELECT min_by(vec_id, CAST(vec_id AS DOUBLE), 3) AS ids FROM mb_t")
+      .head().getSeq[Long](0)
+    assert(k3 == Seq(0L, 1L, 2L))
+    val k1 = spark.sql(
+      "SELECT max_by(vec_id, CAST(vec_id AS DOUBLE)) AS id FROM mb_t")
+      .head().getLong(0)
+    assert(k1 == 49L)
+  }
+
   test("describe() matches the pragma_hnsw_index_info schema") {
     val info = IndexCatalog.describe(spark)
     assert(info.schema.fieldNames.toSeq == Seq("catalog_name", "schema_name",
