@@ -138,6 +138,10 @@ object IndexCatalog {
       sharded: Boolean = false,
       rowidCol: String = "__rowid",
       numShards: Int = 0): IndexEntry = {
+    if (entries.contains(name)) {
+      // DuckDB catalog semantics: CREATE INDEX with an existing name errors
+      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
+    }
     val opts = HnswOptions.fromMap(options)
     val df = spark.table(table)
     vecColOrThrow(df, column)

@@ -185,6 +185,49 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(k1 == 49L)
   }
 
+  test("duplicate index name errors; drop/recreate loop stays clean (reclaim test shape)") {
+    val e = intercept[IllegalArgumentException] {
+      IndexCatalog.createIndex(spark, "emb_l2", "emb_idx_t", "embedding")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // hnsw_reclaim_storage.test_slow: drop + recreate several times, index
+    // stays correct and the catalog doesn't accumulate entries
+    val nBefore = IndexCatalog.list.size
+    (1 to 4).foreach { _ =>
+      IndexCatalog.dropIndex("reclaim_idx")
+      IndexCatalog.createIndex(spark, "reclaim_idx", "emb_idx_t", "embedding")
+      val q = queryVec(2)
+      assert(Graft.indexTopK(spark, "reclaim_idx", q, 1)
+        .select($"vec_id").as[Long].head() == 2L)
+    }
+    IndexCatalog.dropIndex("reclaim_idx")
+    assert(IndexCatalog.list.size == nBefore)
+  }
+
+  test("NULL inner vectors never enter the index nor the join results (hnsw_lateral_join.test:46-67)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // poison some rows with NULL vectors
+    val withNulls = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.when($"vec_id" % 5 === 0,
+        org.apache.spark.sql.functions.lit(null)).otherwise($"embedding"))
+    Graft.registerTable(spark, "emb_null_t", withNulls)
+    IndexCatalog.createIndex(spark, "null_idx", "emb_null_t", "embedding")
+    val idx = IndexCatalog.get("null_idx").get.index
+    assert(idx.size == emb.count() - emb.filter($"vec_id" % 5 === 0).count())
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "600")
+    try {
+      val outer = spark.table("emb_null_t").filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val got = Graft.knnJoin(spark, outer, "qvec", "null_idx", 3)
+        .select($"qid", $"vec_id").orderBy($"qid", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // NULL outer rows (qid 0, 5) emit nothing; no match is a NULL-vec row
+      assert(!got.exists(p => p._1 == 0L || p._1 == 5L))
+      assert(got.map(_._1).distinct.length == 8)
+      assert(got.forall(_._2 % 5 != 0))
+    } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
   test("describe() matches the pragma_hnsw_index_info schema") {
     val info = IndexCatalog.describe(spark)
     assert(info.schema.fieldNames.toSeq == Seq("catalog_name", "schema_name",
