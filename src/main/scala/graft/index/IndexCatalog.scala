@@ -247,6 +247,21 @@ object IndexCatalog {
     case None => throw new IllegalArgumentException(s"no HNSW index named $name")
   }
 
+  /** Cluster variant: sharded indexes compact as one Spark task per shard
+    * (executor memory bounds one shard, driver loads none); others fall back
+    * to the local rebuild. */
+  def compactIndex(spark: SparkSession, name: String): Unit = entries.get(name) match {
+    case Some(e) =>
+      val fresh = e.index match {
+        case sh: ShardedHnswIndex =>
+          sh.compactedDistributed(spark.sparkContext,
+            s"$indexArtifactDir/$name-compact-${System.currentTimeMillis()}")
+        case idx => idx.compacted()
+      }
+      entries(name) = e.copy(index = fresh)
+    case None => throw new IllegalArgumentException(s"no HNSW index named $name")
+  }
+
   /** Find indexes on a given table+column+metric (rule-side lookup). */
   def forTableColumn(table: String, column: String, metric: String): Option[IndexEntry] =
     entries.values.find(e => e.table == table && e.column == column &&

@@ -187,6 +187,45 @@ class ShardedHnswIndex(
     new ShardedHnswIndex(all)
   }
 
+  /** Cluster compaction: one Spark task per shard rewrites its artifact
+    * without tombstoned keys (new files under `destDir`); the delta folds in
+    * driver-side. This is `compacted()` at scale — executor memory bounds
+    * one shard, the driver never loads any. */
+  def compactedDistributed(sc: org.apache.spark.SparkContext,
+      destDir: String): ShardedHnswIndex = synchronized {
+    java.nio.file.Files.createDirectories(Paths.get(destDir))
+    val del: Set[Long] = {
+      val it = deletedKeys.keySet().iterator()
+      val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val newShards = sc.parallelize(shards.zipWithIndex.toSeq, shards.length)
+      .flatMap { case (s, i) =>
+        val idx = ShardCache.get(s.path)
+        val keep = new HnswIndex(idx.dim, idx.metric, idx.m, idx.m0,
+          idx.efConstruction, idx.efSearch)
+        idx.forEachLive((key, vec) => if (!del.contains(key)) keep.add(key, vec))
+        if (keep.size == 0) None
+        else {
+          val p = s"$destDir/shard-$i.hnsw"
+          keep.save(p)
+          Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
+            keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+        }
+      }.collect()
+    val deltaShard = if (delta == null || delta.size == 0) None else {
+      val keep = delta.compact()
+      val p = s"$destDir/shard-delta.hnsw"
+      keep.save(p)
+      Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
+        keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+    }
+    val all = newShards ++ deltaShard
+    if (all.isEmpty) throw new IllegalStateException("compaction removed every vector")
+    new ShardedHnswIndex(all)
+  }
+
   /** Persist = copy shard artifacts + a manifest (delta, tombstones, stats)
     * under `path`. */
   def save(path: String): Unit = synchronized {

@@ -123,6 +123,35 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
   }
 
+  test("distributed compaction: one task per shard, tombstones pruned, results intact") {
+    IndexCatalog.createIndex(spark, "emb_sh_comp", "emb_sh8_t", "embedding",
+      sharded = true, numShards = 4)
+    val before = IndexCatalog.get("emb_sh_comp").get.index
+    val total = before.size
+    // mono rowids have per-partition gaps: pick two real ones
+    val ids = spark.table("emb_sh8_t").select(col(Graft.RowIdCol))
+      .as[Long].sort().take(20)
+    val (d1, d2) = (ids(3), ids(13))
+    before.delete(d1)
+    before.delete(d2)
+    assert(before.deletedCount == 2)
+    IndexCatalog.compactIndex(spark, "emb_sh_comp") // Spark-job path
+    val after = IndexCatalog.get("emb_sh_comp").get.index
+      .asInstanceOf[graft.index.ShardedHnswIndex]
+    assert(after.deletedCount == 0 && after.size == total - 2)
+    assert(!after.contains(d1) && after.contains(ids(4)))
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "600")
+    try {
+      val q = queryVec(8)
+      val exact = Graft.topK(
+        spark.table("emb_sh8_t").filter(!$"${Graft.RowIdCol}".isin(d1, d2)),
+        "embedding", q, 5).select($"vec_id").as[Long].collect()
+      val viaIndex = Graft.indexTopK(spark, "emb_sh_comp", q, 5)
+        .select($"vec_id").as[Long].collect()
+      assert(viaIndex.toSeq == exact.toSeq)
+    } finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
   test("ef_search session conf override is honored (SET hnsw_ef_search analog)") {
     spark.conf.set(IndexCatalog.EfSearchConfKey, "500")
     try {
