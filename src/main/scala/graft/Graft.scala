@@ -91,26 +91,27 @@ object Graft {
     * test/sql/hnsw/hnsw_lateral_join.test:46-67). */
   def knnJoin(spark: SparkSession, outer: DataFrame, outerVecCol: String,
       indexName: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graft.GraftSqlBridge
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
-    val ef = IndexCatalog.effectiveEf(spark, entry)
-    val bc = spark.sparkContext.broadcast(entry.index)
-    val outSchema = outer.schema
-      .add("__match_rowid", LongType).add("rank", LongType).add("dist", DoubleType)
-    val vecIdx = outer.schema.fieldIndex(outerVecCol)
-    val matches = outer.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val v = if (r.isNullAt(vecIdx)) null else r.getSeq[Float](vecIdx)
-        if (v == null) Iterator.empty
-        else bc.value.search(v.toArray, k, ef).iterator.zipWithIndex.map {
-          case ((rowid, d), i) =>
-            Row.fromSeq(r.toSeq :+ rowid :+ (i + 1).toLong :+ d)
-        }
-      }
-    }(Encoders.row(outSchema))
+    // planned through the engine's own logical node (same operator the
+    // optimizer rewrite produces) — needs the planner strategy installed
+    graft.plans.GraftExtensions.install(spark)
+    val outerPlan = GraftSqlBridge.logicalPlan(outer)
+    val vecAttr = outerPlan.output.find(_.name == outerVecCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"vector column $outerVecCol not found in outer DataFrame"))
+    val rowidAttr = AttributeReference("__match_rowid", LongType, nullable = false)()
+    val rankAttr = AttributeReference("rank", IntegerType, nullable = false)()
+    val distAttr = AttributeReference("dist", DoubleType, nullable = false)()
+    val cands = GraftSqlBridge.ofRows(spark,
+      graft.plans.HnswKnnCandidates(indexName, k, vecAttr, rowidAttr, rankAttr,
+        outerPlan, Some(distAttr)))
     val inner = spark.table(entry.table)
-    matches.join(inner, matches("__match_rowid") === inner(entry.rowidCol))
+    cands.join(inner, cands("__match_rowid") === inner(entry.rowidCol))
       .drop("__match_rowid", entry.rowidCol)
+      .withColumn("rank", col("rank").cast(LongType))
   }
 
   /** Engine DML over immutable storage (SURVEY.md §7.3): append rows to a

@@ -13,7 +13,8 @@ object GraftStrategy extends SparkStrategy {
     case s: HnswIndexScan =>
       HnswIndexScanExec(s.indexName, s.queryVec, s.k, s.output) :: Nil
     case c: HnswKnnCandidates =>
-      HnswKnnCandidatesExec(c.indexName, c.k, c.vecAttr, c.output, planLater(c.child)) :: Nil
+      HnswKnnCandidatesExec(c.indexName, c.k, c.vecAttr, c.output, planLater(c.child),
+        emitDist = c.distAttr.isDefined) :: Nil
     case _ => Nil
   }
 }

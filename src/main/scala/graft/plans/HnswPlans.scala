@@ -71,8 +71,12 @@ case class HnswKnnCandidates(
     vecAttr: Attribute,
     rowidAttr: Attribute,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ rowidAttr :+ rankAttr
+    child: LogicalPlan,
+    distAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] =
+    child.output ++ (Seq(rowidAttr, rankAttr) ++ distAttr)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(Seq(rowidAttr, rankAttr) ++ distAttr)
   override def maxRows: Option[Long] = child.maxRows.map(_ * k)
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
   override def simpleString(maxFields: Int): String =
@@ -89,7 +93,8 @@ case class HnswKnnCandidatesExec(
     k: Int,
     vecAttr: Attribute,
     output: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    emitDist: Boolean = false) extends UnaryExecNode {
   override def nodeName: String = "HnswKnnJoin"
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
   override protected def doExecute(): RDD[InternalRow] = {
@@ -104,8 +109,10 @@ case class HnswKnnCandidatesExec(
     require(vecOrd >= 0, s"vector column $vecAttr not found in child output")
     val outTypes = output.map(_.dataType).toArray
     val kLocal = k
+    val withDist = emitDist
     child.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(outTypes)
+      val width = if (withDist) n + 3 else n + 2
       iter.flatMap { inRow =>
         if (inRow.isNullAt(vecOrd)) Iterator.empty
         else {
@@ -115,12 +122,13 @@ case class HnswKnnCandidatesExec(
           var i = 0
           while (i < q.length) { q(i) = ad.getFloat(i); i += 1 }
           bcIndex.value.search(q, kLocal, ef).iterator.zipWithIndex.map {
-            case ((rowid, _), pos) =>
-              val vals = new Array[Any](n + 2)
+            case ((rowid, dist), pos) =>
+              val vals = new Array[Any](width)
               var j = 0
               while (j < n) { vals(j) = r.get(j, childTypes(j)); j += 1 }
               vals(n) = rowid
               vals(n + 1) = pos + 1 // 1-indexed rank, IntegerType (row_number parity)
+              if (withDist) vals(n + 2) = dist
               proj(new GenericInternalRow(vals)).copy(): InternalRow
           }
         }

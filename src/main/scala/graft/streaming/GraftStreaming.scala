@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface of the engine.
   *
@@ -37,6 +36,29 @@ object GraftStreaming {
   def startIndexAppend(spark: SparkSession, table: String,
       stream: DataFrame): StreamingQuery =
     indexAppendWriter(spark, table, stream).start()
+
+  /** Streaming exact dedup with custom state: the FIRST row per key (e.g. a
+    * content fingerprint from TextAnalysis.fingerprint) survives, every
+    * later duplicate — same batch or any later batch — is dropped. One
+    * boolean of state per distinct key via `flatMapGroupsWithState`; state
+    * is partitioned by key across executors, so it scales with distinct
+    * keys per executor, not stream length. (Bound state further with a
+    * TTL'd key design when fingerprints are unbounded.) */
+  def dedupStream(docs: DataFrame, keyCol: String): DataFrame = {
+    val schema = docs.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val enc = Encoders.row(schema)
+    docs.as(enc)
+      .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          })(Encoders.scalaBoolean, enc)
+      .toDF()
+  }
 
   /** Event-time tumbling-window counts with bounded state — the streaming
     * shape of the hourly-events rollup (q08): watermark evicts windows older

@@ -41,6 +41,27 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
   }
 
+  test("stateful streaming dedup: first fingerprint wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint($"text"))
+    val deduped = GraftStreaming.dedupStream(docs, "fp")
+
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // batch 1: in-batch duplicate ("same  text" normalizes to "same text")
+    mem.addData((1L, "same text"), (2L, "same  text"), (3L, "other"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate + a fresh doc
+    mem.addData((4L, "SAME TEXT"), (5L, "fresh"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_out").select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("windowed event-time counts with watermark (streaming shape of q08)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
