@@ -122,10 +122,13 @@ object Graft {
     // max(rowid) is NULL on an empty table (legal: index created before data)
     val maxId = Option(existing.agg(max(col(RowIdCol))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    // only the DELTA is cached (its rowids must not be recomputed); the
-    // existing side stays storage-backed — never pin the base table
-    val withIds = rows.withColumn(RowIdCol,
-      monotonically_increasing_id() + lit(maxId + 1)).cache()
+    // the DELTA is materialized to storage like the base table (rowids must
+    // not be recomputed, and a cache would leak one pinned DataFrame per
+    // insert on a long-running ingest); the existing side stays as-is
+    val deltaPath = s"$defaultTableDir/$table-delta-${System.nanoTime()}"
+    rows.withColumn(RowIdCol, monotonically_increasing_id() + lit(maxId + 1))
+      .write.parquet(deltaPath)
+    val withIds = spark.read.parquet(deltaPath)
     val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
     IndexCatalog.list.filter(_.table == table).foreach { e =>
@@ -147,16 +150,32 @@ object Graft {
   def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
     val existing = spark.table(table)
     val indexes = IndexCatalog.list.filter(_.table == table)
-    if (indexes.nonEmpty) {
-      existing.where(cond).select(col(RowIdCol)).toLocalIterator()
-        .forEachRemaining { r =>
+    // per indexed column: only rowids whose vector was actually indexed may
+    // be tombstoned (a NULL-vector row was never in the index, and a stray
+    // tombstone corrupts the sharded index's size accounting)
+    indexes.groupBy(_.column).foreach { case (column, idxs) =>
+      existing.where(cond && col(column).isNotNull).select(col(RowIdCol))
+        .toLocalIterator().forEachRemaining { r =>
           val id = r.getLong(0)
-          indexes.foreach(_.index.delete(id))
+          idxs.foreach(_.index.delete(id))
         }
     }
     val remaining = existing.where(!cond || cond.isNull)
     remaining.createOrReplaceTempView(table)
     remaining
+  }
+
+  /** Collapse a DML-deepened view (unions/filters stacked by insertInto /
+    * deleteFrom) back into a single storage-backed relation — periodic
+    * maintenance for long-running ingestion so analysis cost stays O(1)
+    * rather than O(#batches). Rowids are preserved verbatim. */
+  def rematerialize(spark: SparkSession, table: String,
+      tableDir: String = defaultTableDir): DataFrame = {
+    val path = s"$tableDir/$table-m${System.nanoTime()}"
+    spark.table(table).write.parquet(path)
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView(table)
+    df
   }
 
   /** Register every engine SQL function on the session. */

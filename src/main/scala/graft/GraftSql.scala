@@ -50,7 +50,8 @@ object GraftSql {
       }
       spark.emptyDataFrame
     case CompactRe(name) =>
-      IndexCatalog.compactIndex(name)
+      // spark is in scope: sharded indexes compact as one task per shard
+      IndexCatalog.compactIndex(spark, name)
       spark.emptyDataFrame
     case InfoRe() =>
       IndexCatalog.describe(spark)

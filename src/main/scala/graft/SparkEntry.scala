@@ -242,7 +242,9 @@ object SparkEntry {
       val qv = embQueryVec(s, "q16_emb", 0)
       s.table("q16_emb")
         .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
-        .orderBy(col("dist")).limit(10)
+        // NULLS LAST: DuckDB's ASC default, and the rewrite's precondition
+        // over a nullable parquet column (the index never holds NULLs)
+        .orderBy(col("dist").asc_nulls_last).limit(10)
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }

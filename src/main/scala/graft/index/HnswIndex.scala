@@ -174,7 +174,9 @@ class HnswIndex(
       })
     }
     pool.shutdown()
-    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    // wait for ACTUAL termination — returning with builder threads alive
+    // would let unlocked readers race in-flight inserts
+    while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
     if (err.get() != null) throw err.get()
   }
 

@@ -237,13 +237,26 @@ object IndexCatalog {
     new SingleHnswIndex(idx)
   }
 
+  /** Evict an index's shard artifacts from THIS JVM's shard cache (old
+    * artifacts would otherwise stay pinned after drop/compact; executors on
+    * a real cluster age their caches out independently). */
+  private def evictShards(idx: VectorIndex): Unit = idx match {
+    case sh: ShardedHnswIndex => sh.shards.foreach(s => ShardCache.evict(s.path))
+    case _ => ()
+  }
+
   /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489). */
-  def dropIndex(name: String): Boolean = entries.remove(name).isDefined
+  def dropIndex(name: String): Boolean = entries.remove(name) match {
+    case Some(e) => evictShards(e.index); true
+    case None => false
+  }
 
   /** PRAGMA hnsw_compact_index('name')
     * (reference src/hnsw/hnsw_index_pragmas.cpp:154-197). */
   def compactIndex(name: String): Unit = entries.get(name) match {
-    case Some(e) => entries(name) = e.copy(index = e.index.compacted())
+    case Some(e) =>
+      entries(name) = e.copy(index = e.index.compacted())
+      evictShards(e.index)
     case None => throw new IllegalArgumentException(s"no HNSW index named $name")
   }
 
@@ -252,13 +265,18 @@ object IndexCatalog {
     * to the local rebuild. */
   def compactIndex(spark: SparkSession, name: String): Unit = entries.get(name) match {
     case Some(e) =>
-      val fresh = e.index match {
+      val target = e.index match {
+        case l: LazyLoadedIndex => l.resolved
+        case x => x
+      }
+      val fresh = target match {
         case sh: ShardedHnswIndex =>
           sh.compactedDistributed(spark.sparkContext,
             s"$indexArtifactDir/$name-compact-${System.currentTimeMillis()}")
         case idx => idx.compacted()
       }
       entries(name) = e.copy(index = fresh)
+      evictShards(target)
     case None => throw new IllegalArgumentException(s"no HNSW index named $name")
   }
 

@@ -108,24 +108,33 @@ class ShardedHnswIndex(
   def deletedCount: Int = deletedKeys.size()
 
   def contains(key: Long): Boolean =
-    !deletedKeys.containsKey(key) &&
-      ((delta != null && delta.contains(key)) ||
+    (delta != null && delta.contains(key)) ||
+      (!deletedKeys.containsKey(key) &&
         shards.exists(s => ShardCache.get(s.path).contains(key)))
 
-  private def mergeHits(all: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] =
-    all.filterNot { case (id, _) => deletedKeys.containsKey(id) }
-      .toArray.sortBy(r => (r._2, r._1)).take(k)
+  /** Tombstones apply to SHARD hits only — the delta is newer data and a
+    * delta key is removed from the delta directly on delete. */
+  private def mergeHits(shardHits: Iterator[(Long, Double)],
+      q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+    val live = shardHits.filterNot { case (id, _) => deletedKeys.containsKey(id) }
+    val fromDelta =
+      if (delta == null) Iterator.empty else delta.search(q, k, ef).iterator
+    (live ++ fromDelta).toArray.sortBy(r => (r._2, r._1)).take(k)
+  }
 
-  private def deltaHits(q: Array[Float], k: Int, ef: Int): Iterator[(Long, Double)] =
-    if (delta == null) Iterator.empty else delta.search(q, k, ef).iterator
+  /** Per-shard fetch size: tombstones are filtered AFTER the shard search,
+    * so over-fetch by the tombstone count or k live hits could be lost. */
+  private def fetchK(k: Int): Int = k + deletedKeys.size()
 
   /** Local fan-out: shards stream through the per-JVM cache. On an executor
     * (KNN join) this is the intended path; on the driver prefer
     * [[searchDistributed]] for one-off queries so shards stay remote. */
-  def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] =
+  def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] = {
+    val kk = fetchK(k)
     mergeHits(
-      shards.iterator.flatMap(s => ShardCache.get(s.path).search(q, k, ef).iterator)
-        ++ deltaHits(q, k, ef), k)
+      shards.iterator.flatMap(s => ShardCache.get(s.path).search(q, kk, ef).iterator),
+      q, k, ef)
+  }
 
   /** Cluster fan-out: one task per shard, k hits back per shard, exact k-way
     * merge on the driver. Driver memory O(shards × k). */
@@ -133,23 +142,29 @@ class ShardedHnswIndex(
       ef: Int = -1): Array[(Long, Double)] = {
     val paths = shards.map(_.path).toSeq
     val qb = q
+    val kk = fetchK(k)
     val hits = sc
       .parallelize(paths, paths.length)
-      .flatMap(p => ShardCache.get(p).search(qb, k, ef))
+      .flatMap(p => ShardCache.get(p).search(qb, kk, ef))
       .collect()
-    mergeHits(hits.iterator ++ deltaHits(q, k, ef), k)
+    mergeHits(hits.iterator, q, k, ef)
   }
 
   /** Inserts land in the driver-side delta graph (merged into every search);
-    * shard artifacts stay immutable until compaction. */
+    * shard artifacts stay immutable until compaction. Keys follow the
+    * engine's rowid contract: fresh, never reused — re-inserting a key that
+    * a shard already holds would leave two live copies (same as re-using a
+    * DuckDB row_t), so tombstones are deliberately NOT cleared here. */
   def insert(key: Long, vec: Array[Float]): Unit = synchronized {
     if (delta == null) {
       delta = new HnswIndex(dim, metric)
     }
-    deletedKeys.remove(key)
     delta.add(key, vec)
   }
 
+  /** Delta keys are removed in place; anything else is tombstoned against
+    * the shard artifacts. (A never-indexed key thus still lands a tombstone:
+    * callers — Graft.deleteFrom — only pass rowids whose vector was indexed.) */
   def delete(key: Long): Boolean = synchronized {
     if (delta != null && delta.contains(key)) delta.remove(key)
     else { deletedKeys.put(key, java.lang.Boolean.TRUE); true }
@@ -268,6 +283,10 @@ class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
   @transient private lazy val underlying: VectorIndex =
     if (Files.isDirectory(Paths.get(artifactPath))) ShardedHnswIndex.load(artifactPath)
     else new SingleHnswIndex(HnswIndex.load(artifactPath))
+
+  /** Force the deferred load and expose the real index (e.g. so compaction
+    * can pick the distributed path for a sharded artifact). */
+  def resolved: VectorIndex = underlying
 
   def dim: Int = underlying.dim
   def metric: String = underlying.metric

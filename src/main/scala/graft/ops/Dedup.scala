@@ -165,6 +165,13 @@ object Dedup {
     graft.Graft.knnJoin(spark, outer, "__qv", indexName, 2)
       .where(col("a") =!= col(idCol)) // drop the self-match whatever its rank
       .select(col("a"), col(idCol).as("b"), col("dist"))
+      // duplicate vectors can leave BOTH k=2 candidates as others; keep the
+      // single best per row deterministically (ties by (dist, b))
+      .groupBy(col("a"))
+      .agg(graft.functions.MinByK.minByK(
+        struct(col("dist"), col("b")), col("dist"), 1).as("best"))
+      .select(col("a"), col("best").getItem(0).getField("b").as("b"),
+        col("best").getItem(0).getField("dist").as("dist"))
       .where(col("dist") <= maxDist)
   }
 

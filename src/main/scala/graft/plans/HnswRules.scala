@@ -82,6 +82,43 @@ private[plans] object IndexRuleSupport {
     None
   }
 
+  /** Walks a Project/Filter chain resolving alias indirections, looking for
+    * a top-level `IsNotNull` conjunct on the attribute `vec` resolves to.
+    * Conjuncts only: an IsNotNull under an Or/Not does not guarantee
+    * non-NULLness (`x IS NOT NULL OR y > 0` keeps NULL x). */
+  def chainHasNotNullGuard(plan: LogicalPlan, vec: AttributeReference): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var target = vec.exprId
+    var node = plan
+    while (true) {
+      node match {
+        case Project(projList, c) =>
+          projList.find(_.exprId == target) match {
+            case Some(a: Alias) => a.child match {
+              case ar: AttributeReference => target = ar.exprId
+              case _ => return false
+            }
+            case Some(_) => () // direct pass-through keeps the exprId
+            case None => return false
+          }
+          node = c
+        case Filter(cond, c) =>
+          val tgt = target
+          val guarded = conjuncts(cond).exists {
+            case IsNotNull(ar: AttributeReference) => ar.exprId == tgt
+            case _ => false
+          }
+          if (guarded) return true
+          node = c
+        case _ => return false
+      }
+    }
+    false
+  }
+
   /** Find a registered index matching (metric, column) whose indexed table is
     * exactly `rel`. */
   def findEntry(metric: String, colAttr: AttributeReference, rel: LogicalPlan): Option[IndexEntry] =
@@ -137,10 +174,17 @@ object TopKToIndexScan extends Rule[LogicalPlan] {
         if k > 0 && k < MaxK =>
       val (projs, sortNode) = splitProjects(inner)
       val rewritten = sortNode match {
-        case s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _) =>
+        case s @ Sort(Seq(so @ SortOrder(key, Ascending, _, _)), true, child, _) =>
           for {
             (resolved, rel) <- resolveThroughChain(key, child)
             (metric, colAttr, vec) <- DistancePattern.unapply(resolved)
+            // NULL distances sort FIRST under Spark's default ASC ordering,
+            // but the index never contains NULL vectors — rewrite only when
+            // no NULL can reach the sort (NULLS LAST, non-nullable column,
+            // or an IS NOT NULL guard below). DuckDB defaults to NULLS LAST,
+            // which is why the reference needs no such check.
+            if so.nullOrdering == NullsLast || !colAttr.nullable ||
+              chainHasNotNullGuard(child, colAttr)
             entry <- findEntry(metric, colAttr, rel)
             newChild <- injectCandidates(child, rel, entry, vec, k)
           } yield {
@@ -296,37 +340,9 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
       rewritten.getOrElse(f)
   }
 
-  /** Does the outer chain filter the vector to be non-NULL? Walks Project
-    * alias indirections down the chain looking for an `IsNotNull` conjunct on
-    * the attribute the vector resolves to. */
-  private def hasNotNullGuard(outer: LogicalPlan, vec: AttributeReference): Boolean = {
-    var target = vec.exprId
-    var node = outer
-    while (true) {
-      node match {
-        case Project(projList, c) =>
-          projList.find(_.exprId == target) match {
-            case Some(a: Alias) => a.child match {
-              case ar: AttributeReference => target = ar.exprId
-              case _ => return false
-            }
-            case Some(_) => () // direct pass-through keeps the exprId
-            case None => return false
-          }
-          node = c
-        case Filter(cond, c) =>
-          val tgt = target
-          val guarded = cond.exists {
-            case IsNotNull(ar: AttributeReference) => ar.exprId == tgt
-            case _ => false
-          }
-          if (guarded) return true
-          node = c
-        case _ => return false
-      }
-    }
-    false
-  }
+  /** Does the outer chain filter the vector to be non-NULL? */
+  private def hasNotNullGuard(outer: LogicalPlan, vec: AttributeReference): Boolean =
+    chainHasNotNullGuard(outer, vec)
 
   /** Distance over (outer attr, inner attr), either order. */
   private def matchTwoSided(e: Expression, outer: LogicalPlan, inner: LogicalPlan)

@@ -21,21 +21,28 @@ object GraftStreaming {
 
   /** Continuous ingestion into a registered engine table + its indexes:
     * every micro-batch flows through the same DML path as batch inserts
-    * (rowid continuation, NULL-vector skip, index append). Call `.start()`
-    * on the returned writer (optionally after setting checkpoint options). */
-  def indexAppendWriter(spark: SparkSession, table: String,
-      stream: DataFrame): DataStreamWriter[Row] =
+    * (rowid continuation, NULL-vector skip, index append). Every
+    * `rematerializeEvery` batches the table view is collapsed back to a
+    * single storage-backed relation — without it, N batches leave an
+    * N-deep union view and O(N) analysis cost per downstream query. Call
+    * `.start()` on the returned writer (optionally after setting checkpoint
+    * options). */
+  def indexAppendWriter(spark: SparkSession, table: String, stream: DataFrame,
+      rematerializeEvery: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.Graft.insertInto(spark, table, batch)
+        if (rematerializeEvery > 0 && (batchId + 1) % rematerializeEvery == 0) {
+          graft.Graft.rematerialize(spark, table)
+        }
         ()
       }
 
   /** Start the ingestion immediately (in-memory checkpointing). */
-  def startIndexAppend(spark: SparkSession, table: String,
-      stream: DataFrame): StreamingQuery =
-    indexAppendWriter(spark, table, stream).start()
+  def startIndexAppend(spark: SparkSession, table: String, stream: DataFrame,
+      rematerializeEvery: Int = 64): StreamingQuery =
+    indexAppendWriter(spark, table, stream, rematerializeEvery).start()
 
   /** Streaming exact dedup with custom state: the FIRST row per key (e.g. a
     * content fingerprint from TextAnalysis.fingerprint) survives, every

@@ -28,7 +28,7 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
       .select($"embedding").head().getSeq[Float](0)
     val vecLit = q.mkString("array(", "F,", "F)")
     val df = GraftSql.sql(spark,
-      s"SELECT vec_id FROM sql_emb ORDER BY array_distance_sq(embedding, $vecLit) LIMIT 5")
+      s"SELECT vec_id FROM sql_emb ORDER BY array_distance_sq(embedding, $vecLit) NULLS LAST LIMIT 5")
     assert(df.queryExecution.executedPlan.toString.contains("HnswIndexScan"))
     assert(df.collect().head.getLong(0) == 0L)
   }

@@ -56,9 +56,12 @@ class HnswRulesSpec extends GraftSparkSpec with BeforeAndAfterAll {
   test("TopN over indexed table rewrites to HnswIndexScan and matches brute force") {
     val q = queryVec(0)
     val t = spark.table("rules_emb")
+    // asc_nulls_last: DuckDB's ASC default and the rewrite's precondition
+    // over a nullable column (NULL dists would sort first in Spark and the
+    // index could not return them)
     val topk = t.select($"vec_id", $"embedding", col(Graft.RowIdCol))
       .withColumn("dist", vector.array_distance_sq($"embedding", lit(q)))
-      .orderBy($"dist").limit(7)
+      .orderBy($"dist".asc_nulls_last).limit(7)
     assert(physicalPlan(topk).contains("HnswIndexScan"), physicalPlan(topk))
 
     val bruteForce = t
@@ -82,7 +85,7 @@ class HnswRulesSpec extends GraftSparkSpec with BeforeAndAfterAll {
     try {
       val again = spark.table("rules_emb")
         .withColumn("dist", vector.array_cosine_distance($"embedding", lit(q)))
-        .orderBy($"dist").limit(5)
+        .orderBy($"dist".asc_nulls_last).limit(5)
       assert(physicalPlan(again).contains("HnswIndexScan"))
     } finally IndexCatalog.dropIndex("rules_cos")
   }
@@ -99,7 +102,7 @@ class HnswRulesSpec extends GraftSparkSpec with BeforeAndAfterAll {
     val q = queryVec(3)
     val filtered = spark.table("rules_emb")
       .withColumn("dist", vector.array_distance_sq($"embedding", lit(q)))
-      .filter($"label" === 1)
+      .filter($"label" === 1 && $"embedding".isNotNull) // guard form of the precondition
       .orderBy($"dist").limit(5)
     // rewrite still fires with a Filter in the chain
     assert(physicalPlan(filtered).contains("HnswIndexScan"))
