@@ -28,6 +28,7 @@ object GraftSql {
   private val InfoRe =
     """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
+  private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
 
   /** Parse `metric = 'cosine', ef_construction = 200` into an options map
     * (quotes optional, keys case-insensitive — validation happens in
@@ -57,6 +58,9 @@ object GraftSql {
       IndexCatalog.describe(spark)
     case CheckpointRe(dir) =>
       IndexCatalog.checkpoint(spark, dir)
+      spark.emptyDataFrame
+    case CheckpointBareRe() => // DuckDB's argument-less CHECKPOINT form
+      IndexCatalog.checkpoint(spark, s"${IndexCatalog.indexArtifactDir}/checkpoint")
       spark.emptyDataFrame
     case other =>
       Graft.registerFunctions(spark)

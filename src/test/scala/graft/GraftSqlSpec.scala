@@ -62,6 +62,10 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
       GraftSql.sql(spark, "CREATE INDEX sql_idx2 ON sql_emb USING HNSW (embedding)")
       GraftSql.sql(spark, s"CHECKPOINT '$dir'")
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+      // DuckDB's bare CHECKPOINT form works too (default artifact dir)
+      GraftSql.sql(spark, "CHECKPOINT")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${IndexCatalog.indexArtifactDir}/checkpoint/catalog.manifest")))
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
 }
