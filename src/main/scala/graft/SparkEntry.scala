@@ -133,7 +133,10 @@ object SparkEntry {
         .agg(
           bool_and(col("o_totalprice") > 0).as("all_pos"),
           count(lit(1)).as("n"),
-          slice(sort_array(collect_list(col("o_orderkey"))), 1, 5).as("first_keys"))
+          // string-joined: the driver's pandas-based compare cannot sort
+          // rows on array-typed cells (round-1 q14 lesson)
+          concat_ws(",",
+            slice(sort_array(collect_list(col("o_orderkey"))), 1, 5)).as("first_keys"))
         .withColumn("bucket",
           when(col("n") > 1000, lit("big")).otherwise(lit("small")))
         .select(col("o_orderstatus"), col("all_pos"), col("n"),
@@ -659,7 +662,7 @@ object SparkEntry {
       """SELECT o_orderstatus,
         | bool_and(o_totalprice > 0) AS all_pos,
         | count(*) AS n,
-        | (list(o_orderkey ORDER BY o_orderkey))[1:5] AS first_keys,
+        | array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:5], ',') AS first_keys,
         | CASE WHEN count(*) > 1000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
