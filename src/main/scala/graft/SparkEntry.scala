@@ -310,6 +310,20 @@ object SparkEntry {
         .orderBy(col("a"))
     }
 
+    /** IVF index path: k-means inverted lists as parquet partitions, search
+      * scans only the probed lists (PartitionFilters pruning). nProbe =
+      * nLists makes it exact — the oracle is plain brute force. */
+    def q30IvfTopK(s: SparkSession, dir: String): DataFrame = {
+      tbl(s, dir, "embeddings").createOrReplaceTempView("q30_emb")
+      graft.index.IvfIndex.drop("q30_ivf")
+      graft.index.IvfIndex.create(s, "q30_ivf", "q30_emb", "embedding", nLists = 8)
+      val qv = s.table("q30_emb").filter(col("vec_id") === 5)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.IvfIndex.search(s, "q30_ivf", qv, 10, nProbe = 8)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
     /** CRUD lifecycle (reference test/sql/hnsw/hnsw_crud.test:10-47):
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
@@ -441,6 +455,7 @@ object SparkEntry {
     "q27_lateral_knn" -> (Queries.q27LateralKnn _),
     "q28_embedding_neardup" -> (Queries.q28EmbeddingNearDup _),
     "q29_misc_aggregates" -> (Queries.q29MiscAggregates _),
+    "q30_ivf_topk" -> (Queries.q30IvfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -665,5 +680,9 @@ object SparkEntry {
         | array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:5], ',') AS first_keys,
         | CASE WHEN count(*) > 1000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q30_ivf_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,146 @@
+package graft.index
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector
+
+/** IVF (inverted-file) ANN index — the storage-native scale path for
+  * similarity search, complementing the graph-based HNSW index:
+  *
+  *   - TRAIN: k-means (Lloyd's, seeded, driver-side over a bounded sample)
+  *     produces `nLists` coarse centroids.
+  *   - BUILD: every vector is assigned to its nearest centroid with a pure
+  *     codegen'd column expression and the table is written to parquet
+  *     PARTITIONED BY the list id — the inverted lists ARE storage
+  *     partitions.
+  *   - SEARCH: the query's `nProbe` nearest centroids are found driver-side
+  *     (nLists tiny), and Spark scans ONLY those partitions — the plan's
+  *     PartitionFilters prune everything else at file-listing time, so a
+  *     100 TB index reads nProbe/nLists of the data. Within the probed
+  *     lists, exact distance top-k (TakeOrderedAndProject).
+  *
+  * `nProbe = nLists` scans everything and is EXACT — the correctness oracle
+  * for the approximate settings, mirroring how ef >= N makes HNSW exact.
+  * Unlike the HNSW artifact, nothing here must fit in memory anywhere: the
+  * only driver state is the centroid table (nLists × dim floats). */
+object IvfIndex {
+
+  case class IvfEntry(
+      name: String,
+      sourceTable: String,
+      vecCol: String,
+      metric: String,
+      path: String,
+      centroids: Array[Array[Float]])
+
+  private val entries = TrieMap.empty[String, IvfEntry]
+  def get(name: String): Option[IvfEntry] = entries.get(name)
+  def drop(name: String): Boolean = entries.remove(name).isDefined
+  def clear(): Unit = entries.clear()
+
+  val ListCol = "__ivf_list"
+
+  private def distFn(metric: String) = DistanceKernels.forMetric(metric)
+
+  /** Seeded Lloyd's k-means over a driver-side sample (capped, so driver
+    * memory is bounded regardless of table size). Deterministic for a fixed
+    * seed: sample, init, and iteration order are all fixed. */
+  def train(df: DataFrame, vecCol: String, nLists: Int, metric: String,
+      iters: Int = 10, sampleCap: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
+    val rows = df.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(sampleCap).collect()
+    require(rows.nonEmpty, "cannot train IVF on an empty table")
+    val sample = rows.map(_.getSeq[Float](0).toArray)
+    val rnd = new java.util.Random(seed)
+    val d = distFn(metric)
+    // init: distinct random picks
+    val centroids = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val seen = scala.collection.mutable.Set.empty[Seq[Float]]
+    while (centroids.length < math.min(nLists, sample.length)) {
+      val cand = sample(rnd.nextInt(sample.length))
+      if (seen.add(cand.toSeq)) centroids += cand.clone()
+    }
+    val k = centroids.length
+    val dim = sample.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = d(v, centroids(0))
+        var i = 1
+        while (i < k) {
+          val di = d(v, centroids(i))
+          if (di < bestD) { best = i; bestD = di }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          var j = 0
+          while (j < dim) { centroids(i)(j) = (sums(i)(j) / counts(i)).toFloat; j += 1 }
+        }
+        i += 1
+      }
+      it += 1
+    }
+    centroids.toArray
+  }
+
+  /** Nearest-centroid id as a pure column expression (codegen'd; the
+    * assignment pass is a narrow map over the table). */
+  private def assignExpr(vecCol: String, centroids: Array[Array[Float]],
+      metric: String): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(vector.metricDistance(metric)(col(vecCol), lit(c)).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
+  }
+
+  /** Train + assign + write the partitioned inverted lists. */
+  def create(spark: SparkSession, name: String, table: String, vecCol: String,
+      nLists: Int, metric: String = "l2sq", iters: Int = 10,
+      seed: Long = 42L, baseDir: String = IndexCatalog.indexArtifactDir): IvfEntry = {
+    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    val df = spark.table(table)
+    val centroids = train(df, vecCol, nLists, metric, iters, seed = seed)
+    val path = s"$baseDir/$name-ivf-${System.currentTimeMillis()}"
+    df.where(col(vecCol).isNotNull)
+      .withColumn(ListCol, assignExpr(vecCol, centroids, metric))
+      .write.partitionBy(ListCol).parquet(path)
+    val entry = IvfEntry(name, table, vecCol, metric, path, centroids)
+    entries(name) = entry
+    entry
+  }
+
+  /** The query's nProbe nearest inverted lists (driver-side, nLists tiny). */
+  def probeLists(entry: IvfEntry, q: Array[Float], nProbe: Int): Seq[Int] = {
+    val d = distFn(entry.metric)
+    entry.centroids.zipWithIndex
+      .map { case (c, i) => (d(q, c), i) }
+      .sortBy(_._1).take(math.max(1, nProbe)).map(_._2).toSeq
+  }
+
+  /** Top-k search probing `nProbe` lists; `nProbe >= nLists` is exact.
+    * The where() on the partition column prunes at file-listing time —
+    * check PartitionFilters in the plan. */
+  def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
+      nProbe: Int): DataFrame = {
+    val entry = entries.getOrElse(name,
+      throw new IllegalArgumentException(s"no IVF index named $name"))
+    val probes = probeLists(entry, q, nProbe)
+    spark.read.parquet(entry.path)
+      .where(col(ListCol).isin(probes: _*))
+      .withColumn("dist", vector.metricDistance(entry.metric)(col(entry.vecCol), lit(q)))
+      .orderBy(col("dist").asc_nulls_last).limit(k)
+      .drop(ListCol)
+  }
+}
