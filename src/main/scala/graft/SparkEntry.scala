@@ -387,6 +387,18 @@ object SparkEntry {
           col("quality"), col("fingerprint"))
         .orderBy(col("doc_id"))
 
+    /** Token-level quality signals: BPE-ish subword counts plus punctuation
+      * and stopword density (training-data filtering staples). */
+    def q31TokenQuality(s: SparkSession, dir: String): DataFrame = {
+      val t = graft.ops.TextAnalysis
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        t.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        t.punctRatio(col("text"), col("n_chars")).as("punct_ratio"),
+        t.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }
+
     /** Multimodal binary-column plumbing: opaque payloads (UTF-8 bytes as
       * the fixture modality), byte-exact metadata, and REAL frame slicing —
       * n_frames/n_sampled come from materialized 64-byte frame arrays, which
@@ -456,6 +468,7 @@ object SparkEntry {
     "q28_embedding_neardup" -> (Queries.q28EmbeddingNearDup _),
     "q29_misc_aggregates" -> (Queries.q29MiscAggregates _),
     "q30_ivf_topk" -> (Queries.q30IvfTopK _),
+    "q31_token_quality" -> (Queries.q31TokenQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -684,5 +697,14 @@ object SparkEntry {
       s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q31_token_quality" -> {
+      val enScore = sqlLangScore(graft.ops.TextAnalysis.langMarkers.toMap.apply("en"))
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(len(regexp_replace(text, '[\\s\\p{L}\\p{N}]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         | CAST($enScore AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio
+         |FROM (SELECT doc_id, text, n_chars, (' ' || text || ' ') AS p FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -18,6 +18,26 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast(LongType)
 
+  /** BPE-ish pre-tokenizer shape: letter runs, digit runs, single
+    * punctuation marks — the boundaries BPE vocabularies split on. Unicode
+    * classes (\p{L}, \p{N}) behave identically in Java regex and RE2, so
+    * the count is cross-engine exact. */
+  val BpeTokenPattern = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast(LongType)
+
+  /** Fraction of characters that are punctuation/symbols (not whitespace,
+    * letter, or number). */
+  def punctRatio(text: Column, nChars: Column): Column =
+    length(regexp_replace(text, "[\\s\\p{L}\\p{N}]", "")).cast(DoubleType) /
+      nChars.cast(DoubleType)
+
+  /** Common-English-stopword density per whitespace token (reuses the
+    * language-ID marker counts). */
+  def stopwordRatio(text: Column): Column =
+    langScore(text, "en").cast(DoubleType) / tokenCount(text).cast(DoubleType)
+
   /** Occurrences of `needle` via replace-length arithmetic (exact, portable). */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)
