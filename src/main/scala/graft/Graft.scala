@@ -48,9 +48,12 @@ object Graft {
     * TakeOrderedAndProject: per-partition top-k, then a k-row merge on the
     * driver. No shuffle of the full table, scales linearly with partitions. */
   def topK(table: DataFrame, vecCol: String, query: Array[Float], k: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq", tieBreak: Seq[String] = Nil): DataFrame = {
     val dist = vector.metricDistance(metric)(col(vecCol), lit(query))
-    table.withColumn("dist", dist).orderBy(col("dist")).limit(k)
+    // NULLS LAST = DuckDB's ASC default (and the index-rewrite precondition);
+    // tieBreak columns pin boundary ties when vectors can be duplicated
+    val order = col("dist").asc_nulls_last +: tieBreak.map(col)
+    table.withColumn("dist", dist).orderBy(order: _*).limit(k)
   }
 
   /** Approximate top-k through a registered HNSW index: search happens on the

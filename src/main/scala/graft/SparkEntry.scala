@@ -319,7 +319,8 @@ object SparkEntry {
       graft.index.IvfIndex.create(s, "q30_ivf", "q30_emb", "embedding", nLists = 8)
       val qv = s.table("q30_emb").filter(col("vec_id") === 5)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      graft.index.IvfIndex.search(s, "q30_ivf", qv, 10, nProbe = 8)
+      graft.index.IvfIndex.search(s, "q30_ivf", qv, 10, nProbe = 8,
+          tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }

@@ -338,6 +338,9 @@ object IndexCatalog {
     * restarted session can reload them. Refuses unless the experimental-
     * persistence gate is set, with the reference's error wording. */
   def checkpoint(spark: SparkSession, dir: String): Seq[String] = {
+    // no HNSW indexes → nothing vss-gated to persist; DuckDB's core
+    // CHECKPOINT succeeds regardless of the extension's gate
+    if (list.isEmpty) return Seq.empty
     if (!persistenceEnabled(spark)) {
       throw new IllegalStateException(
         "HNSW indexes can only be created in in-memory databases, or when the " +

@@ -38,8 +38,23 @@ object IvfIndex {
 
   private val entries = TrieMap.empty[String, IvfEntry]
   def get(name: String): Option[IvfEntry] = entries.get(name)
-  def drop(name: String): Boolean = entries.remove(name).isDefined
-  def clear(): Unit = entries.clear()
+
+  /** Drop the entry AND its parquet artifact (a dropped index frees its
+    * storage; the timestamped dirs would otherwise leak one table copy per
+    * create). */
+  def drop(name: String): Boolean = entries.remove(name) match {
+    case Some(e) =>
+      deleteRecursively(java.nio.file.Paths.get(e.path))
+      true
+    case None => false
+  }
+  def clear(): Unit = entries.keys.foreach(drop)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
 
   val ListCol = "__ivf_list"
 
@@ -50,19 +65,19 @@ object IvfIndex {
     * seed: sample, init, and iteration order are all fixed. */
   def train(df: DataFrame, vecCol: String, nLists: Int, metric: String,
       iters: Int = 10, sampleCap: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
+    require(nLists > 0, "nLists must be positive")
     val rows = df.select(col(vecCol)).where(col(vecCol).isNotNull)
       .limit(sampleCap).collect()
     require(rows.nonEmpty, "cannot train IVF on an empty table")
     val sample = rows.map(_.getSeq[Float](0).toArray)
-    val rnd = new java.util.Random(seed)
     val d = distFn(metric)
-    // init: distinct random picks
-    val centroids = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-    val seen = scala.collection.mutable.Set.empty[Seq[Float]]
-    while (centroids.length < math.min(nLists, sample.length)) {
-      val cand = sample(rnd.nextInt(sample.length))
-      if (seen.add(cand.toSeq)) centroids += cand.clone()
-    }
+    // init: seeded shuffle of the DISTINCT sample vectors — bounding by the
+    // distinct count, not the sample size (duplicate-heavy tables would
+    // otherwise make a pick-until-distinct loop spin forever)
+    val distinctVecs = new scala.util.Random(seed)
+      .shuffle(sample.map(_.toSeq).distinct.toSeq)
+    val centroids = distinctVecs.take(math.min(nLists, distinctVecs.length))
+      .map(_.toArray).toBuffer
     val k = centroids.length
     val dim = sample.head.length
     var it = 0
@@ -109,6 +124,7 @@ object IvfIndex {
   def create(spark: SparkSession, name: String, table: String, vecCol: String,
       nLists: Int, metric: String = "l2sq", iters: Int = 10,
       seed: Long = 42L, baseDir: String = IndexCatalog.indexArtifactDir): IvfEntry = {
+    require(nLists > 0, "nLists must be positive")
     require(!entries.contains(name), s"""Index with name "$name" already exists!""")
     val df = spark.table(table)
     val centroids = train(df, vecCol, nLists, metric, iters, seed = seed)
@@ -117,7 +133,10 @@ object IvfIndex {
       .withColumn(ListCol, assignExpr(vecCol, centroids, metric))
       .write.partitionBy(ListCol).parquet(path)
     val entry = IvfEntry(name, table, vecCol, metric, path, centroids)
-    entries(name) = entry
+    if (entries.putIfAbsent(name, entry).isDefined) { // atomic: lose the race cleanly
+      deleteRecursively(java.nio.file.Paths.get(path))
+      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
+    }
     entry
   }
 
@@ -131,16 +150,16 @@ object IvfIndex {
 
   /** Top-k search probing `nProbe` lists; `nProbe >= nLists` is exact.
     * The where() on the partition column prunes at file-listing time —
-    * check PartitionFilters in the plan. */
+    * check PartitionFilters in the plan. `tieBreak` columns make boundary
+    * ties deterministic (duplicate vectors straddling rank k). */
   def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, tieBreak: Seq[String] = Nil): DataFrame = {
     val entry = entries.getOrElse(name,
       throw new IllegalArgumentException(s"no IVF index named $name"))
     val probes = probeLists(entry, q, nProbe)
-    spark.read.parquet(entry.path)
+    val pruned = spark.read.parquet(entry.path)
       .where(col(ListCol).isin(probes: _*))
-      .withColumn("dist", vector.metricDistance(entry.metric)(col(entry.vecCol), lit(q)))
-      .orderBy(col("dist").asc_nulls_last).limit(k)
+    graft.Graft.topK(pruned, entry.vecCol, q, k, entry.metric, tieBreak)
       .drop(ListCol)
   }
 }

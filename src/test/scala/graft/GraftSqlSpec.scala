@@ -56,16 +56,26 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
 
   test("CHECKPOINT 'dir' goes through the persistence gate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sqlckpt").toString
+    // empty catalog: DuckDB's core CHECKPOINT succeeds, no vss gate involved
+    spark.conf.unset(IndexCatalog.PersistenceConfKey)
+    GraftSql.sql(spark, s"CHECKPOINT '$dir'")
+    // with an HNSW index present, persistence is gated
+    GraftSql.sql(spark, "CREATE INDEX sql_idx2 ON sql_emb USING HNSW (embedding)")
     intercept[IllegalStateException](GraftSql.sql(spark, s"CHECKPOINT '$dir'"))
     spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
     try {
-      GraftSql.sql(spark, "CREATE INDEX sql_idx2 ON sql_emb USING HNSW (embedding)")
       GraftSql.sql(spark, s"CHECKPOINT '$dir'")
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
-      // DuckDB's bare CHECKPOINT form works too (default artifact dir)
-      GraftSql.sql(spark, "CHECKPOINT")
-      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
-        s"${IndexCatalog.indexArtifactDir}/checkpoint/catalog.manifest")))
+      // DuckDB's bare CHECKPOINT form works too (default artifact dir);
+      // point the artifact dir at a FRESH temp dir so a stale manifest from
+      // an earlier run can't satisfy the assertion
+      val freshRoot = java.nio.file.Files.createTempDirectory("graft-bareckpt").toString
+      sys.props("graft.indexes.dir") = freshRoot
+      try {
+        GraftSql.sql(spark, "CHECKPOINT")
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$freshRoot/checkpoint/catalog.manifest")))
+      } finally sys.props.remove("graft.indexes.dir")
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
 }
