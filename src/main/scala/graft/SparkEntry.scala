@@ -388,6 +388,14 @@ object SparkEntry {
           col("quality"), col("fingerprint"))
         .orderBy(col("doc_id"))
 
+    /** Random-hyperplane LSH near-dup candidates over embeddings — the
+      * LSH-bucketed vector-space variant (banded sign-projection join, no
+      * all-pairs), verified by exact cosine distance. */
+    def q32EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.embeddingLshPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        maxDist = 0.8)
+        .orderBy(col("a"), col("b"))
+
     /** Token-level quality signals: BPE-ish subword counts plus punctuation
       * and stopword density (training-data filtering staples). */
     def q31TokenQuality(s: SparkSession, dir: String): DataFrame = {
@@ -470,6 +478,7 @@ object SparkEntry {
     "q29_misc_aggregates" -> (Queries.q29MiscAggregates _),
     "q30_ivf_topk" -> (Queries.q30IvfTopK _),
     "q31_token_quality" -> (Queries.q31TokenQuality _),
+    "q32_embedding_lsh" -> (Queries.q32EmbeddingLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -706,6 +715,33 @@ object SparkEntry {
          | CAST($enScore AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio
          |FROM (SELECT doc_id, text, n_chars, (' ' || text || ' ') AS p FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+    "q32_embedding_lsh" -> {
+      // same seeded hyperplane grid as the Spark op; n/1024.0 is exact in
+      // both engines, so sign bits agree bit-for-bit
+      val planes = graft.ops.Dedup.hyperplaneInts(64, 16)
+      val bits = planes.map { h =>
+        val lst = h.mkString("[", ",", "]")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+           | CAST(embedding[i] AS DOUBLE) * ($lst[i] / 1024.0)), (x,y) -> x+y) > 0
+           | THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH sig AS (
+         | SELECT vec_id, embedding, ($bits) AS s
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |bands AS (
+         | SELECT vec_id, 0 AS band_id, substring(s, 1, 8) AS band_val FROM sig
+         | UNION ALL SELECT vec_id, 1, substring(s, 9, 8) FROM sig),
+         |cand AS (
+         | SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
+         | WHERE l.vec_id < r.vec_id)
+         |SELECT a, b, ${sqlCosineDist("ea.embedding", "eb.embedding")} AS dist
+         |FROM cand
+         |JOIN embeddings ea ON cand.a = ea.vec_id
+         |JOIN embeddings eb ON cand.b = eb.vec_id
+         |WHERE ${sqlCosineDist("ea.embedding", "eb.embedding")} <= 0.8
+         |ORDER BY a, b""".stripMargin
     },
   )
 }

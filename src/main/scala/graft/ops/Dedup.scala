@@ -149,6 +149,50 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Seeded random hyperplanes for vector LSH, as integer grids over 1024 —
+    * n/1024 is exactly representable in FLOAT and in decimal SQL, so both
+    * engines compute bit-identical projections. */
+  def hyperplaneInts(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Int]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextInt(2001) - 1000))
+  }
+
+  /** Random-hyperplane (sign-random-projection) LSH near-dup candidates over
+    * an embedding column (Charikar 2002): bit b = sign(v · h_b); vectors
+    * sharing any band of consecutive bits are candidates, verified with the
+    * exact cosine distance. The banded equi-join keeps this all-pairs-free —
+    * the vector-space sibling of the MinHash pipeline, and the LSH-bucketed
+    * alternative to the IVF/HNSW index paths. Returns (a, b, dist), a < b. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 16, rowsPerBand: Int = 8, maxDist: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(nPlanes % rowsPerBand == 0, "nPlanes must divide into bands")
+    val dim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplaneInts(dim, nPlanes, seed)
+    val bits = planes.map { h =>
+      when(graft.functions.vector.array_inner_product(
+        col(vecCol), lit(h.map(_ / 1024.0f))) > 0, "1").otherwise("0")
+    }
+    val sig = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol), concat(bits.toIndexedSeq: _*).as("sig"))
+    val nBands = nPlanes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_val"))
+    }
+    val exploded = sig
+      .select(col(idCol), col(vecCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col(vecCol), col("band.band_id"), col("band.band_val"))
+    val l = exploded.toDF("a", "va", "band_id", "band_val")
+    val r = exploded.toDF("b", "vb", "band_id", "band_val")
+    l.join(r, Seq("band_id", "band_val")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
+      .distinct() // a pair may collide in several bands
+      .where(col("dist") <= maxDist)
+  }
+
   /** Embedding near-dup through a registered ANN index — the 100TB path:
     * the index broadcast is shard paths + delta (tiny), the outer side
     * streams partition-parallel with no shuffle, and per row only k=2
