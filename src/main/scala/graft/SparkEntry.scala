@@ -408,6 +408,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    /** Rolling-hash (Rabin–Karp char-k-gram min) document fingerprints —
+      * edit-robust near-dup keys, pure integer column algebra. */
+    def q33RollingFingerprint(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy(col("doc_id"))
+
     /** Multimodal binary-column plumbing: opaque payloads (UTF-8 bytes as
       * the fixture modality), byte-exact metadata, and REAL frame slicing —
       * n_frames/n_sampled come from materialized 64-byte frame arrays, which
@@ -479,6 +487,7 @@ object SparkEntry {
     "q30_ivf_topk" -> (Queries.q30IvfTopK _),
     "q31_token_quality" -> (Queries.q31TokenQuality _),
     "q32_embedding_lsh" -> (Queries.q32EmbeddingLsh _),
+    "q33_rolling_fingerprint" -> (Queries.q33RollingFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -743,5 +752,12 @@ object SparkEntry {
          |WHERE ${sqlCosineDist("ea.embedding", "eb.embedding")} <= 0.8
          |ORDER BY a, b""".stripMargin
     },
+    "q33_rolling_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(range(1, greatest(len(lower(trim(text))) - 7, 1) + 1), i ->
+        |  list_reduce(list_transform(range(0, 8), j ->
+        |   CAST(ascii(substring(lower(trim(text)), CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+        |   (acc, c) -> (acc * 257 + c) % 1000000007))) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
