@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling-hash document fingerprint as a NATIVE expression: the k-char-gram
+  * polynomial min-hash evaluated in one tight JVM loop. The column-algebra
+  * formulation (transform + aggregate lambdas) computes the identical value
+  * but runs through Spark's interpreted higher-order-function path — measured
+  * 50× slower at sf0.1. Math mirrors the DuckDB oracle exactly: per window
+  * `fold(acc*B + codepoint) mod M`, positions counted in characters,
+  * positions past the end contributing 0 (ascii('') = 0 in both engines). */
+case class RollingMinHash(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1, "window size must be positive")
+  override def prettyName: String = "rolling_min_hash"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMinHash.compute(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RollingMinHash.compute($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  val B = 257L
+  val M = 1000000007L
+
+  /** Min over all k-char windows of the polynomial hash; windows start at
+    * every character position 1..max(len-k+1, 1). */
+  def compute(s: String, k: Int): Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val nWindows = math.max(n - k + 1, 1)
+    var minH = Long.MaxValue
+    var i = 0
+    while (i < nWindows) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val c = if (i + j < n) cps(i + j).toLong else 0L
+        acc = (acc * B + c) % M
+        j += 1
+      }
+      if (acc < minH) minH = acc
+      i += 1
+    }
+    minH
+  }
+
+  def column(text: Column, k: Int): Column =
+    GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(text), k))
+}

@@ -98,24 +98,14 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Rolling-hash fingerprint (Rabin–Karp over char k-grams): hash every
-    * k-char window with a polynomial rolling hash mod a prime, keep the
-    * MINIMUM — robust to local edits the way md5-of-whole-text is not
-    * (an edit changes only the windows covering it; the min usually
-    * survives). Pure column algebra with integer arithmetic both engines
-    * evaluate identically. Texts shorter than k hash their whole content. */
-  def rollingFingerprint(text: Column, k: Int = 8): Column = {
-    val B = 257L
-    val M = 1000000007L
-    val t = lower(trim(text))
-    val n = length(t)
-    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
-    val hashes = transform(starts, i =>
-      aggregate(
-        sequence(lit(0), lit(k - 1)),
-        lit(0L),
-        (acc, j) => (acc * B + ascii(t.substr(i + j, lit(1)))) % M))
-    array_min(hashes)
-  }
+    * k-char window with a polynomial hash mod a prime, keep the MINIMUM —
+    * robust to local edits the way md5-of-whole-text is not (an edit
+    * changes only the windows covering it; the min usually survives).
+    * Evaluated by the native [[graft.functions.RollingMinHash]] expression;
+    * the math replays exactly in DuckDB SQL (integer arithmetic only).
+    * Texts shorter than k hash their whole content. */
+  def rollingFingerprint(text: Column, k: Int = 8): Column =
+    graft.functions.RollingMinHash.column(lower(trim(text)), k)
 
   /** Convenience: annotate a documents DataFrame with all signals. */
   def annotate(docs: DataFrame, textCol: String = "text",
