@@ -37,21 +37,30 @@ object RollingMinHash {
   val M = 1000000007L
 
   /** Min over all k-char windows of the polynomial hash; windows start at
-    * every character position 1..max(len-k+1, 1). */
+    * every character position 1..max(len-k+1, 1). True O(n) rolling update:
+    * drop the leading char's B^(k-1) term, shift, append the next char. */
   def compute(s: String, k: Int): Long = {
     val cps = s.codePoints().toArray
     val n = cps.length
-    val nWindows = math.max(n - k + 1, 1)
-    var minH = Long.MaxValue
-    var i = 0
-    while (i < nWindows) {
+    if (n <= k) { // single (zero-padded) window
       var acc = 0L
       var j = 0
       while (j < k) {
-        val c = if (i + j < n) cps(i + j).toLong else 0L
-        acc = (acc * B + c) % M
+        acc = (acc * B + (if (j < n) cps(j).toLong else 0L)) % M
         j += 1
       }
+      return acc
+    }
+    var bk = 1L // B^(k-1) mod M
+    var t = 0
+    while (t < k - 1) { bk = bk * B % M; t += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < k) { acc = (acc * B + cps(j)) % M; j += 1 }
+    var minH = acc
+    var i = 1
+    while (i <= n - k) {
+      acc = ((acc - cps(i - 1) * bk % M + M) % M * B + cps(i + k - 1)) % M
       if (acc < minH) minH = acc
       i += 1
     }

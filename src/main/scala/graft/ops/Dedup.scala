@@ -167,30 +167,41 @@ object Dedup {
       nPlanes: Int = 16, rowsPerBand: Int = 8, maxDist: Double = 0.5,
       seed: Long = 42L): DataFrame = {
     require(nPlanes % rowsPerBand == 0, "nPlanes must divide into bands")
-    val dim = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplaneInts(dim, nPlanes, seed)
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val dimRow = nonNull.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) { // empty/all-null input → empty result, not a crash
+      return df.where(lit(false))
+        .select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0).as("dist"))
+    }
+    val planes = hyperplaneInts(dimRow(0).getInt(0), nPlanes, seed)
     val bits = planes.map { h =>
       when(graft.functions.vector.array_inner_product(
         col(vecCol), lit(h.map(_ / 1024.0f))) > 0, "1").otherwise("0")
     }
-    val sig = df.where(col(vecCol).isNotNull)
+    // signatures feed the band explode AND the verify join-back: materialize
+    // once (same reasoning as minHashLshPairs)
+    val sig = nonNull
       .select(col(idCol), col(vecCol), concat(bits.toIndexedSeq: _*).as("sig"))
+      .localCheckpoint()
     val nBands = nPlanes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       struct(lit(b).as("band_id"),
         substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_val"))
     }
+    // bands carry only (id, band key) — vectors stay out of the shuffle
     val exploded = sig
-      .select(col(idCol), col(vecCol), explode(array(bands: _*)).as("band"))
-      .select(col(idCol), col(vecCol), col("band.band_id"), col("band.band_val"))
-    val l = exploded.toDF("a", "va", "band_id", "band_val")
-    val r = exploded.toDF("b", "vb", "band_id", "band_val")
-    l.join(r, Seq("band_id", "band_val")).where(col("a") < col("b"))
+      .select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_val"))
+    val l = exploded.toDF("a", "band_id", "band_val")
+    val r = exploded.toDF("b", "band_id", "band_val")
+    val cand = l.join(r, Seq("band_id", "band_val")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct() // dedup multi-band collisions FIRST
+    val va = sig.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = sig.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
-      .distinct() // a pair may collide in several bands
-      .where(col("dist") <= maxDist)
+      .where(col("dist") <= maxDist) // exact verify once per distinct pair
   }
 
   /** Embedding near-dup through a registered ANN index — the 100TB path:

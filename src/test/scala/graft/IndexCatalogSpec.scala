@@ -281,6 +281,16 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("sharded persist + reload round-trip (artifact copy + manifest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardsave").toString
+    val idx = IndexCatalog.get("emb_sh8").get.index
+    idx.save(s"$dir/emb_sh8")
+    val loaded = graft.index.ShardedHnswIndex.load(s"$dir/emb_sh8")
+    assert(loaded.size == idx.size && loaded.deletedCount == idx.deletedCount)
+    val q = queryVec(21)
+    assert(loaded.search(q, 5, ef = 600).toSeq == idx.search(q, 5, ef = 600).toSeq)
+  }
+
   test("DML: insertInto + deleteFrom propagate to the index (hnsw_crud.test)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Graft.registerTable(spark, "emb_crud_t", emb)

@@ -66,6 +66,25 @@ class VectorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("rolling-min-hash: O(n) rolling update equals naive window recompute") {
+    import graft.functions.RollingMinHash.{B, M}
+    def naive(s: String, k: Int): Long = {
+      val cps = s.codePoints().toArray
+      val windows = math.max(cps.length - k + 1, 1)
+      (0 until windows).map { i =>
+        (0 until k).foldLeft(0L) { (acc, j) =>
+          val c = if (i + j < cps.length) cps(i + j).toLong else 0L
+          (acc * B + c) % M
+        }
+      }.min
+    }
+    val genStr = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('的'), 1 -> Gen.const(' '))))
+    check(Prop.forAll(genStr, Gen.chooseNum(1, 12)) { (s, k) =>
+      graft.functions.RollingMinHash.compute(s, k) == naive(s, k)
+    })
+  }
+
   test("tombstoned keys never surface, at any k") {
     val vecs = (0 until 40).map(i => Array.fill(dim)(i.toFloat)).toList
     val idx = new HnswIndex(dim, "l2sq")
