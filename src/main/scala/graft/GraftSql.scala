@@ -29,6 +29,11 @@ object GraftSql {
     """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
+  // the reference's vss_join table macro in its canonical invocation form
+  // (reference src/hnsw/hnsw_index_macros.cpp:107-110); the correlated
+  // vss_match form needs a lateral context — use the Scala API or SQL LATERAL
+  private val VssJoinRe =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+vss_join\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*(\w+)\s*,\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)\s*;?\s*""".r
 
   /** Parse `metric = 'cosine', ef_construction = 200` into an options map
     * (quotes optional, keys case-insensitive — validation happens in
@@ -62,6 +67,9 @@ object GraftSql {
     case CheckpointBareRe() => // DuckDB's argument-less CHECKPOINT form
       IndexCatalog.checkpoint(spark, s"${IndexCatalog.indexArtifactDir}/checkpoint")
       spark.emptyDataFrame
+    case VssJoinRe(left, right, leftCol, rightCol, k, metric) =>
+      graft.operators.VssJoins.vssJoin(spark.table(left), spark.table(right),
+        leftCol, rightCol, k.toInt, Option(metric).getOrElse("l2sq"))
     case other =>
       Graft.registerFunctions(spark)
       spark.sql(other)

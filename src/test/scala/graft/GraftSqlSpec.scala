@@ -48,6 +48,25 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(IndexCatalog.get("sql_idx").get.index.deletedCount == 0)
   }
 
+  test("vss_join table-macro invocation form (hnsw_join_macro.test shape)") {
+    spark.table("sql_emb").filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .createOrReplaceTempView("sql_q")
+    val out = GraftSql.sql(spark,
+      "SELECT * FROM vss_join('sql_q', 'sql_emb', qvec, embedding, 2)")
+    assert(out.columns.toSeq == Seq("score", "left_tbl", "right_tbl", "rank"))
+    val rows = out.orderBy($"left_tbl.qid", $"rank").collect()
+    assert(rows.length == 6)
+    assert(rows.head.getDouble(0) == 0.0) // self-match, l2 distance 0
+    val cos = GraftSql.sql(spark,
+      "SELECT * FROM vss_join('sql_q', 'sql_emb', qvec, embedding, 1, metric := 'cosine')")
+    assert(cos.count() == 3)
+  }
+
+  test("every SparkEntry query has a matching oracle entry") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
   test("DROP INDEX removes the entry; dropping twice errors") {
     GraftSql.sql(spark, "DROP INDEX sql_idx")
     assert(IndexCatalog.get("sql_idx").isEmpty)
