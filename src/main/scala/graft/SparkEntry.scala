@@ -263,8 +263,10 @@ object SparkEntry {
       val inner = s.table("q17_emb")
       outer.crossJoin(inner)
         .withColumn("dist", vector.array_distance_sq(col("qvec"), col("embedding")))
+        // NULLS LAST: DuckDB's default and the rewrite precondition — NULL
+        // distances (NULL vectors) must not occupy the top ranks
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("dist"))))
+          Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last)))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id").as("nid"),
           col("rn").cast(LongType).as("rank"), col("dist"))

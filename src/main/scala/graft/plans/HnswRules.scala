@@ -289,7 +289,7 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-          partSpec, Seq(SortOrder(distKey, Ascending, _, _)), windowChild, _)) =>
+          partSpec, Seq(so @ SortOrder(distKey, Ascending, _, _)), windowChild, _)) =>
       val rnAttr = alias.toAttribute
       val rewritten = for {
         k <- asLimit(cond, rnAttr.exprId)
@@ -302,11 +302,14 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
           case _ => false
         }
         (metric, outerVec, innerVec) <- matchTwoSided(dist, outer, inner)
-        // NULL outer vectors rank FIRST in the window formulation (ASC =
-        // NULLS FIRST) but emit nothing from the index join — a silent
-        // result change. Only rewrite when the outer vector can't be NULL:
-        // non-nullable attribute, or an explicit IS NOT NULL filter below.
-        if !outerVec.nullable || hasNotNullGuard(outer, outerVec)
+        // NULL vectors on EITHER side give NULL distances, which rank FIRST
+        // under Spark's default ASC ordering but can never come out of the
+        // index — a silent result change. Only rewrite when no NULL distance
+        // can reach the window ranking: NULLS LAST ordering, or both vector
+        // sides provably non-NULL (attribute or IS NOT NULL guard below).
+        if so.nullOrdering == NullsLast ||
+          ((!outerVec.nullable || hasNotNullGuard(outer, outerVec)) &&
+            (!innerVec.nullable || hasNotNullGuard(inner, innerVec)))
         // column pruning may have projected the rowid off the inner side:
         // match the *base* relation and rebuild the chain with rowid restored
         (innerChain, innerBase) = stripChain(inner)

@@ -137,7 +137,7 @@ class HnswRulesSpec extends GraftSparkSpec with BeforeAndAfterAll {
     def windowed(df: DataFrame): DataFrame = df.crossJoin(inner)
       .withColumn("dist", vector.array_distance_sq($"qvec", $"embedding"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"dist")))
+        Window.partitionBy($"qid").orderBy($"dist".asc_nulls_last)))
       .filter($"rn" <= 3)
       .select($"qid", $"vec_id", $"rn")
 

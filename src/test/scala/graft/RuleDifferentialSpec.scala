@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.vector
+import graft.index.IndexCatalog
+import graft.plans.GraftExtensions
+
+/** Randomized differential testing of the optimizer rewrites — the
+  * reference's with/without-index oracle strategy
+  * (test/sql/hnsw/hnsw_lateral_join.test:36-43) under seeded random
+  * parameters: for every (metric, k, filter) combination the index-rewritten
+  * plan must return exactly the brute-force rows (ef exhaustive). */
+class RuleDifferentialSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val dim = 12
+  private val n = 400
+
+  private def vecOf(i: Int): Array[Float] = {
+    val a = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      val h = (i * 2654435761L + j * 40503L + 7L) * 1103515245L
+      a(j) = ((h >>> 17) % 1000L).toFloat / 50f - 10f
+      j += 1
+    }
+    a
+  }
+
+  override def beforeAll(): Unit = {
+    GraftExtensions.install(spark)
+    IndexCatalog.clear()
+    val rows = (0 until n).map { i =>
+      // sprinkle NULL vectors: every 17th row
+      val v = if (i % 17 == 0) None else Some(vecOf(i).toSeq)
+      (i.toLong, v, i % 5)
+    }
+    val df = rows.toDF("id", "vec", "label")
+      .select($"id", $"vec".cast("array<float>"), $"label")
+    Graft.registerTable(spark, "diff_t", df)
+    Seq("l2sq", "cosine", "ip").foreach { m =>
+      IndexCatalog.createIndex(spark, s"diff_$m", "diff_t", "vec",
+        Map("metric" -> m, "ef_search" -> "5000"))
+    }
+  }
+
+  private def distCol(metric: String) = metric match {
+    case "l2sq" => vector.array_distance_sq _
+    case "cosine" => vector.array_cosine_distance _
+    case "ip" => vector.array_negative_inner_product _
+  }
+
+  test("TopN rewrite: random metric/k/filter trials match brute force exactly") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 12).foreach { trial =>
+      val metric = Seq("l2sq", "cosine", "ip")(rnd.nextInt(3))
+      val k = 1 + rnd.nextInt(25)
+      val q = vecOf(100000 + trial)
+      val withLabelFilter = rnd.nextBoolean()
+      def base: DataFrame = {
+        val t = spark.table("diff_t")
+        val f = if (withLabelFilter) t.filter($"label" < 3) else t
+        f.withColumn("dist", distCol(metric)($"vec", lit(q)))
+          .orderBy($"dist".asc_nulls_last, $"id").limit(k)
+      }
+      // index present → the single-key variant rewrites; verify against the
+      // two-key deterministic ordering which never rewrites
+      val viaIndex = spark.table("diff_t")
+        .filter(if (withLabelFilter) $"label" < 3 else lit(true))
+        .withColumn("dist", distCol(metric)($"vec", lit(q)))
+        .orderBy($"dist".asc_nulls_last).limit(k)
+        .select($"id", $"dist").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = base.select($"id", $"dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      if (withLabelFilter) {
+        // reference filter-pull-up semantics: k candidates first, THEN the
+        // filter — possibly short, but always a subset of the brute top-k
+        // (reference src/hnsw/hnsw_optimize_scan.cpp:161-187)
+        assert(viaIndex.toSet.subsetOf(brute.toSet),
+          s"trial $trial metric=$metric k=$k filtered")
+      } else {
+        assert(viaIndex.toSet == brute.toSet,
+          s"trial $trial metric=$metric k=$k unfiltered")
+      }
+    }
+  }
+
+  test("KNN-join rewrite: random k trials match the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(99)
+    (0 until 4).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val outer = spark.table("diff_t")
+        .filter($"id" < 12 && $"vec".isNotNull)
+        .select($"id".as("qid"), $"vec".as("qvec"))
+      // NULLS LAST: NULL inner vectors must not occupy top ranks (the rule
+      // refuses to rewrite the NULLS FIRST form for exactly that reason)
+      def windowed: DataFrame = outer.crossJoin(spark.table("diff_t"))
+        .withColumn("d", vector.array_distance_sq($"qvec", $"vec"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"d".asc_nulls_last)))
+        .filter($"rn" <= k)
+        .select($"qid", $"id", $"d")
+      val withIdx = windowed.collect().map(r => (r.getLong(0), r.getDouble(2)))
+      IndexCatalog.dropIndex("diff_l2sq")
+      try {
+        val brute = windowed.collect().map(r => (r.getLong(0), r.getDouble(2)))
+        // per-qid distance multisets must agree (tie ids may differ)
+        assert(withIdx.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+          brute.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap,
+          s"trial $trial k=$k")
+      } finally {
+        IndexCatalog.createIndex(spark, "diff_l2sq", "diff_t", "vec",
+          Map("metric" -> "l2sq", "ef_search" -> "5000"))
+      }
+    }
+  }
+}
