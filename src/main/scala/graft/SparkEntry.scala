@@ -273,6 +273,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
+    /** Grouped lateral-KNN (reference test/sql/hnsw/hnsw_lateral_join_group
+      * .test): aggregate over each outer row's k nearest neighbors through
+      * the index KNN join. Only order-independent aggregates (count/min/max)
+      * so double results are exact. */
+    def q34GroupedKnn(s: SparkSession, dir: String): DataFrame = {
+      setupIndex(s, dir, "q34_emb", "q34_idx", Map("ef_search" -> "100000"))
+      val outer = s.table("q34_emb")
+        .filter(col("vec_id") < 20 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.knnJoin(s, outer, "qvec", "q34_idx", 5)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"),
+          min(col("dist")).as("min_d"),
+          max(col("dist")).as("max_d"))
+        .orderBy(col("qid"))
+    }
+
     /** `pragma_hnsw_index_info` equivalent — stable columns of
       * IndexCatalog.describe (reference src/hnsw/hnsw_index_pragmas.cpp:22-148). */
     def q18IndexInfo(s: SparkSession, dir: String): DataFrame = {
@@ -490,6 +507,7 @@ object SparkEntry {
     "q31_token_quality" -> (Queries.q31TokenQuality _),
     "q32_embedding_lsh" -> (Queries.q32EmbeddingLsh _),
     "q33_rolling_fingerprint" -> (Queries.q33RollingFingerprint _),
+    "q34_grouped_knn" -> (Queries.q34GroupedKnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -761,5 +779,17 @@ object SparkEntry {
         |   CAST(ascii(substring(lower(trim(text)), CAST(i + j AS INTEGER), 1)) AS BIGINT)),
         |   (acc, c) -> (acc * 257 + c) % 1000000007))) AS rfp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_grouped_knn" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a, embeddings b
+         | WHERE a.vec_id < 20 AND a.embedding IS NOT NULL),
+         |topk AS (
+         | SELECT qid, nid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         | FROM scored)
+         |SELECT qid, count(*) AS n, min(dist) AS min_d, max(dist) AS max_d
+         |FROM topk WHERE rn <= 5 GROUP BY qid ORDER BY qid""".stripMargin,
   )
 }
