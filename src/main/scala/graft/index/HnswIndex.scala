@@ -347,6 +347,11 @@ class HnswIndex(
     require(q.length == dim, s"query dimension ${q.length} != index dimension $dim")
     if (entryPoint < 0) return Array.empty
     val effEf = math.max(if (ef > 0) ef else efSearch, k) + tombstones.size.min(64)
+    // Exhaustive ef (>= node count) degenerates the beam search into an
+    // O(n log n) priority-queue crawl; a linear scan with a bounded top-k
+    // heap answers the same (exact) result in O(n log k). This is the path
+    // every ef>=N oracle query takes.
+    if (effEf >= keys.size) return linearScan(q, k)
     var ep = entryPoint
     var epDist = dist(q, vecs(ep))
     var l = topLevel
@@ -371,6 +376,27 @@ class HnswIndex(
       .take(k)
       .map { case (d, id) => (keys(id), d) }
       .toArray
+  }
+
+  /** Exact brute-force top-k over all live nodes (bounded max-heap),
+    * deterministic ties by (distance, key). */
+  private def linearScan(q: Array[Float], k: Int): Array[(Long, Double)] = {
+    implicit val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val heap = mutable.PriorityQueue.empty[(Double, Long)] // max-heap: worst on top
+    var id = 0
+    while (id < keys.size) {
+      if (!tombstones.contains(id)) {
+        val d = dist(q, vecs(id))
+        val cand = (d, keys(id))
+        if (heap.size < k) heap.enqueue(cand)
+        else if (worstFirst.compare(cand, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(cand)
+        }
+      }
+      id += 1
+    }
+    heap.toArray.sorted.map { case (d, key) => (key, d) }
   }
 
   /** Tombstone delete by key (reference src/hnsw/hnsw_index.cpp:466-482).
