@@ -236,14 +236,29 @@ object SparkEntry {
       graft.index.IndexCatalog.createIndex(s, index, table, "embedding", options)
     }
 
+    /** Read-only exhaustive-ef index shared by q16/q17/q34 — built once per
+      * (session, sf dir); queries that mutate state (q19) build their own.
+      * Returns (table, index) names. */
+    private def sharedIndex(s: SparkSession, dir: String): (String, String) = {
+      graft.plans.GraftExtensions.install(s)
+      val tag = Integer.toHexString(dir.hashCode)
+      val (table, index) = (s"qshared_emb_$tag", s"qshared_idx_$tag")
+      if (graft.index.IndexCatalog.get(index).isEmpty) {
+        Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
+        graft.index.IndexCatalog.createIndex(s, index, table, "embedding",
+          Map("ef_search" -> "100000"))
+      }
+      (table, index)
+    }
+
     /** TopN through the TopKToIndexScan optimizer rule: the inner
       * `ORDER BY dist LIMIT 10` is rewritten onto an HnswIndexScan semi join
       * (reference src/hnsw/hnsw_optimize_scan.cpp:23-258); the outer sort
       * only makes tie order deterministic for the oracle compare. */
     def q16IndexTopK(s: SparkSession, dir: String): DataFrame = {
-      setupIndex(s, dir, "q16_emb", "q16_idx", Map("ef_search" -> "100000"))
-      val qv = embQueryVec(s, "q16_emb", 0)
-      s.table("q16_emb")
+      val (table, _) = sharedIndex(s, dir)
+      val qv = embQueryVec(s, table, 0)
+      s.table(table)
         .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
         // NULLS LAST: DuckDB's ASC default, and the rewrite's precondition
         // over a nullable parquet column (the index never holds NULLs)
@@ -256,11 +271,11 @@ object SparkEntry {
       * HnswKnnJoin exec (reference src/hnsw/hnsw_optimize_join.cpp:323-715). */
     def q17IndexKnnJoin(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      setupIndex(s, dir, "q17_emb", "q17_idx", Map("ef_search" -> "100000"))
-      val outer = s.table("q17_emb")
+      val (table, _) = sharedIndex(s, dir)
+      val outer = s.table(table)
         .filter(col("vec_id") < 5 && col("embedding").isNotNull)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val inner = s.table("q17_emb")
+      val inner = s.table(table)
       outer.crossJoin(inner)
         .withColumn("dist", vector.array_distance_sq(col("qvec"), col("embedding")))
         // NULLS LAST: DuckDB's default and the rewrite precondition — NULL
@@ -278,11 +293,11 @@ object SparkEntry {
       * the index KNN join. Only order-independent aggregates (count/min/max)
       * so double results are exact. */
     def q34GroupedKnn(s: SparkSession, dir: String): DataFrame = {
-      setupIndex(s, dir, "q34_emb", "q34_idx", Map("ef_search" -> "100000"))
-      val outer = s.table("q34_emb")
+      val (table, index) = sharedIndex(s, dir)
+      val outer = s.table(table)
         .filter(col("vec_id") < 20 && col("embedding").isNotNull)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Graft.knnJoin(s, outer, "qvec", "q34_idx", 5)
+      Graft.knnJoin(s, outer, "qvec", index, 5)
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n"),
           min(col("dist")).as("min_d"),
