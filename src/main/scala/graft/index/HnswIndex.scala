@@ -419,10 +419,13 @@ class HnswIndex(
   }
 
   /** Rebuild without tombstoned entries (the reference's
-    * `PRAGMA hnsw_compact_index`, reference src/hnsw/hnsw_index_pragmas.cpp:154-197). */
-  def compact(): HnswIndex = {
+    * `PRAGMA hnsw_compact_index`, reference src/hnsw/hnsw_index_pragmas.cpp:154-197).
+    * The rebuild reuses the parallel construct phase (numThreads > 1). */
+  def compact(numThreads: Int = 1): HnswIndex = {
     val fresh = new HnswIndex(dim, metric, m, m0, efConstruction, efSearch, seed)
-    forEachLive((key, vec) => fresh.add(key, vec))
+    val live = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    forEachLive((key, vec) => live += ((key, vec)))
+    fresh.addAll(live.iterator, numThreads)
     fresh
   }
 
