@@ -251,6 +251,57 @@ object SparkEntry {
       (table, index)
     }
 
+    /** Read-only SHARDED index shared by q35/q36 — the 100TB path under the
+      * oracle: built one sub-graph per partition ON the executors
+      * (driver holds only ShardMeta), searched by distributed fan-out.
+      * ef_search >= N keeps every shard search exhaustive, so the k-way
+      * merge is exact and the brute-force DuckDB oracle applies. */
+    private def sharedShardedIndex(s: SparkSession, dir: String): (String, String) = {
+      graft.plans.GraftExtensions.install(s)
+      val tag = Integer.toHexString(dir.hashCode)
+      val (table, index) = (s"qshard_emb_$tag", s"qshard_idx_$tag")
+      if (graft.index.IndexCatalog.get(index).isEmpty) {
+        Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
+        graft.index.IndexCatalog.createIndex(s, index, table, "embedding",
+          Map("ef_search" -> "100000"), sharded = true, numShards = 8)
+      }
+      (table, index)
+    }
+
+    /** q16's TopN shape through the SHARDED index: TopKToIndexScan rewrites
+      * onto HnswIndexScan, whose exec fans out one task per shard
+      * (ShardedHnswIndex.searchDistributed) and k-way-merges on the driver —
+      * the scale path, oracle-verified. */
+    def q35ShardedTopK(s: SparkSession, dir: String): DataFrame = {
+      val (table, _) = sharedShardedIndex(s, dir)
+      val qv = embQueryVec(s, table, 7)
+      s.table(table)
+        .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+        .orderBy(col("dist").asc_nulls_last).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** q17's windowed KNN-join idiom through the SHARDED index: the
+      * broadcast ships shard paths + stats only; executors pull shard graphs
+      * through the per-JVM ShardCache. */
+    def q36ShardedKnnJoin(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val (table, _) = sharedShardedIndex(s, dir)
+      val outer = s.table(table)
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val inner = s.table(table)
+      outer.crossJoin(inner)
+        .withColumn("dist", vector.array_distance_sq(col("qvec"), col("embedding")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last)))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"),
+          col("rn").cast(LongType).as("rank"), col("dist"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
     /** TopN through the TopKToIndexScan optimizer rule: the inner
       * `ORDER BY dist LIMIT 10` is rewritten onto an HnswIndexScan semi join
       * (reference src/hnsw/hnsw_optimize_scan.cpp:23-258); the outer sort
@@ -316,22 +367,27 @@ object SparkEntry {
     }
 
     /** The reference's lateral-KNN entry point verbatim as SQL
-      * (reference test/sql/hnsw/hnsw_lateral_join.test:19-27, SURVEY.md §3.3):
-      * Spark's own LATERAL decorrelation answers it; the engine contributes
-      * the distance function. */
+      * (reference test/sql/hnsw/hnsw_lateral_join.test:19-27, SURVEY.md §3.3),
+      * index-accelerated: Spark decorrelates the LATERAL into the windowed
+      * domain-join shape and KnnJoinToIndexJoin rewrites it onto the HNSW
+      * index (reference src/hnsw/hnsw_optimize_join.cpp:323-715) — plan
+      * pinned by SparkEntryIndexPathSpec. NULLS LAST spells out DuckDB's ASC
+      * default (Spark's is NULLS FIRST), which is also the rewrite's
+      * NULL-safety precondition. Tie-break note: the index breaks distance
+      * ties by rowid and the oracle by nid; the fixture assigns rowids in
+      * vec_id order and has no duplicate distances, so both agree. */
     def q27LateralKnn(s: SparkSession, dir: String): DataFrame = {
-      Graft.registerFunctions(s)
-      tbl(s, dir, "embeddings").createOrReplaceTempView("q27_emb")
+      val (table, _) = sharedIndex(s, dir)
       // the outer restriction lives in the CTE: Spark's decorrelation
       // evaluates the lateral once per DISTINCT outer vector, so the filter
       // must shrink the outer side BEFORE the domain join, not after
       s.sql(
-        """WITH q AS (SELECT vec_id, embedding FROM q27_emb WHERE vec_id < 5)
-          |SELECT q.vec_id AS qid, m.vec_id AS nid, m.dist
-          |FROM q,
-          |LATERAL (SELECT e.vec_id, array_distance_sq(e.embedding, q.embedding) AS dist
-          |         FROM q27_emb e ORDER BY dist LIMIT 3) m
-          |ORDER BY qid, dist, nid""".stripMargin)
+        s"""WITH q AS (SELECT vec_id, embedding FROM $table WHERE vec_id < 5)
+           |SELECT q.vec_id AS qid, m.vec_id AS nid, m.dist
+           |FROM q,
+           |LATERAL (SELECT e.vec_id, array_distance_sq(e.embedding, q.embedding) AS dist
+           |         FROM $table e ORDER BY dist ASC NULLS LAST LIMIT 3) m
+           |ORDER BY qid, dist, nid""".stripMargin)
     }
 
     /** Embedding near-dup through the ANN index (the 100TB path for the
@@ -523,6 +579,8 @@ object SparkEntry {
     "q32_embedding_lsh" -> (Queries.q32EmbeddingLsh _),
     "q33_rolling_fingerprint" -> (Queries.q33RollingFingerprint _),
     "q34_grouped_knn" -> (Queries.q34GroupedKnn _),
+    "q35_sharded_topk" -> (Queries.q35ShardedTopK _),
+    "q36_sharded_knn_join" -> (Queries.q36ShardedKnnJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,6 +852,21 @@ object SparkEntry {
         |   CAST(ascii(substring(lower(trim(text)), CAST(i + j AS INTEGER), 1)) AS BIGINT)),
         |   (acc, c) -> (acc * 257 + c) % 1000000007))) AS rfp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_sharded_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q36_sharded_knn_join" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |  ${sqlL2Sq("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a, embeddings b
+         | WHERE a.vec_id >= 5 AND a.vec_id < 10 AND a.embedding IS NOT NULL)
+         |SELECT qid, nid, CAST(rn AS BIGINT) AS rank, dist FROM (
+         | SELECT qid, nid, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         | FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
     "q34_grouped_knn" ->
       s"""WITH scored AS (
          | SELECT a.vec_id AS qid, b.vec_id AS nid,

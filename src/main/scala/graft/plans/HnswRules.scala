@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -54,6 +55,34 @@ object DistancePattern {
   }
 }
 
+/** Strips the wrappers Spark's `NormalizeFloatingNumbers` optimizer rule
+  * injects around float-typed join/window keys —
+  * `KnownFloatingPointNormalized`, `NormalizeNaNAndZero`, and the
+  * element-wise `transform(arr, x -> normalize(x))` form over float arrays —
+  * exposing the underlying attribute. Decorrelated LATERAL plans partition
+  * their domain window by the NORMALIZED outer vector, so index rules must
+  * see through these to recognize the partition key. */
+object NormalizedKey {
+  private def isIdentityNormLambda(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(body, Seq(v: NamedLambdaVariable), _) =>
+      strip(body) match {
+        case nv: NamedLambdaVariable => nv.exprId == v.exprId
+        case _ => false
+      }
+    case _ => false
+  }
+  def strip(e: Expression): Expression = e match {
+    case KnownFloatingPointNormalized(c) => strip(c)
+    case NormalizeNaNAndZero(c) => strip(c)
+    case ArrayTransform(c, f: LambdaFunction) if isIdentityNormLambda(f) => strip(c)
+    case other => other
+  }
+  def unapply(e: Expression): Option[AttributeReference] = strip(e) match {
+    case ar: AttributeReference => Some(ar)
+    case _ => None
+  }
+}
+
 private[plans] object IndexRuleSupport {
   /** k bound shared by the reference's rewrites (STANDARD_VECTOR_SIZE,
     * reference src/hnsw/hnsw_optimize_topk.cpp:163). */
@@ -82,10 +111,13 @@ private[plans] object IndexRuleSupport {
     None
   }
 
-  /** Walks a Project/Filter chain resolving alias indirections, looking for
-    * a top-level `IsNotNull` conjunct on the attribute `vec` resolves to.
-    * Conjuncts only: an IsNotNull under an Or/Not does not guarantee
-    * non-NULLness (`x IS NOT NULL OR y > 0` keeps NULL x). */
+  /** Walks a Project/Filter/Aggregate chain resolving alias indirections,
+    * looking for a top-level `IsNotNull` conjunct on the attribute `vec`
+    * resolves to. Conjuncts only: an IsNotNull under an Or/Not does not
+    * guarantee non-NULLness (`x IS NOT NULL OR y > 0` keeps NULL x).
+    * An Aggregate passes the guard through its grouping-key outputs (the
+    * decorrelated-LATERAL domain aggregate is exactly this shape): a grouping
+    * output is non-NULL iff its input was, so a Filter below still counts. */
   def chainHasNotNullGuard(plan: LogicalPlan, vec: AttributeReference): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -105,6 +137,16 @@ private[plans] object IndexRuleSupport {
             case None => return false
           }
           node = c
+        case agg: Aggregate =>
+          agg.aggregateExpressions.find(_.exprId == target) match {
+            case Some(a: Alias) => a.child match {
+              case ar: AttributeReference => target = ar.exprId
+              case _ => return false
+            }
+            case Some(_: AttributeReference) => () // grouping pass-through
+            case _ => return false
+          }
+          node = agg.child
         case Filter(cond, c) =>
           val tgt = target
           val guarded = conjuncts(cond).exists {
@@ -233,7 +275,16 @@ object MinByKToIndexScan extends Rule[LogicalPlan] {
   * which this rule rewrites to HnswKnnCandidates(outer) ⋈rowid inner. The
   * rank attribute keeps the window alias's exprId, so projections above keep
   * resolving. Assumes outer partition keys identify outer rows (the
-  * decorrelated-lateral contract the reference matches on). */
+  * decorrelated-lateral contract the reference matches on).
+  *
+  * Spark's own decorrelation of `LATERAL (... ORDER BY dist LIMIT k)`
+  * (RewriteLateralSubquery + DecorrelateInnerQuery) lands on this exact
+  * shape with outer = Aggregate(domain of distinct outer vectors) and the
+  * window partitioned by the NormalizeFloatingNumbers-wrapped vector — both
+  * handled here (NormalizedKey, Aggregate-aware null guard), so the
+  * reference's flagship lateral SQL (test/sql/hnsw/hnsw_lateral_join
+  * .test:19-27) is index-accelerated, matching the reference's
+  * decorrelated-join rewrite (src/hnsw/hnsw_optimize_join.cpp:323-715). */
 object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
   import IndexRuleSupport._
 
@@ -297,8 +348,10 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
         (dist, chain, join) <- findJoin(distKey, windowChild)
         outer = join.left
         inner = join.right
+        // partition keys may be wrapped in NormalizeFloatingNumbers wrappers
+        // (decorrelated LATERAL partitions by the normalized outer vector)
         if partSpec.nonEmpty && partSpec.forall {
-          case a: AttributeReference => outer.outputSet.contains(a)
+          case NormalizedKey(a) => outer.outputSet.contains(a)
           case _ => false
         }
         (metric, outerVec, innerVec) <- matchTwoSided(dist, outer, inner)

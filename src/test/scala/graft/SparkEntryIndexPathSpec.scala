@@ -22,6 +22,32 @@ class SparkEntryIndexPathSpec extends GraftSparkSpec {
     assert(p.contains("HnswKnnJoin"), p)
   }
 
+  test("q27's SQL LATERAL decorrelation is rewritten onto the index") {
+    // the reference's flagship lateral SQL (hnsw_lateral_join.test:19-27)
+    // must not silently fall back to the brute-force domain cross join
+    val p = plan("q27_lateral_knn")
+    assert(p.contains("HnswKnnJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q35_sharded_topk executes through HnswIndexScan over a SHARDED index") {
+    val p = plan("q35_sharded_topk")
+    assert(p.contains("HnswIndexScan"), p)
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val e = graft.index.IndexCatalog.get(s"qshard_idx_$tag").get
+    assert(e.index.isInstanceOf[graft.index.ShardedHnswIndex],
+      s"expected ShardedHnswIndex, got ${e.index.getClass.getSimpleName}")
+    assert(e.index.asInstanceOf[graft.index.ShardedHnswIndex].shards.length == 8)
+  }
+
+  test("q36_sharded_knn_join executes through HnswKnnJoin over a SHARDED index") {
+    val p = plan("q36_sharded_knn_join")
+    assert(p.contains("HnswKnnJoin"), p)
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val e = graft.index.IndexCatalog.get(s"qshard_idx_$tag").get
+    assert(e.index.isInstanceOf[graft.index.ShardedHnswIndex])
+  }
+
   test("q19_index_crud's final fetch is an index search result join") {
     // indexTopK is the guaranteed index path: the driver-side search feeds a
     // broadcast rowid join; no full-table sort appears in the plan
