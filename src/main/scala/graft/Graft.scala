@@ -35,7 +35,10 @@ object Graft {
     * and is immutable after that. */
   def registerTable(spark: SparkSession, name: String, df: DataFrame,
       tableDir: String = defaultTableDir): DataFrame = {
-    val path = s"$tableDir/$name"
+    // versioned path: re-registering a name must never rewrite storage that
+    // an earlier registration (or a running query) is still serving —
+    // insertInto/rematerialize version the same way
+    val path = s"$tableDir/$name-${System.nanoTime()}"
     df.withColumn(RowIdCol, monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
     val withId = spark.read.parquet(path)
@@ -117,9 +120,27 @@ object Graft {
       .withColumn("rank", col("rank").cast(LongType))
   }
 
+  /** Batches at or above this row count go to indexes as executor-built
+    * shard artifacts instead of the driver-side delta graph. */
+  def shardBatchThreshold: Int =
+    sys.props.get("graft.ingest.shardBatchThreshold").map(_.toInt).getOrElse(4096)
+
+  /** Target rows per ingest-built shard (sizes shard graphs to executor
+    * memory independently of the delta's partitioning). */
+  def ingestRowsPerShard: Int =
+    sys.props.get("graft.ingest.rowsPerShard").map(_.toInt).getOrElse(262144)
+
   /** Engine DML over immutable storage (SURVEY.md §7.3): append rows to a
     * registered table AND its indexes; NULL vectors are skipped on insert
-    * exactly as the reference does (reference src/hnsw/hnsw_index.cpp:437-439). */
+    * exactly as the reference does (reference src/hnsw/hnsw_index.cpp:437-439).
+    *
+    * Index maintenance is two-tier: a batch of >= [[shardBatchThreshold]]
+    * rows into a SHARDED index is built as new shard artifacts ON the
+    * executors (reusing the sharded CREATE INDEX build) and only their
+    * metadata crosses the driver — sustained 100TB-scale ingest never
+    * funnels vectors through the driver. Small batches (and single-graph
+    * indexes, which are driver-resident by design) stream row-at-a-time into
+    * the index/delta. Both tiers append to the post-checkpoint WAL. */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): DataFrame = {
     val existing = spark.table(table)
     // max(rowid) is NULL on an empty table (legal: index created before data)
@@ -134,13 +155,40 @@ object Graft {
     val withIds = spark.read.parquet(deltaPath)
     val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
-    IndexCatalog.list.filter(_.table == table).foreach { e =>
-      // stream the delta partition-by-partition: driver memory is bounded by
-      // one partition, not the insert volume
-      withIds.select(col(RowIdCol), col(e.column)).where(col(e.column).isNotNull)
-        .toLocalIterator().forEachRemaining { r =>
-          e.index.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+    val indexes = IndexCatalog.list.filter(_.table == table)
+    lazy val batchRows = withIds.count() // one cheap count over the delta parquet
+    indexes.foreach { e =>
+      val pairs = withIds.select(col(RowIdCol).cast(LongType), col(e.column))
+        .where(col(e.column).isNotNull)
+      val shardedOpt = e.index match {
+        case sh: graft.index.ShardedHnswIndex => Some(sh)
+        case l: graft.index.LazyLoadedIndex => l.resolved match {
+          case sh: graft.index.ShardedHnswIndex => Some(sh)
+          case _ => None
         }
+        case _ => None
+      }
+      IndexCatalog.withWal(e.name) { wal =>
+        shardedOpt match {
+          case Some(sh) if batchRows >= shardBatchThreshold =>
+            val nShards = math.max(1, math.ceil(batchRows.toDouble / ingestRowsPerShard).toInt)
+            val metas = IndexCatalog.buildShardMetas(
+              pairs.repartition(nShards),
+              s"${IndexCatalog.indexArtifactDir}/${e.name}-ingest-${System.nanoTime()}",
+              e.options)
+            sh.appendShards(metas)
+            wal.foreach(_.appendShards(metas))
+          case _ =>
+            // stream the delta partition-by-partition: driver memory is
+            // bounded by one partition, not the insert volume
+            pairs.toLocalIterator().forEachRemaining { r =>
+              val key = r.getLong(0)
+              val vec = r.getSeq[Float](1).toArray
+              e.index.insert(key, vec)
+              wal.foreach(_.insert(key, vec))
+            }
+        }
+      }
     }
     updated
   }
@@ -149,19 +197,19 @@ object Graft {
     * rowids in every index on the table (reference Delete hook,
     * src/hnsw/hnsw_index.cpp:466-482). The doomed rowid set streams to the
     * driver partition-by-partition — "delete 1% of 100TB" never materializes
-    * all ids at once. */
+    * all ids at once. Only rowids whose vector was actually indexed are
+    * tombstoned (a NULL-vector row was never in the index), and only
+    * confirmed deletes land in the WAL. */
   def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
     val existing = spark.table(table)
-    val indexes = IndexCatalog.list.filter(_.table == table)
-    // per indexed column: only rowids whose vector was actually indexed may
-    // be tombstoned (a NULL-vector row was never in the index, and a stray
-    // tombstone corrupts the sharded index's size accounting)
-    indexes.groupBy(_.column).foreach { case (column, idxs) =>
-      existing.where(cond && col(column).isNotNull).select(col(RowIdCol))
-        .toLocalIterator().forEachRemaining { r =>
-          val id = r.getLong(0)
-          idxs.foreach(_.index.delete(id))
-        }
+    IndexCatalog.list.filter(_.table == table).foreach { e =>
+      IndexCatalog.withWal(e.name) { wal =>
+        existing.where(cond && col(e.column).isNotNull).select(col(RowIdCol))
+          .toLocalIterator().forEachRemaining { r =>
+            val id = r.getLong(0)
+            if (e.index.delete(id)) wal.foreach(_.delete(id))
+          }
+      }
     }
     val remaining = existing.where(!cond || cond.isNull)
     remaining.createOrReplaceTempView(table)

@@ -30,10 +30,19 @@ object GraftSql {
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
   // the reference's vss_join table macro in its canonical invocation form
-  // (reference src/hnsw/hnsw_index_macros.cpp:107-110); the correlated
-  // vss_match form needs a lateral context — use the Scala API or SQL LATERAL
+  // (reference src/hnsw/hnsw_index_macros.cpp:107-110)
   private val VssJoinRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+vss_join\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*(\w+)\s*,\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)\s*;?\s*""".r
+  // the correlated vss_match macro as the reference invokes it:
+  //   SELECT ... FROM <outer>, vss_match(<right>, <outer_col>, <right_col>, k
+  //     [, metric := '...']) [AS <alias>]
+  // (reference src/hnsw/hnsw_index_macros.cpp:112-113,
+  // test/sql/hnsw/hnsw_join_macro.test:27). The whole comma-join clause is
+  // rewritten onto the engine's vssMatch operator (outer columns + `matches`),
+  // registered as a temp view, and the rest of the statement runs unchanged.
+  private val VssMatchFromRe =
+    ("""(?is)FROM\s+(\w+)\s*,\s*vss_match\(\s*'?(\w+)'?\s*,\s*(?:(\w+)\.)?(\w+)\s*,\s*(\w+)\s*,""" +
+      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+\w+)?""").r
 
   /** Parse `metric = 'cosine', ef_construction = 200` into an options map
     * (quotes optional, keys case-insensitive — validation happens in
@@ -70,6 +79,20 @@ object GraftSql {
     case VssJoinRe(left, right, leftCol, rightCol, k, metric) =>
       graft.operators.VssJoins.vssJoin(spark.table(left), spark.table(right),
         leftCol, rightCol, k.toInt, Option(metric).getOrElse("l2sq"))
+    case stmt if VssMatchFromRe.findFirstMatchIn(stmt).isDefined =>
+      val m = VssMatchFromRe.findFirstMatchIn(stmt).get
+      val (left, right) = (m.group(1), m.group(2))
+      val (leftCol, rightCol) = (m.group(4), m.group(5))
+      val k = m.group(6).toInt
+      val metric = Option(m.group(7)).getOrElse("l2sq")
+      val matched = graft.operators.VssJoins.vssMatch(
+          spark.table(left), spark.table(right), leftCol, rightCol, k, metric)
+        .select(org.apache.spark.sql.functions.col("left_tbl.*"),
+          org.apache.spark.sql.functions.col("matches"))
+      val view = s"__vss_match_${math.abs(stmt.hashCode).toString}"
+      matched.createOrReplaceTempView(view)
+      Graft.registerFunctions(spark)
+      spark.sql(stmt.substring(0, m.start) + s"FROM $view" + stmt.substring(m.end))
     case other =>
       Graft.registerFunctions(spark)
       spark.sql(other)

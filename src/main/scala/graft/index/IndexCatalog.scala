@@ -101,7 +101,7 @@ object IndexCatalog {
 
   def get(name: String): Option[IndexEntry] = entries.get(name)
   def list: Seq[IndexEntry] = entries.values.toSeq.sortBy(_.name)
-  def clear(): Unit = entries.clear()
+  def clear(): Unit = { entries.clear(); walDir = None }
 
   /** Query-time ef: session conf beats the index's build-time default. */
   def effectiveEf(spark: SparkSession, entry: IndexEntry): Int =
@@ -157,32 +157,8 @@ object IndexCatalog {
 
     val index: VectorIndex =
       if (sharded) {
-        // Executor-resident build: each task constructs its partition's
-        // sub-graph AND persists it to shared storage in place; only
-        // ShardMeta (path + stats) returns to the driver. Driver memory is
-        // O(shards), never the vectors — the scale contract the driver-
-        // collected variant could not meet. Artifact paths are versioned so
-        // per-JVM shard caches never go stale.
-        val shardDir = s"$indexArtifactDir/$name-${System.currentTimeMillis()}"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
-        val metas = pairs.rdd.mapPartitionsWithIndex { (pid, it) =>
-          var idx: HnswIndex = null
-          it.foreach { row =>
-            val vec = row.getSeq[Float](1).toArray
-            if (idx == null) {
-              idx = new HnswIndex(vec.length, opts.metric, opts.m, opts.m0,
-                opts.efConstruction, opts.efSearch)
-            }
-            idx.add(row.getLong(0), vec)
-          }
-          if (idx == null) Iterator.empty
-          else {
-            val p = s"$shardDir/shard-$pid.hnsw"
-            idx.save(p)
-            Iterator.single(ShardMeta(p, idx.dim, idx.metric, idx.size,
-              idx.levels, idx.levelStats, idx.approxMemoryBytes, idx.capacity))
-          }
-        }.collect()
+        val metas = buildShardMetas(pairs,
+          s"$indexArtifactDir/$name-${System.currentTimeMillis()}", opts)
         if (metas.isEmpty) {
           emptyIndexOrThrow(table, opts)
         } else new ShardedHnswIndex(metas)
@@ -197,13 +173,44 @@ object IndexCatalog {
         } else buildSingle(it, opts)
       }
 
-    // withCachedData: optimizer rules compare against the *cache-substituted*
-    // plan (registerTable caches), which is what query plans contain by the
-    // time custom rules run.
+    // withCachedData: the rules compare against the plan AFTER Spark's cache
+    // substitution, which is the shape query plans have by the time custom
+    // optimizer rules run. (registerTable itself serves write-once parquet —
+    // nothing here relies on Dataset caching.)
     val entry = IndexEntry(name, table, column, opts, index,
       df.queryExecution.withCachedData, rowidCol)
     entries(name) = entry
     entry
+  }
+
+  /** Executor-resident shard build, shared by CREATE INDEX (sharded) and
+    * batch ingest (Graft.insertInto): each task constructs its partition's
+    * sub-graph AND persists it to shared storage in place; only ShardMeta
+    * (path + stats + key Bloom filter) returns to the driver. Driver memory
+    * is O(shards), never the vectors — the scale contract a driver-collected
+    * build could not meet. `shardDir` must be fresh per call (artifact paths
+    * are immutable so per-JVM shard caches never go stale). `pairs` must be
+    * (rowid BIGINT, vec ARRAY<FLOAT>) with NULL vectors already filtered. */
+  def buildShardMetas(pairs: DataFrame, shardDir: String,
+      opts: HnswOptions): Array[ShardMeta] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+    pairs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx: HnswIndex = null
+      it.foreach { row =>
+        val vec = row.getSeq[Float](1).toArray
+        if (idx == null) {
+          idx = new HnswIndex(vec.length, opts.metric, opts.m, opts.m0,
+            opts.efConstruction, opts.efSearch)
+        }
+        idx.add(row.getLong(0), vec)
+      }
+      if (idx == null) Iterator.empty
+      else {
+        val p = s"$shardDir/shard-$pid.hnsw"
+        idx.save(p)
+        Iterator.single(ShardMeta.of(p, idx))
+      }
+    }.collect()
   }
 
   /** Empty-table index: legal when `dimensions` is declared (the reference
@@ -336,7 +343,10 @@ object IndexCatalog {
 
   /** CHECKPOINT: persist all index artifacts + a catalog manifest so a
     * restarted session can reload them. Refuses unless the experimental-
-    * persistence gate is set, with the reference's error wording. */
+    * persistence gate is set, with the reference's error wording. A fresh
+    * checkpoint captures the complete index state, so it truncates any WAL
+    * from the previous checkpoint epoch and arms WAL logging for DML that
+    * follows (see [[withWal]]). */
   def checkpoint(spark: SparkSession, dir: String): Seq[String] = {
     // no HNSW indexes → nothing vss-gated to persist; DuckDB's core
     // CHECKPOINT succeeds regardless of the extension's gate
@@ -354,26 +364,122 @@ object IndexCatalog {
     val out = new java.io.ObjectOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
     try out.writeObject(manifest) finally out.close()
+    list.foreach(e => java.nio.file.Files.deleteIfExists(walFile(dir, e.name)))
+    walDir = Some(dir)
     paths
+  }
+
+  // --- WAL-analog incremental persistence --------------------------------
+  // The reference persists HNSW indexes at CHECKPOINT and relies on DuckDB's
+  // WAL to replay DML that happened after the last checkpoint
+  // (reference test/sql/hnsw/hnsw_insert_wal.test). The engine's analog:
+  // once a checkpoint exists, every index DML batch appends records to
+  // `<checkpointDir>/<index>.wal`; `restoreAll` replays the log on top of
+  // the restored artifact, so inserts/deletes between checkpoint and crash
+  // survive a restart. The next checkpoint captures full state and truncates
+  // the logs.
+
+  @volatile private var walDir: Option[String] = None
+
+  private def walFile(dir: String, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, s"$name.wal")
+
+  /** Append-only writer for one index's post-checkpoint DML records. */
+  final class WalWriter private[IndexCatalog] (out: java.io.DataOutputStream) {
+    def insert(key: Long, vec: Array[Float]): Unit = {
+      out.writeByte(0); out.writeLong(key); out.writeInt(vec.length)
+      var i = 0
+      while (i < vec.length) { out.writeFloat(vec(i)); i += 1 }
+    }
+    def delete(key: Long): Unit = { out.writeByte(1); out.writeLong(key) }
+    /** Batch-ingest shards are already durable artifacts on shared storage;
+      * the WAL only records their metas so restore re-attaches them. */
+    def appendShards(metas: Array[ShardMeta]): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val os = new java.io.ObjectOutputStream(buf)
+      try os.writeObject(metas) finally os.close()
+      val bytes = buf.toByteArray
+      out.writeByte(2); out.writeInt(bytes.length); out.write(bytes)
+    }
+  }
+
+  /** Run `body` with a WAL writer for `name` if WAL logging is armed (a
+    * checkpoint happened this epoch), else with None. One call = one DML
+    * batch = one open/flush of the log file. */
+  def withWal[T](name: String)(body: Option[WalWriter] => T): T = walDir match {
+    case Some(dir) if entries.contains(name) =>
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(walFile(dir, name),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)))
+      try body(Some(new WalWriter(out))) finally out.close()
+    case _ => body(None)
+  }
+
+  private def asSharded(idx: VectorIndex): Option[ShardedHnswIndex] = idx match {
+    case sh: ShardedHnswIndex => Some(sh)
+    case l: LazyLoadedIndex => asSharded(l.resolved)
+    case _ => None
+  }
+
+  /** Replay one index's WAL records (in order) onto its restored artifact. */
+  private def replayWal(entry: IndexEntry, path: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(path)) return
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      var tag = in.read()
+      while (tag >= 0) {
+        tag match {
+          case 0 =>
+            val key = in.readLong()
+            val vec = new Array[Float](in.readInt())
+            var i = 0
+            while (i < vec.length) { vec(i) = in.readFloat(); i += 1 }
+            entry.index.insert(key, vec)
+          case 1 =>
+            entry.index.delete(in.readLong())
+          case 2 =>
+            val bytes = new Array[Byte](in.readInt())
+            in.readFully(bytes)
+            val metas = new java.io.ObjectInputStream(
+              new java.io.ByteArrayInputStream(bytes)).readObject()
+              .asInstanceOf[Array[ShardMeta]]
+            asSharded(entry.index).getOrElse(throw new IllegalStateException(
+              s"WAL shard-append record for non-sharded index ${entry.name}"))
+              .appendShards(metas)
+          case other =>
+            throw new IllegalStateException(s"corrupt WAL record tag $other in $path")
+        }
+        tag = in.read()
+      }
+    } finally in.close()
   }
 
   /** Restart recovery: re-register every checkpointed index with a LAZY
     * artifact load — full deserialization is deferred to first access, the
     * reference's deferred-load behavior (reference README.md:76,
-    * src/hnsw/hnsw_index.cpp:193-206). Tables must already be registered
-    * (they are storage-backed; see Graft.registerTable). */
+    * src/hnsw/hnsw_index.cpp:193-206). DML that happened after the
+    * checkpoint is replayed from the per-index WAL (the reference gets this
+    * from DuckDB's WAL replay, test/sql/hnsw/hnsw_insert_wal.test); an index
+    * with a non-empty WAL is force-loaded by the replay itself. Tables must
+    * already be registered (they are storage-backed; see
+    * Graft.registerTable). */
   def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
     val in = new java.io.ObjectInputStream(
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
     val manifest =
       try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
       finally in.close()
-    manifest.map { case (name, table, column, opts, rowidCol, path) =>
+    val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
         spark.table(table).queryExecution.withCachedData, rowidCol)
       entries(name) = entry
       entry
     }
+    restored.foreach(e => replayWal(e, walFile(dir, e.name)))
+    walDir = Some(dir) // keep logging: the WAL stays the post-checkpoint history
+    restored
   }
 
   /** Lazy reload of a persisted index into the catalog (deferred full

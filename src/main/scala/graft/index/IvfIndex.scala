@@ -66,7 +66,12 @@ object IvfIndex {
   def train(df: DataFrame, vecCol: String, nLists: Int, metric: String,
       iters: Int = 10, sampleCap: Int = 10000, seed: Long = 42L): Array[Array[Float]] = {
     require(nLists > 0, "nLists must be positive")
+    // hash-ordered cap instead of limit(): limit takes whatever partitions
+    // answer first, so the sample would depend on partition layout — the
+    // xxhash64 order is a deterministic pseudo-random draw from the data
+    // itself (TakeOrderedAndProject: no full shuffle)
     val rows = df.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol)))
       .limit(sampleCap).collect()
     require(rows.nonEmpty, "cannot train IVF on an empty table")
     val sample = rows.map(_.getSeq[Float](0).toArray)

@@ -1,10 +1,13 @@
 package graft.index
 
 /** Minimal Bloom filter over Long keys (split-mix double hashing), ~10
-  * bits/key ≈ 1% false positives. Carried in [[ShardMeta]] so the DRIVER can
-  * attribute tombstones to shards without ever loading a shard graph: a
-  * filter answers "might shard S contain rowid R?" in O(1) driver memory.
-  * No false negatives — a key the filter rejects is definitely absent. */
+  * bits/key ≈ 1% false positives. Carried in [[ShardMeta.keyFilter]] so the
+  * DRIVER can attribute tombstones to shards without loading a shard graph:
+  * the filter answers "might shard S contain rowid R?" in O(1) driver
+  * memory, pruning both the per-shard tombstone accounting
+  * (ShardedHnswIndex.delete/fetchK) and membership probes
+  * (ShardedHnswIndex.contains). No false negatives — a key the filter
+  * rejects is definitely absent. */
 final class LongBloomFilter private (
     private val bits: Array[Long],
     private val numHashes: Int) extends Serializable {

@@ -4,6 +4,7 @@ import java.io.{ObjectInputStream, ObjectOutputStream}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 
 /** Common surface of the engine's ANN indexes — the reference's
   * `HNSWIndex` API (reference src/hnsw/hnsw_index.hpp:24-119) expressed
@@ -49,7 +50,10 @@ class SingleHnswIndex(val underlying: HnswIndex) extends VectorIndex {
 }
 
 /** Build-time statistics of one shard, carried instead of the shard itself:
-  * the driver never holds shard graphs, only this metadata. */
+  * the driver never holds shard graphs, only this metadata. `keyFilter` is a
+  * Bloom filter over the shard's keys (~10 bits/key), letting the driver
+  * answer "might shard S contain rowid R?" in O(1) without loading the
+  * graph — the basis for per-shard tombstone attribution. */
 case class ShardMeta(
     path: String,
     dim: Int,
@@ -58,60 +62,141 @@ case class ShardMeta(
     levels: Int,
     levelStats: Seq[LevelStats],
     approxMemoryBytes: Long,
-    capacity: Long)
+    capacity: Long,
+    keyFilter: LongBloomFilter)
 
-/** Per-JVM cache of loaded shard graphs. On an executor, a shard is read
-  * from shared storage once and reused across tasks; artifact paths are
-  * immutable (every build/compaction writes NEW files), so entries never go
-  * stale. */
+object ShardMeta {
+  /** Snapshot an index that was just persisted to `path`. */
+  def of(path: String, idx: HnswIndex): ShardMeta =
+    ShardMeta(path, idx.dim, idx.metric, idx.size, idx.levels, idx.levelStats,
+      idx.approxMemoryBytes, idx.capacity, LongBloomFilter.ofIndex(idx))
+}
+
+/** Per-JVM LRU cache of loaded shard graphs, capped at
+  * `graft.shardCache.maxEntries` (sys prop, default 32). On an executor a
+  * shard is read from shared storage once and reused across tasks; artifact
+  * paths are immutable (every build/compaction writes NEW files), so entries
+  * never go stale — eviction is purely a residency bound. The executor-memory
+  * contract: resident shard bytes <= maxEntries × max(shard size). Query
+  * paths that stream shards (ShardedHnswIndex.searchBatch) touch them
+  * sequentially and in a fixed order, so concurrent tasks share the hot
+  * entry instead of thrashing the cap. */
 object ShardCache {
-  private val cache = TrieMap.empty[String, HnswIndex]
-  def get(path: String): HnswIndex = cache.getOrElseUpdate(path, HnswIndex.load(path))
-  def evict(path: String): Unit = cache.remove(path)
-  def clear(): Unit = cache.clear()
+  private def maxEntries: Int =
+    sys.props.get("graft.shardCache.maxEntries").map(_.toInt).getOrElse(32)
+
+  private val cache = new java.util.LinkedHashMap[String, HnswIndex](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, HnswIndex]): Boolean = size() > maxEntries
+  }
+
+  def get(path: String): HnswIndex = {
+    cache.synchronized(Option(cache.get(path))) match {
+      case Some(idx) => idx
+      case None =>
+        // load OUTSIDE the lock: a shard read must not serialize every other
+        // task's cache hit. Two tasks racing the same path both load; one
+        // copy wins the cache (wasted read, never wrong — artifacts are
+        // immutable).
+        val idx = HnswIndex.load(path)
+        cache.synchronized(cache.put(path, idx))
+        idx
+    }
+  }
+  def evict(path: String): Unit = cache.synchronized(cache.remove(path))
+  def clear(): Unit = cache.synchronized(cache.clear())
+  def residentCount: Int = cache.synchronized(cache.size())
 }
 
 /** Executor-resident sharded index — the 100TB-scale path.
   *
   * Build: one HNSW sub-graph per input partition, constructed ON the
-  * executors and persisted to shared storage there (ShardedHnswIndex.build);
-  * the driver only ever holds `ShardMeta` (paths + stats). Queries fan out
-  * over the shard artifacts — `searchDistributed` runs one task per shard
-  * and k-way-merges k hits per shard on the driver (driver memory =
-  * O(shards × k), never the vectors). Broadcasting this object ships only
-  * paths + the DML delta, so the KNN-join exec's broadcast stays tiny;
-  * executors pull shards through the per-JVM [[ShardCache]].
+  * executors and persisted to shared storage there (IndexCatalog.createIndex
+  * sharded branch); the driver only ever holds `ShardMeta` (paths + stats +
+  * key Bloom filter). Queries fan out over the shard artifacts —
+  * `searchDistributed` runs one task per shard and k-way-merges k hits per
+  * shard on the driver (driver memory = O(shards × k), never the vectors).
+  * Broadcasting this object ships only metas + the DML delta, so the
+  * KNN-join exec's broadcast stays tiny; executors pull shards through the
+  * per-JVM [[ShardCache]], whose LRU cap bounds residency to
+  * cap × max(shard) rather than Σ(shards).
   *
-  * DML is LSM-ish: inserts land in a driver-side delta graph, deletes in a
-  * tombstone key set; both are merged into every search. `compacted()`
-  * rewrites shard artifacts without tombstoned keys and folds the delta into
-  * a new shard (new files — caches can't go stale).
+  * DML is LSM-ish: small inserts land in a driver-side delta graph (large
+  * batches arrive as whole new shards via [[appendShards]]), deletes in a
+  * tombstone key set attributed per shard through the key Bloom filters;
+  * both are merged into every search. `compacted()` rewrites shard artifacts
+  * without tombstoned keys and folds the delta into a new shard (new files
+  * under the shared artifact dir — caches can't go stale, and executors can
+  * resolve the rewritten paths).
   *
   * Trade vs the single-graph index (same as the reference's RAM-bound
   * design note, reference README.md:74): a query costs shards × search(k)
   * work, in exchange for build and storage that scale horizontally with
-  * partitions and per-executor memory bounded by one shard. */
-class ShardedHnswIndex(
-    val shards: Array[ShardMeta],
+  * partitions and per-executor memory bounded by the shard-cache cap. */
+class ShardedHnswIndex private (
+    @volatile private var shards0: Array[ShardMeta],
     @volatile private var delta: HnswIndex,
     private val deletedKeys: java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean])
   extends VectorIndex {
-  require(shards.nonEmpty, "sharded index needs at least one shard")
+  require(shards0.nonEmpty, "sharded index needs at least one shard")
 
   def this(shards: Array[ShardMeta]) =
     this(shards, null, new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]())
 
-  def dim: Int = shards.head.dim
-  def metric: String = shards.head.metric
+  def shards: Array[ShardMeta] = shards0
+
+  /** Tombstones attributed to each shard path (Bloom-guided, exact when the
+    * delete path verified membership). `fetchK` over-fetches a shard search
+    * by ITS OWN tombstone count only — delete-heavy workloads no longer
+    * degrade every shard's queries (round-3 finding). Rebuilt from
+    * `deletedKeys` × filters on deserialize/load. */
+  private val shardTombstones = TrieMap.empty[String, Int]
+  rebuildShardTombstones()
+
+  private def rebuildShardTombstones(): Unit = {
+    shardTombstones.clear()
+    val it = deletedKeys.keySet().iterator()
+    while (it.hasNext) {
+      val key = it.next().longValue()
+      shards0.foreach { s =>
+        if (s.keyFilter != null && s.keyFilter.maybeContains(key)) {
+          shardTombstones.update(s.path, shardTombstones.getOrElse(s.path, 0) + 1)
+        }
+      }
+    }
+  }
+
+  /** Java deserialization (broadcast / manifest load) skips the constructor
+    * body, so re-derive the per-shard attribution. */
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    rebuildShardTombstones()
+  }
+
+  private def tombstonesOf(s: ShardMeta): Int =
+    if (s.keyFilter == null) deletedKeys.size() // no filter → global over-fetch
+    else shardTombstones.getOrElse(s.path, 0)
+
+  /** Introspection: tombstones attributed to one shard artifact (bounds that
+    * shard's search over-fetch). */
+  def tombstonesForShard(path: String): Int = shardTombstones.getOrElse(path, 0)
+
+  /** Introspection: rows currently in the driver-side delta graph (bulk
+    * ingest keeps this at zero by appending executor-built shards). */
+  def pendingDeltaSize: Int = deltaSize
+
+  def dim: Int = shards0.head.dim
+  def metric: String = shards0.head.metric
 
   private def deltaSize: Int = if (delta == null) 0 else delta.size
-  def size: Int = shards.map(_.count).sum + deltaSize - deletedKeys.size()
+  def size: Int = shards0.map(_.count).sum + deltaSize - deletedKeys.size()
   def deletedCount: Int = deletedKeys.size()
 
   def contains(key: Long): Boolean =
     (delta != null && delta.contains(key)) ||
       (!deletedKeys.containsKey(key) &&
-        shards.exists(s => ShardCache.get(s.path).contains(key)))
+        shards0.exists(s => (s.keyFilter == null || s.keyFilter.maybeContains(key)) &&
+          ShardCache.get(s.path).contains(key)))
 
   /** Tombstones apply to SHARD hits only — the delta is newer data and a
     * delta key is removed from the delta directly on delete. */
@@ -124,29 +209,75 @@ class ShardedHnswIndex(
   }
 
   /** Per-shard fetch size: tombstones are filtered AFTER the shard search,
-    * so over-fetch by the tombstone count or k live hits could be lost. */
-  private def fetchK(k: Int): Int = k + deletedKeys.size()
+    * so over-fetch by THAT shard's tombstone count or k live hits could be
+    * lost. */
+  private def fetchK(k: Int, s: ShardMeta): Int = k + tombstonesOf(s)
 
   /** Local fan-out: shards stream through the per-JVM cache. On an executor
-    * (KNN join) this is the intended path; on the driver prefer
-    * [[searchDistributed]] for one-off queries so shards stay remote. */
+    * (KNN join) prefer [[searchBatch]] over per-row calls; on the driver
+    * prefer [[searchDistributed]] for one-off queries so shards stay remote. */
   def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] = {
-    val kk = fetchK(k)
     mergeHits(
-      shards.iterator.flatMap(s => ShardCache.get(s.path).search(q, kk, ef).iterator),
+      shards0.iterator.flatMap(s =>
+        ShardCache.get(s.path).search(q, fetchK(k, s), ef).iterator),
       q, k, ef)
+  }
+
+  private def hitOrdering: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+
+  /** Batched shard-major search — the KNN-join execution path. Walks the
+    * shards in a FIXED order, one at a time, scoring every query against the
+    * resident shard before moving on: per-task residency is ONE shard
+    * regardless of shard count (concurrent tasks walk in the same order, so
+    * they share the ShardCache's hot entry instead of thrashing). Memory:
+    * queries.length bounded per-query top-k heaps (O(batch × k)). Results
+    * per query are exact w.r.t. the per-shard searches: merged across shards
+    * + delta, tombstone-filtered, tie-broken by (dist, key). */
+  def searchBatch(queries: Array[Array[Float]], k: Int,
+      ef: Int = -1): Array[Array[(Long, Double)]] = {
+    if (queries.isEmpty) return Array.empty
+    implicit val worstFirst: Ordering[(Double, Long)] = hitOrdering
+    val heaps = Array.fill(queries.length)(
+      mutable.PriorityQueue.empty[(Double, Long)](worstFirst)) // max-heap: worst on top
+    def offer(heap: mutable.PriorityQueue[(Double, Long)], cand: (Double, Long)): Unit =
+      if (heap.size < k) heap.enqueue(cand)
+      else if (worstFirst.compare(cand, heap.head) < 0) { heap.dequeue(); heap.enqueue(cand) }
+    shards0.foreach { s =>
+      val g = ShardCache.get(s.path)
+      val kk = fetchK(k, s)
+      var qi = 0
+      while (qi < queries.length) {
+        val hits = g.search(queries(qi), kk, ef)
+        var h = 0
+        var kept = 0
+        while (h < hits.length && kept < k) {
+          val (key, d) = hits(h)
+          if (!deletedKeys.containsKey(key)) { offer(heaps(qi), (d, key)); kept += 1 }
+          h += 1
+        }
+        qi += 1
+      }
+    }
+    Array.tabulate(queries.length) { qi =>
+      if (delta != null) {
+        delta.search(queries(qi), k, ef).foreach { case (key, d) =>
+          offer(heaps(qi), (d, key))
+        }
+      }
+      heaps(qi).toArray.sorted(hitOrdering).map { case (d, key) => (key, d) }
+    }
   }
 
   /** Cluster fan-out: one task per shard, k hits back per shard, exact k-way
     * merge on the driver. Driver memory O(shards × k). */
   def searchDistributed(sc: org.apache.spark.SparkContext, q: Array[Float], k: Int,
       ef: Int = -1): Array[(Long, Double)] = {
-    val paths = shards.map(_.path).toSeq
+    val work = shards0.map(s => (s.path, fetchK(k, s))).toSeq
     val qb = q
-    val kk = fetchK(k)
     val hits = sc
-      .parallelize(paths, paths.length)
-      .flatMap(p => ShardCache.get(p).search(qb, kk, ef))
+      .parallelize(work, work.length)
+      .flatMap { case (p, kk) => ShardCache.get(p).search(qb, kk, ef) }
       .collect()
     mergeHits(hits.iterator, q, k, ef)
   }
@@ -155,7 +286,9 @@ class ShardedHnswIndex(
     * shard artifacts stay immutable until compaction. Keys follow the
     * engine's rowid contract: fresh, never reused — re-inserting a key that
     * a shard already holds would leave two live copies (same as re-using a
-    * DuckDB row_t), so tombstones are deliberately NOT cleared here. */
+    * DuckDB row_t), so tombstones are deliberately NOT cleared here. Bulk
+    * ingest should prefer [[appendShards]] (executor-built artifacts) so the
+    * delta — and driver memory — stays small. */
   def insert(key: Long, vec: Array[Float]): Unit = synchronized {
     if (delta == null) {
       delta = new HnswIndex(dim, metric)
@@ -163,21 +296,59 @@ class ShardedHnswIndex(
     delta.add(key, vec)
   }
 
-  /** Delta keys are removed in place; anything else is tombstoned against
-    * the shard artifacts. (A never-indexed key thus still lands a tombstone:
-    * callers — Graft.deleteFrom — only pass rowids whose vector was indexed.) */
+  /** Append executor-built shard artifacts (the batch-ingest path: rows →
+    * per-partition sub-graphs persisted to shared storage → only their
+    * ShardMeta lands here). Driver memory grows by O(metadata), never the
+    * vectors. */
+  def appendShards(metas: Array[ShardMeta]): Unit = synchronized {
+    if (metas.nonEmpty) {
+      require(metas.head.dim == dim && metas.head.metric == metric,
+        s"shard batch (dim=${metas.head.dim}, metric=${metas.head.metric}) " +
+          s"does not match index (dim=$dim, metric=$metric)")
+      shards0 = shards0 ++ metas
+    }
+  }
+
+  /** Delta keys are removed in place; shard-resident keys are tombstoned
+    * against their OWNING shard (Bloom-pruned exact membership check — at
+    * most the filter-matching shards, typically one, are consulted through
+    * the cache). Returns true only if the key was actually present and live:
+    * a stray key neither lands a tombstone nor corrupts `size()`
+    * (round-3 finding). */
   def delete(key: Long): Boolean = synchronized {
     if (delta != null && delta.contains(key)) delta.remove(key)
-    else { deletedKeys.put(key, java.lang.Boolean.TRUE); true }
+    else if (deletedKeys.containsKey(key)) false
+    else {
+      val owner = shards0.find(s =>
+        (s.keyFilter == null || s.keyFilter.maybeContains(key)) &&
+          ShardCache.get(s.path).contains(key))
+      owner match {
+        case Some(s) =>
+          deletedKeys.put(key, java.lang.Boolean.TRUE)
+          shardTombstones.update(s.path, shardTombstones.getOrElse(s.path, 0) + 1)
+          true
+        case None => false
+      }
+    }
+  }
+
+  private def freshCompactDir(): String = {
+    val dir = s"${IndexCatalog.indexArtifactDir}/compact-${System.currentTimeMillis()}-${System.nanoTime() % 1000000}"
+    Files.createDirectories(Paths.get(dir))
+    dir
   }
 
   /** Rewrite shards without tombstoned keys, folding the delta into an extra
-    * shard. New artifact files — per-JVM caches stay valid by construction.
-    * (At cluster scale the per-shard rewrite runs as one task per shard; the
-    * local loop is the same operation executed driver-side.) */
+    * shard. New artifact files under the SHARED artifact dir
+    * (IndexCatalog.indexArtifactDir) — per-JVM caches stay valid by
+    * construction, and executors on a real cluster can resolve the rewritten
+    * paths (a driver-local temp dir could not be dereferenced by a
+    * subsequent KNN join's tasks; round-3 finding). At cluster scale prefer
+    * [[compactedDistributed]] — this local loop is the same operation
+    * executed driver-side. */
   def compacted(): VectorIndex = synchronized {
-    val dir = Files.createTempDirectory("graft-compact").toString
-    val newShards = shards.zipWithIndex.flatMap { case (s, i) =>
+    val dir = freshCompactDir()
+    val newShards = shards0.zipWithIndex.flatMap { case (s, i) =>
       val idx = ShardCache.get(s.path)
       val keep = new HnswIndex(idx.dim, idx.metric, idx.m, idx.m0, idx.efConstruction, idx.efSearch)
       idx.forEachLive { (key, vec) =>
@@ -187,16 +358,14 @@ class ShardedHnswIndex(
       else {
         val p = s"$dir/shard-$i.hnsw"
         keep.save(p)
-        Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
-          keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+        Some(ShardMeta.of(p, keep))
       }
     }
     val deltaShard = if (delta == null || delta.size == 0) None else {
       val keep = delta.compact()
       val p = s"$dir/shard-delta.hnsw"
       keep.save(p)
-      Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
-        keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+      Some(ShardMeta.of(p, keep))
     }
     val all = newShards ++ deltaShard
     if (all.isEmpty) throw new IllegalStateException("compaction removed every vector")
@@ -216,7 +385,7 @@ class ShardedHnswIndex(
       while (it.hasNext) b += it.next()
       b.result()
     }
-    val newShards = sc.parallelize(shards.zipWithIndex.toSeq, shards.length)
+    val newShards = sc.parallelize(shards0.zipWithIndex.toSeq, shards0.length)
       .flatMap { case (s, i) =>
         val idx = ShardCache.get(s.path)
         val keep = new HnswIndex(idx.dim, idx.metric, idx.m, idx.m0,
@@ -226,16 +395,14 @@ class ShardedHnswIndex(
         else {
           val p = s"$destDir/shard-$i.hnsw"
           keep.save(p)
-          Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
-            keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+          Some(ShardMeta.of(p, keep))
         }
       }.collect()
     val deltaShard = if (delta == null || delta.size == 0) None else {
       val keep = delta.compact()
       val p = s"$destDir/shard-delta.hnsw"
       keep.save(p)
-      Some(ShardMeta(p, keep.dim, keep.metric, keep.size, keep.levels,
-        keep.levelStats, keep.approxMemoryBytes, keep.capacity))
+      Some(ShardMeta.of(p, keep))
     }
     val all = newShards ++ deltaShard
     if (all.isEmpty) throw new IllegalStateException("compaction removed every vector")
@@ -247,7 +414,7 @@ class ShardedHnswIndex(
   def save(path: String): Unit = synchronized {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val copied = shards.zipWithIndex.map { case (s, i) =>
+    val copied = shards0.zipWithIndex.map { case (s, i) =>
       val dest = dir.resolve(s"shard-$i.hnsw")
       Files.copy(Paths.get(s.path), dest, StandardCopyOption.REPLACE_EXISTING)
       s.copy(path = dest.toString)
@@ -260,9 +427,9 @@ class ShardedHnswIndex(
     } finally out.close()
   }
 
-  def levels: Int = (shards.map(_.levels) ++ Option(delta).map(_.levels)).max
+  def levels: Int = (shards0.map(_.levels) ++ Option(delta).map(_.levels)).max
   def levelStats: Seq[LevelStats] = {
-    val all = shards.map(_.levelStats) ++ Option(delta).map(_.levelStats)
+    val all = shards0.map(_.levelStats) ++ Option(delta).map(_.levelStats)
     (0 until levels).map { l =>
       val at = all.flatMap(_.lift(l))
       LevelStats(at.map(_.nodes).sum, at.map(_.edges).sum,
@@ -270,9 +437,9 @@ class ShardedHnswIndex(
     }
   }
   def approxMemoryBytes: Long =
-    shards.map(_.approxMemoryBytes).sum + Option(delta).map(_.approxMemoryBytes).getOrElse(0L)
+    shards0.map(_.approxMemoryBytes).sum + Option(delta).map(_.approxMemoryBytes).getOrElse(0L)
   def capacity: Long =
-    shards.map(_.capacity).sum + Option(delta).map(_.capacity).getOrElse(0L)
+    shards0.map(_.capacity).sum + Option(delta).map(_.capacity).getOrElse(0L)
 }
 
 /** Deferred-load proxy over a persisted index artifact: the artifact is

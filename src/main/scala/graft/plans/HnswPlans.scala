@@ -87,7 +87,16 @@ case class HnswKnnCandidates(
   * partition-parallel with no shuffle (the reference's batched
   * `PhysicalHNSWIndexJoin`, src/hnsw/hnsw_optimize_join.cpp:33-181; rank is
   * 1-indexed as there, :148). NULL outer vectors emit nothing (reference
-  * NULL semantics, test/sql/hnsw/hnsw_lateral_join.test:46-67). */
+  * NULL semantics, test/sql/hnsw/hnsw_lateral_join.test:46-67).
+  *
+  * Index residency per executor: a single-graph index is broadcast whole (it
+  * is RAM-resident by contract, reference README.md:74). A SHARDED index
+  * broadcasts only shard metadata; each task then buffers its outer
+  * partition and runs a shard-MAJOR batched search
+  * (ShardedHnswIndex.searchBatch) — shards stream through the LRU-capped
+  * per-JVM ShardCache one at a time, so executor memory is bounded by
+  * cache-cap × max(shard), never Σ(shards). Task memory adds the buffered
+  * outer partition + O(batch × k) result heaps. */
 case class HnswKnnCandidatesExec(
     indexName: String,
     k: Int,
@@ -113,25 +122,53 @@ case class HnswKnnCandidatesExec(
     child.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(outTypes)
       val width = if (withDist) n + 3 else n + 2
-      iter.flatMap { inRow =>
-        if (inRow.isNullAt(vecOrd)) Iterator.empty
-        else {
-          val r = inRow.copy()
-          val ad = r.getArray(vecOrd)
-          val q = new Array[Float](ad.numElements())
-          var i = 0
-          while (i < q.length) { q(i) = ad.getFloat(i); i += 1 }
-          bcIndex.value.search(q, kLocal, ef).iterator.zipWithIndex.map {
-            case ((rowid, dist), pos) =>
-              val vals = new Array[Any](width)
-              var j = 0
-              while (j < n) { vals(j) = r.get(j, childTypes(j)); j += 1 }
-              vals(n) = rowid
-              vals(n + 1) = pos + 1 // 1-indexed rank, IntegerType (row_number parity)
-              if (withDist) vals(n + 2) = dist
-              proj(new GenericInternalRow(vals)).copy(): InternalRow
-          }
+      def emit(r: InternalRow, hits: Array[(Long, Double)]): Iterator[InternalRow] =
+        hits.iterator.zipWithIndex.map { case ((rowid, dist), pos) =>
+          val vals = new Array[Any](width)
+          var j = 0
+          while (j < n) { vals(j) = r.get(j, childTypes(j)); j += 1 }
+          vals(n) = rowid
+          vals(n + 1) = pos + 1 // 1-indexed rank, IntegerType (row_number parity)
+          if (withDist) vals(n + 2) = dist
+          proj(new GenericInternalRow(vals)).copy(): InternalRow
         }
+      def queryVec(r: InternalRow): Array[Float] = {
+        val ad = r.getArray(vecOrd)
+        val q = new Array[Float](ad.numElements())
+        var i = 0
+        while (i < q.length) { q(i) = ad.getFloat(i); i += 1 }
+        q
+      }
+      val resolved = bcIndex.value match {
+        case l: graft.index.LazyLoadedIndex => l.resolved
+        case x => x
+      }
+      resolved match {
+        case sh: graft.index.ShardedHnswIndex =>
+          // shard-major batch: buffer the partition's outer rows, walk the
+          // shards sequentially (one resident at a time), merge per row
+          val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          val qs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          iter.foreach { inRow =>
+            if (!inRow.isNullAt(vecOrd)) {
+              val r = inRow.copy()
+              rows += r
+              qs += queryVec(r)
+            }
+          }
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val results = sh.searchBatch(qs.toArray, kLocal, ef)
+            rows.iterator.zipWithIndex.flatMap { case (r, i) => emit(r, results(i)) }
+          }
+        case idx =>
+          iter.flatMap { inRow =>
+            if (inRow.isNullAt(vecOrd)) Iterator.empty
+            else {
+              val r = inRow.copy()
+              emit(r, idx.search(queryVec(r), kLocal, ef))
+            }
+          }
       }
     }
   }

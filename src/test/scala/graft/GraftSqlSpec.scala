@@ -63,6 +63,32 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(cos.count() == 3)
   }
 
+  test("vss_match correlated macro invocation form (hnsw_join_macro.test:27)") {
+    spark.table("sql_emb").filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("s_vec"))
+      .createOrReplaceTempView("sql_s")
+    // the reference's own invocation: SELECT len(matches) = 3 FROM s,
+    // vss_match(t1, s_vec, vec, 3) as res — size() is Spark's len()
+    val lens = GraftSql.sql(spark,
+      "SELECT size(matches) = 3 FROM sql_s, vss_match(sql_emb, s_vec, embedding, 3) as res")
+      .collect()
+    assert(lens.length == 3 && lens.forall(_.getBoolean(0)))
+    // outer columns survive beside `matches`; best match of each row is itself
+    val out = GraftSql.sql(spark,
+      "SELECT qid, matches[0].row.vec_id AS best, matches[0].score AS s " +
+        "FROM sql_s, vss_match('sql_emb', s_vec, embedding, 2) ORDER BY qid")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    assert(out.forall(_.getDouble(2) == 0.0)) // l2 self-distance
+    // cosine metric keeps the k LARGEST scores (reference macro contract)
+    val cos = GraftSql.sql(spark,
+      "SELECT qid, matches[0].score AS s FROM sql_s, " +
+        "vss_match(sql_emb, s_vec, embedding, 1, metric := 'cosine') ORDER BY qid")
+      .collect()
+    assert(cos.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6)) // self-similarity
+  }
+
   test("every SparkEntry query has a matching oracle entry") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }

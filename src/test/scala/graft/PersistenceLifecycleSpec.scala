@@ -71,4 +71,61 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
         .select($"vec_id").as[Long].head() == 123456L)
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
+
+  test("WAL: DML between checkpoint and crash replays on restore (hnsw_insert_wal.test)") {
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wal").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "wal_t", emb)
+      IndexCatalog.dropIndex("wal_idx")
+      IndexCatalog.createIndex(spark, "wal_idx", "wal_t", "embedding",
+        Map("ef_search" -> "600"))
+      IndexCatalog.checkpoint(spark, dir)
+      val sizeAtCkpt = IndexCatalog.get("wal_idx").get.index.size
+
+      // post-checkpoint DML: an insert and a delete, both only in the WAL
+      val probe = Array.fill(64)(33f)
+      val newRows = Seq((555000L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+      Graft.insertInto(spark, "wal_t", newRows)
+      val victimVec = spark.table("wal_t").filter($"vec_id" === 7)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      Graft.deleteFrom(spark, "wal_t", $"vec_id" === 7)
+
+      // crash: catalog lost WITHOUT a fresh checkpoint; artifacts + WAL remain
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, dir)
+      val restored = IndexCatalog.get("wal_idx").get.index
+      assert(restored.size == sizeAtCkpt) // +1 insert, -1 delete
+      assert(Graft.indexTopK(spark, "wal_idx", probe, 1)
+        .select($"vec_id").as[Long].head() == 555000L)
+      assert(Graft.indexTopK(spark, "wal_idx", victimVec, 1)
+        .select($"vec_id").as[Long].head() != 7L)
+
+      // a sharded index replays big-batch shard appends from the WAL too
+      Graft.registerTable(spark, "wal_sh_t", emb)
+      IndexCatalog.dropIndex("wal_sh_idx")
+      IndexCatalog.createIndex(spark, "wal_sh_idx", "wal_sh_t", "embedding",
+        Map("ef_search" -> "2000"), sharded = true, numShards = 2)
+      IndexCatalog.checkpoint(spark, dir)
+      sys.props("graft.ingest.shardBatchThreshold") = "50"
+      try {
+        val batch = emb.filter($"vec_id" < 100)
+          .select(($"vec_id" + 700000).as("vec_id"), $"embedding", $"label")
+        Graft.insertInto(spark, "wal_sh_t", batch)
+      } finally sys.props.remove("graft.ingest.shardBatchThreshold")
+      val shSize = IndexCatalog.get("wal_sh_idx").get.index.size
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, dir)
+      val shRestored = IndexCatalog.get("wal_sh_idx").get.index
+      assert(shRestored.size == shSize)
+      // vec 700042 duplicates vec 42's vector (the batch is shifted clones),
+      // so both sit at distance 0 — the replayed shard must surface the clone
+      val bprobe = spark.table("wal_sh_t").filter($"vec_id" === 700042L)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      assert(Graft.indexTopK(spark, "wal_sh_idx", bprobe, 2)
+        .select($"vec_id").as[Long].collect().toSet.contains(700042L))
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
 }
