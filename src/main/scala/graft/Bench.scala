@@ -22,27 +22,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     // Warm-up outside timing: JVM, codegen, and parquet-footer costs land
-    // here instead of inflating the first measured query. The q16/q17/q34
-    // shared index and the q35/q36 shared SHARDED index are session-cached
-    // builds — running one query from each family here moves the build cost
-    // out of the measured runs, so per-query times compare across rounds
-    // (the builds are reported separately below).
+    // here instead of inflating the first measured query. Index builds are
+    // session-cached (SparkEntry.setupIndexOnce / sharedIndex / IVF reuse) —
+    // running one query from each index family here moves the build cost out
+    // of the measured runs, so per-query times compare across rounds; each
+    // family's warm-up time (build + one query) is reported as its own
+    // `build_*` metric below.
     run("q01_pricing_summary")
-    val tBuild0 = System.nanoTime()
-    run("q16_index_topk")
-    val sharedBuildSec = (System.nanoTime() - tBuild0) / 1e9
-    val tBuild1 = System.nanoTime()
-    run("q35_sharded_topk")
-    val shardedBuildSec = (System.nanoTime() - tBuild1) / 1e9
+    val buildMetrics = Seq(
+      "q16_index_topk" -> "build_shared_index",
+      "q35_sharded_topk" -> "build_sharded_index",
+      "q18_index_info" -> "build_q18_index",
+      "q28_embedding_neardup" -> "build_q28_index",
+      "q30_ivf_topk" -> "build_q30_ivf").map { case (q, metric) =>
+      val t0 = System.nanoTime()
+      run(q)
+      metric -> (System.nanoTime() - t0) / 1e9
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       run(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results ++ Seq(
-      "build_shared_index" -> sharedBuildSec,
-      "build_sharded_index" -> shardedBuildSec))
+    val qs = (results ++ buildMetrics)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
