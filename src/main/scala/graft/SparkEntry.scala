@@ -526,6 +526,57 @@ object SparkEntry {
           graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
         .orderBy(col("doc_id"))
 
+    /** Gopher-style repetition/diversity quality signals: type-token ratio,
+      * top-word mass, duplicate-2gram fraction, mean word length. */
+    def q37RepetitionSignals(s: SparkSession, dir: String): DataFrame =
+      graft.ops.TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+
+    /** Deterministic hash-split (train/val/test from md5 buckets of doc_id)
+      * with per-(split, lang) stratum rollup — reproducible regardless of
+      * partitioning, unlike rand()/sample(). */
+    def q38DeterministicSplit(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Sampling.withSplit(tbl(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("split"), col("lang"))
+
+    /** PII detect + redact over documents with deterministic synthetic PII
+      * appended (the fixture corpus carries none): per-kind match counts and
+      * the md5/length of the scrubbed text. */
+    def q39PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+      val r = graft.ops.Redaction
+      val pii = tbl(s, dir, "documents").withColumn("pii_text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com"),
+          lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+          lit(" from 10.0.0."), pmod(col("doc_id"), lit(256)).cast(StringType)))
+      pii.select(col("doc_id"),
+        r.piiCount(col("pii_text"), "email").as("n_emails"),
+        r.piiCount(col("pii_text"), "phone").as("n_phones"),
+        r.piiCount(col("pii_text"), "ipv4").as("n_ips"),
+        md5(r.redact(col("pii_text"))).as("red_md5"),
+        length(r.redact(col("pii_text"))).cast(LongType).as("red_len"))
+        .orderBy(col("doc_id"))
+    }
+
+    /** Gap-based sessionization (30-min gap) over event timestamps at µs
+      * resolution (DuckDB 1.0 truncates TIMESTAMP(NANOS) to µs, so the
+      * oracle can only see µs): per-session event counts and span. */
+    def q40Sessionize(s: SparkSession, dir: String): DataFrame = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts", expr("ts DIV 1000")) // nanos → µs
+      graft.ops.Sessionize
+        .sessionStats(ev, "user_id", "ts", gap = 30L * 60 * 1000000L,
+          tieCol = "event_id")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("span").cast(LongType).as("span"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }
+
     /** Multimodal binary-column plumbing: opaque payloads (UTF-8 bytes as
       * the fixture modality), byte-exact metadata, and REAL frame slicing —
       * n_frames/n_sampled come from materialized 64-byte frame arrays, which
@@ -601,6 +652,10 @@ object SparkEntry {
     "q34_grouped_knn" -> (Queries.q34GroupedKnn _),
     "q35_sharded_topk" -> (Queries.q35ShardedTopK _),
     "q36_sharded_knn_join" -> (Queries.q36ShardedKnnJoin _),
+    "q37_repetition_signals" -> (Queries.q37RepetitionSignals _),
+    "q38_deterministic_split" -> (Queries.q38DeterministicSplit _),
+    "q39_pii_redaction" -> (Queries.q39PiiRedaction _),
+    "q40_sessionize" -> (Queries.q40Sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -899,5 +954,77 @@ object SparkEntry {
          | FROM scored)
          |SELECT qid, count(*) AS n, min(dist) AS min_d, max(dist) AS max_d
          |FROM topk WHERE rn <= 5 GROUP BY qid ORDER BY qid""".stripMargin,
+    "q37_repetition_signals" ->
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |s AS (
+        | SELECT doc_id, ws,
+        |  len(ws) AS n_words,
+        |  len(list_distinct(ws)) AS n_distinct_words,
+        |  list_max(list_transform(list_distinct(ws),
+        |    d -> len(list_filter(ws, x -> x = d)))) AS top_word_cnt,
+        |  list_reduce(list_transform(ws, x -> len(x)), (a,b) -> a+b) AS sum_word_len,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN len(list_distinct(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])))
+        |   ELSE 0 END AS n_distinct_bigrams,
+        |  greatest(len(ws) - 1, 0) AS n_bigrams
+        | FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_ratio,
+        | CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        | CASE WHEN n_bigrams > 0
+        |  THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        | CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q38_deterministic_split" ->
+      """WITH b AS (
+        | SELECT *,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        | FROM documents),
+        |s AS (
+        | SELECT *, CASE WHEN bucket < 205 THEN 'train'
+        |                WHEN bucket < 230 THEN 'val'
+        |                ELSE 'test' END AS split
+        | FROM b)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS first_id
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q39_pii_redaction" -> {
+      val Seq(email, ipv4, phone) = graft.ops.Redaction.patterns.map(_._2)
+      val red = graft.ops.Redaction.patterns.foldLeft("pii_text") {
+        case (acc, (_, p, token)) => s"regexp_replace($acc, '$p', '$token', 'g')"
+      }
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |   || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS pii_text
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(pii_text, '$ipv4')) AS BIGINT) AS n_ips,
+         | md5($red) AS red_md5,
+         | CAST(len($red) AS BIGINT) AS red_len
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q40_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tns FROM events),
+        |x AS (
+        | SELECT user_id, event_id, tns,
+        |  CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |            > 1800000000 THEN 1 ELSE 0 END AS is_new
+        | FROM e),
+        |y AS (
+        | SELECT user_id, tns,
+        |  1 + sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM x)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events, CAST(max(tns) - min(tns) AS BIGINT) AS span
+        |FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
   )
 }

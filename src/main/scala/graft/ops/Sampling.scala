@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic splitting / sampling for training-data pipelines.
+  *
+  * Assignment is a pure function of the row's id (md5 → 8-bit bucket), so it
+  * is reproducible across runs, engines, and cluster layouts — unlike
+  * `df.sample` / `rand()`, whose output depends on partitioning. That makes
+  * the train/val/test membership of every document stable as the corpus is
+  * re-ingested, which is what leakage audits need. All column algebra
+  * (whole-stage codegen, no UDF, no shuffle); the bucket math uses only
+  * string ops exact in DuckDB 1.0 SQL (no conv()), so it has an exact oracle.
+  */
+object Sampling {
+
+  /** 0..255 bucket from the first two hex chars of md5(id). instr-based hex
+    * decode (strpos in DuckDB) — identical semantics, both 1-based. */
+  def hashBucket(id: Column): Column = {
+    def hexVal(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+    val h = md5(id.cast(StringType))
+    (hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))).cast(IntegerType)
+  }
+
+  /** Deterministic train/val/test assignment: 205/25/26 buckets of 256
+    * (~80/10/10). Stable under repartitioning and re-ingestion. */
+  def split(id: Column): Column = {
+    val b = hashBucket(id)
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  /** Annotate with the split column. */
+  def withSplit(df: DataFrame, idCol: String, splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, split(col(idCol)))
+
+  /** Deterministic ~`rate` sample: keep rows whose bucket falls under
+    * rate×256. A narrow filter — pushes down to the scan when `idCol` is a
+    * stored column, and never needs a shuffle or a seed. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    df.filter(hashBucket(col(idCol)) < math.round(rate * 256).toInt)
+  }
+
+  /** Per-stratum deterministic sampling: one rate per stratum value (e.g.
+    * downsample web text, keep all books). Unmatched strata keep rate 0. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)).cast(DoubleType) < rateCol * 256.0)
+  }
+}

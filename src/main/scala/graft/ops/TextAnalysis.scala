@@ -107,6 +107,48 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, k: Int = 8): Column =
     graft.functions.RollingMinHash.column(lower(trim(text)), k)
 
+  /** Gopher-style repetition / diversity signals (Rae et al. 2021, app. A —
+    * the published repetition filters adapted to word granularity):
+    * type-token ratio, top-word mass fraction, duplicate-bigram fraction,
+    * mean word length. Distributed shape: explode words → two key-partitioned
+    * aggregations → one doc_id join; every per-doc state is O(distinct words),
+    * never O(text²), so the same plan holds at 100 TB.
+    *
+    * Output: (idCol, n_words BIGINT, distinct_word_ratio, top_word_frac,
+    * dup_2gram_frac, mean_word_len — all DOUBLE). Ratios are single int/int
+    * divisions (bit-exact cross-engine). */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "word")))
+    // per-(doc, word) counts → per-doc word-mass stats (one shuffle each)
+    val wc = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+    val wordStats = wc.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct_words"),
+      max(col("c")).as("top_word_cnt"),
+      sum(col("c") * length(col("word"))).as("sum_word_len"))
+    // adjacent-pair (word 2-gram) duplication via a positional window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bgStats = words.withColumn("nxt", lead(col("word"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct_bigrams"))
+    def ratio(a: Column, b: Column): Column =
+      a.cast(DoubleType) / b.cast(DoubleType)
+    wordStats.join(bgStats, Seq(idCol), "left").select(
+      col(idCol),
+      col("n_words"),
+      ratio(col("n_distinct_words"), col("n_words")).as("distinct_word_ratio"),
+      ratio(col("top_word_cnt"), col("n_words")).as("top_word_frac"),
+      coalesce(lit(1.0) - ratio(col("n_distinct_bigrams"), col("n_bigrams")), lit(0.0))
+        .as("dup_2gram_frac"),
+      ratio(col("sum_word_len"), col("n_words")).as("mean_word_len"))
+  }
+
   /** Convenience: annotate a documents DataFrame with all signals. */
   def annotate(docs: DataFrame, textCol: String = "text",
       nCharsCol: String = "n_chars"): DataFrame =

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Redaction, Sampling, Sessionize, TextAnalysis}
+
+/** Unit coverage for the round-4 pipeline ops (their oracle queries are
+  * q37–q40); hand-computable fixtures pin the semantics the oracle can't
+  * isolate (per-op edge cases, determinism contracts). */
+class PipelineOpsSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  // --- Sampling ----------------------------------------------------------
+
+  test("deterministic split is stable under repartitioning and re-evaluation") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = Sampling.withSplit(ids, "id").orderBy($"id").collect()
+    val b = Sampling.withSplit(ids.repartition(13), "id").orderBy($"id").collect()
+    assert(a.sameElements(b))
+    val frac = a.count(_.getString(1) == "train").toDouble / a.length
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac out of band")
+    assert(a.map(_.getString(1)).toSet == Set("train", "val", "test"))
+  }
+
+  test("deterministicSample keeps ~rate and is a subset relation across rates") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val s10 = Sampling.deterministicSample(ids, "id", 0.10).select("id").as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(ids, "id", 0.50).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s50), "lower-rate sample must be nested in higher-rate")
+    assert(math.abs(s10.size / 2000.0 - 0.10) < 0.03)
+    assert(math.abs(s50.size / 2000.0 - 0.50) < 0.04)
+  }
+
+  test("stratifiedSample applies per-stratum rates; unknown strata drop") {
+    val df = spark.range(0, 3000)
+      .select($"id", (when($"id" % 3 === 0, "web")
+        .when($"id" % 3 === 1, "books").otherwise("code")).as("src"))
+    val out = Sampling.stratifiedSample(df, "id", "src",
+      Map("web" -> 0.25, "books" -> 1.0)).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("code"), "stratum with no rate must be dropped")
+    assert(out("books") == 1000L, "rate 1.0 keeps everything")
+    assert(math.abs(out("web") / 1000.0 - 0.25) < 0.06)
+  }
+
+  // --- Redaction ---------------------------------------------------------
+
+  test("redact scrubs every PII kind; counts agree with matches") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or root@10.1.2.3 call 555-1234 x 1.2.3.4"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.ai, phone 555-12 is too short")).toDF("id", "t")
+    val out = df.select($"id", Redaction.redact($"t").as("r"),
+      Redaction.piiCount($"t", "email").as("e"),
+      Redaction.piiCount($"t", "phone").as("p"),
+      Redaction.piiCount($"t", "ipv4").as("ip")).orderBy($"id").collect()
+    // root@10.1.2.3 is NOT an email (numeric TLD fails [A-Za-z]{2,});
+    // the dotted quad inside it is still caught by the IP pass
+    assert(out(0).getAs[String]("r") ==
+      "mail <EMAIL> or root@<IP> call <PHONE> x <IP>")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((1L, 1L, 2L)))
+    assert(out(1).getAs[String]("r") == "no pii here at all")
+    assert(out(2).getLong(2) == 2L)
+    assert(out(2).getLong(3) == 0L, "4+ digit groups only — 555-12 is not a phone")
+  }
+
+  // --- Sessionize --------------------------------------------------------
+
+  test("sessionize splits on gap, orders ties deterministically") {
+    val gap = 100L
+    val ev = Seq(
+      // user 1: events at 0,50,120 (one session: gaps 50,70 <= 100), then 500
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 120L, 3L), (1L, 500L, 4L),
+      // user 2: single event
+      (2L, 10L, 5L),
+      // user 3: tie on ts — event_id breaks it, same session
+      (3L, 7L, 7L), (3L, 7L, 6L)).toDF("user_id", "ts", "event_id")
+    val out = Sessionize.sessionStats(ev, "user_id", "ts", gap, "event_id")
+      .orderBy($"user_id", $"session_seq")
+      .select($"user_id", $"session_seq", $"n_events", $"span")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 120L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 0L)))
+  }
+
+  // --- Repetition signals ------------------------------------------------
+
+  test("repetitionSignals: hand-checked ratios, single-word doc defaults") {
+    val df = Seq(
+      (1L, "a b a b"),     // 4 words, 2 distinct, top 2; bigrams: ab,ba,ab → 3 total 2 distinct
+      (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df).orderBy($"doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == 0.5) // distinct_word_ratio
+    assert(r1.getDouble(3) == 0.5) // top_word_frac
+    assert(math.abs(r1.getDouble(4) - (1.0 - 2.0 / 3.0)) < 1e-15) // dup_2gram_frac
+    assert(r1.getDouble(5) == 1.0) // mean_word_len
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getDouble(4) == 0.0,
+      "single-word doc has zero bigram duplication, not NULL")
+  }
+}
