@@ -435,6 +435,26 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
     }
 
+    /** PQ index path: vectors compress to m-byte codes, ADC scan generates
+      * candidates, exact re-rank on the source rows. refine >= N/k makes it
+      * exact — the oracle is plain brute force (same trick as q30's
+      * nProbe = nLists and q16's ef >= N). */
+    def q41PqTopK(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q41_emb_$tag", s"q41_pq_$tag")
+      tbl(s, dir, "embeddings").createOrReplaceTempView(tname)
+      if (graft.index.PqIndex.get(iname).isEmpty) {
+        graft.index.PqIndex.create(s, iname, tname, "vec_id", "embedding",
+          m = 8, k = 16)
+      }
+      val qv = s.table(tname).filter(col("vec_id") === 9)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.PqIndex.search(s, iname, qv, 10, refine = Int.MaxValue / 16,
+          tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
     /** CRUD lifecycle (reference test/sql/hnsw/hnsw_crud.test:10-47):
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
@@ -656,6 +676,7 @@ object SparkEntry {
     "q38_deterministic_split" -> (Queries.q38DeterministicSplit _),
     "q39_pii_redaction" -> (Queries.q39PiiRedaction _),
     "q40_sessionize" -> (Queries.q40Sessionize _),
+    "q41_pq_topk" -> (Queries.q41PqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1026,5 +1047,9 @@ object SparkEntry {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         | count(*) AS n_events, CAST(max(tns) - min(tns) AS BIGINT) AS span
         |FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q41_pq_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }
