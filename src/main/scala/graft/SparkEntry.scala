@@ -597,6 +597,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }
 
+    /** As-of join: each click matched to the user's most recent
+      * prior-or-same-instant purchase (inner; µs resolution — see q40). */
+    def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      graft.ops.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          Seq("p_ts", "p_value"))
+        .orderBy(col("user_id"), col("ts"))
+    }
+
     /** Multimodal binary-column plumbing: opaque payloads (UTF-8 bytes as
       * the fixture modality), byte-exact metadata, and REAL frame slicing —
       * n_frames/n_sampled come from materialized 64-byte frame arrays, which
@@ -677,6 +692,7 @@ object SparkEntry {
     "q39_pii_redaction" -> (Queries.q39PiiRedaction _),
     "q40_sessionize" -> (Queries.q40Sessionize _),
     "q41_pq_topk" -> (Queries.q41PqTopK _),
+    "q42_asof_join" -> (Queries.q42AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1051,5 +1067,14 @@ object SparkEntry {
       s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q42_asof_join" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value FROM events),
+        |c AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, tus AS p_tus, value AS p_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.tus AS ts, p.p_tus AS p_ts, p.p_value AS p_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.tus >= p.p_tus
+        |ORDER BY c.user_id, ts""".stripMargin,
   )
 }

@@ -84,6 +84,45 @@ class PipelineOpsSpec extends GraftSparkSpec {
       (3L, 1L, 2L, 0L)))
   }
 
+  // --- AsofJoin ----------------------------------------------------------
+
+  test("asofJoin picks the latest right row <= left ts; inner vs left; strict") {
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 900.0))
+      .toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("r_ts"), $"v")
+    def run(jt: String, strict: Boolean) =
+      AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("r_ts", "v"), jt, strict)
+        .orderBy($"k", $"ts")
+        .select($"k", $"ts", $"tag", $"r_ts", $"v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // inclusive: left(1,10) sees right(1,10); left(1,20) sees right(1,15);
+    // left(2,5) has no prior right → dropped by inner
+    assert(run("inner", strict = false).toSeq ==
+      Seq((1L, 10L, "a", 10L), (1L, 20L, "b", 15L)))
+    // left join keeps the unmatched row with NULL payload
+    assert(run("left", strict = false).toSeq ==
+      Seq((1L, 10L, "a", 10L), (1L, 20L, "b", 15L), (2L, 5L, "c", -1L)))
+    // strict: right at the same instant is no longer visible
+    assert(run("inner", strict = true).toSeq == Seq((1L, 20L, "b", 15L)))
+  }
+
+  test("asofJoin matches payload columns row-atomically (no struct tearing)") {
+    import graft.ops.AsofJoin
+    // newest right row has v1 = NULL: a per-column last() would pull v1 from
+    // the older row and v2 from the newer one; the struct must not
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(7.0), "old"), (1L, 20L, None, "new"))
+      .toDF("k", "ts", "v1", "v2")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts", Seq("v1", "v2"))
+      .head()
+    assert(out.isNullAt(out.fieldIndex("v1")) &&
+      out.getString(out.fieldIndex("v2")) == "new")
+  }
+
   // --- Repetition signals ------------------------------------------------
 
   test("repetitionSignals: hand-checked ratios, single-word doc defaults") {
