@@ -35,7 +35,8 @@ object Bench {
       "q18_index_info" -> "build_q18_index",
       "q28_embedding_neardup" -> "build_q28_index",
       "q30_ivf_topk" -> "build_q30_ivf",
-      "q41_pq_topk" -> "build_q41_pq").map { case (q, metric) =>
+      "q41_pq_topk" -> "build_q41_pq",
+      "q43_ivfpq_topk" -> "build_q43_ivfpq").map { case (q, metric) =>
       val t0 = System.nanoTime()
       run(q)
       metric -> (System.nanoTime() - t0) / 1e9

@@ -455,6 +455,24 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
     }
 
+    /** IVF-PQ hybrid path: coarse partition pruning over m-byte PQ codes,
+      * then exact re-rank. nProbe = nLists + full refine ⇒ exact. */
+    def q43IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q43_emb_$tag", s"q43_ivfpq_$tag")
+      tbl(s, dir, "embeddings").createOrReplaceTempView(tname)
+      if (graft.index.IvfPqIndex.get(iname).isEmpty) {
+        graft.index.IvfPqIndex.create(s, iname, tname, "vec_id", "embedding",
+          nLists = 4, m = 8, k = 16)
+      }
+      val qv = s.table(tname).filter(col("vec_id") === 11)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.IvfPqIndex.search(s, iname, qv, 10, nProbe = 4,
+          refine = Int.MaxValue / 16, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
     /** CRUD lifecycle (reference test/sql/hnsw/hnsw_crud.test:10-47):
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
@@ -693,6 +711,7 @@ object SparkEntry {
     "q40_sessionize" -> (Queries.q40Sessionize _),
     "q41_pq_topk" -> (Queries.q41PqTopK _),
     "q42_asof_join" -> (Queries.q42AsofJoin _),
+    "q43_ivfpq_topk" -> (Queries.q43IvfPqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1076,5 +1095,9 @@ object SparkEntry {
         |SELECT c.user_id, c.event_id, c.tus AS ts, p.p_tus AS p_ts, p.p_value AS p_value
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.tus >= p.p_tus
         |ORDER BY c.user_id, ts""".stripMargin,
+    "q43_ivfpq_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }
