@@ -44,4 +44,39 @@ class PlanAuditSpec extends GraftSparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert("FileScan".r.findAllIn(p).length == 1, p)
   }
+
+  test("q38: split assignment is narrow — partial agg before the one shuffle") {
+    val p = plan("q38_deterministic_split")
+    // two-phase agg on (split, lang): exactly one hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q39: PII redaction is map-only (no shuffle, single scan)") {
+    val p = plan("q39_pii_redaction")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q40/q42: sessionize and as-of join shuffle ONCE on the user key") {
+    for (q <- Seq("q40_sessionize", "q42_asof_join")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"$q:\n$p")
+    }
+  }
+
+  test("q41: PQ candidate generation reads only (id, codes) — never vectors") {
+    // build the index, then audit the ADC candidate scan the search uses
+    SparkEntry.queries("q41_pq_topk")(spark, sfDir).collect()
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val entry = graft.index.PqIndex.get(s"q41_pq_$tag").get
+    val cand = spark.read.parquet(entry.path)
+    val schema = cand.schema.fieldNames.toSet
+    assert(schema == Set("vec_id", graft.index.PqIndex.CodesCol),
+      s"PQ artifact must store codes only: $schema")
+    val p = SparkEntry.queries("q41_pq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exact re-rank joins the bounded candidate set by broadcast
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
 }
