@@ -528,6 +528,12 @@ object SparkEntry {
         shingleLen = 3, minJaccard = 0.05, maxShingleDocFreq = 100)
         .orderBy(col("a"), col("b"))
 
+    /** Per-document corpus-duplication fraction: how many of the doc's
+      * distinct 3-gram shingles occur in other documents too. */
+    def q44CorpusDup(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.corpusDupSignal(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -712,6 +718,7 @@ object SparkEntry {
     "q41_pq_topk" -> (Queries.q41PqTopK _),
     "q42_asof_join" -> (Queries.q42AsofJoin _),
     "q43_ivfpq_topk" -> (Queries.q43IvfPqTopK _),
+    "q44_corpus_dup" -> (Queries.q44CorpusDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1099,5 +1106,12 @@ object SparkEntry {
       s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q44_corpus_dup" ->
+      s"""WITH sh AS ($sqlShingles),
+         |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         | CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM sh JOIN d USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
   )
 }

@@ -40,6 +40,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-duplication (contamination) signal: per document, the fraction
+    * of its DISTINCT word n-gram shingles that also occur in at least one
+    * other document — how much of this text is boilerplate the corpus
+    * already contains elsewhere (the per-doc readout of C4/RefinedWeb-style
+    * duplicate-span removal). Scale shape: the shingle table shuffles once
+    * by shingle for the document-frequency window count, once by doc for
+    * the rollup — no self-join, no pair explosion, so hot shingles cost
+    * their row count, never df². */
+  def corpusDupSignal(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen)
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_shingles"),
+        (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("dup_frac"))
+  }
+
   /** MinHash signature columns: for permutation p, min over shingles of
     * md5('<p>:'||shingle) (lexicographic string min ≡ a random permutation). */
   def minHashSignatures(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {

@@ -123,6 +123,20 @@ class PipelineOpsSpec extends GraftSparkSpec {
       out.getString(out.fieldIndex("v2")) == "new")
   }
 
+  // --- Corpus duplication ------------------------------------------------
+
+  test("corpusDupSignal: shared shingles counted once per doc, hand-checked") {
+    // docs 1/2 share "a b c"; doc 3 is disjoint
+    val df = Seq(
+      (1L, "a b c d"), // shingles: "a b c","b c d" → 1 of 2 shared
+      (2L, "a b c"),   // "a b c" → 1 of 1 shared
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.corpusDupSignal(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.5), (2L, 1L, 1.0), (3L, 1L, 0.0)))
+  }
+
   // --- Repetition signals ------------------------------------------------
 
   test("repetitionSignals: hand-checked ratios, single-word doc defaults") {
