@@ -534,6 +534,26 @@ object SparkEntry {
       graft.ops.Dedup.corpusDupSignal(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
 
+    /** Benchmark decontamination: per corpus doc, shingle overlap against a
+      * held-out eval set (docs with doc_id % 41 == 0 play the benchmark).
+      * The benchmark shingle set is broadcast — the corpus side never
+      * shuffles until the per-doc rollup. */
+    def q45Decontaminate(s: SparkSession, dir: String): DataFrame = {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Dedup.decontaminationSignal(
+        d.where(col("doc_id") % 41 =!= 0), d.where(col("doc_id") % 41 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+
+    /** Deterministic corpus shuffle + token-budget sequence packing —
+      * two-level (bucket, md5) order so no single-partition global window
+      * appears in the plan. */
+    def q46PackSequences(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Packing.packAssignments(tbl(s, dir, "documents"), "doc_id",
+        size(split(trim(col("text")), "\\s+")), budget = 512)
+        .orderBy(col("doc_id"))
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -719,6 +739,8 @@ object SparkEntry {
     "q42_asof_join" -> (Queries.q42AsofJoin _),
     "q43_ivfpq_topk" -> (Queries.q43IvfPqTopK _),
     "q44_corpus_dup" -> (Queries.q44CorpusDup _),
+    "q45_decontaminate" -> (Queries.q45Decontaminate _),
+    "q46_pack_sequences" -> (Queries.q46PackSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1113,5 +1135,36 @@ object SparkEntry {
          | CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
          |FROM sh JOIN d USING (shingle)
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q45_decontaminate" ->
+      s"""WITH sh AS ($sqlShingles),
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 41 <> 0)
+         |SELECT c.doc_id, count(*) AS n_shingles,
+         | CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_overlap,
+         | CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*) AS contam_frac
+         |FROM c LEFT JOIN b ON c.shingle = b.shingle
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q46_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS key
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, n_tokens, key,
+        |  CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1) AS INTEGER) AS bucket
+        | FROM t),
+        |c AS (
+        | SELECT doc_id, bucket, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY bucket ORDER BY key
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM b)
+        |SELECT doc_id, bucket,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+        | n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -62,6 +62,33 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Benchmark decontamination signal (the GPT-3/PaLM n-gram-overlap recipe):
+    * for each corpus document, the count and fraction of its DISTINCT word
+    * n-gram shingles that appear anywhere in `benchmark` (the held-out eval
+    * set). Documents above a caller-chosen `contam_frac` threshold get
+    * dropped before training.
+    *
+    * Scale shape: eval suites are MBs while the corpus is TBs, so the
+    * benchmark shingle set is distinct-ed and BROADCAST — the corpus shingle
+    * table joins partition-locally with no shuffle, and the only shuffle is
+    * the per-doc rollup (map-side combined, keyed by doc id). */
+  def decontaminationSignal(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3): DataFrame = {
+    val corpusSh = shingles(docs, idCol, textCol, shingleLen)
+    val benchSh = shingles(benchmark, idCol, textCol, shingleLen)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col(idCol), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contam_frac"))
+  }
+
   /** MinHash signature columns: for permutation p, min over shingles of
     * md5('<p>:'||shingle) (lexicographic string min ≡ a random permutation). */
   def minHashSignatures(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {
@@ -146,12 +173,18 @@ object Dedup {
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {
-        // window count instead of groupBy+self-join: the cap costs one
-        // shuffle by shingle, not a join
-        val w = Window.partitionBy(col("shingle"))
-        sh0.withColumn("__df", count(lit(1)).over(w))
-          .where(col("__df") <= maxShingleDocFreq)
-          .drop("__df")
+        // The hot-shingle list is tiny (at most totalShingleRows/cap distinct
+        // values, in practice a handful of boilerplate phrases), so compute it
+        // with a map-side-combined aggregate and broadcast-anti-join it away.
+        // This shuffles only per-partition partial counts — a window count
+        // here would shuffle the ENTIRE exploded shingle table by shingle
+        // before filtering. At a scale where even the hot list outgrows a
+        // broadcast, drop the hint and AQE falls back to a shuffle join.
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxShingleDocFreq)
+          .select(col("shingle"))
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
     // the capped shingle table feeds three consumers (set sizes + both join
     // sides); materialize it once — the 100TB pipeline would persist this

@@ -137,6 +137,60 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(out == Seq((1L, 2L, 0.5), (2L, 1L, 1.0), (3L, 1L, 0.0)))
   }
 
+  // --- Decontamination ---------------------------------------------------
+
+  test("decontaminationSignal: overlap vs benchmark shingles, hand-checked") {
+    val corpus = Seq(
+      (1L, "a b c d"), // "a b c","b c d" — "a b c" is in the benchmark → 1/2
+      (2L, "p q r"),   // disjoint → 0/1
+      (3L, "a b c")).toDF("doc_id", "text") // fully contained → 1/1
+    val bench = Seq((100L, "a b c x y z")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.decontaminationSignal(corpus, bench, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0), (3L, 1L, 1L, 1.0)))
+  }
+
+  // --- Sequence packing --------------------------------------------------
+
+  test("packAssignments: per-bucket prefix-sum packing, stable under repartition") {
+    val docs = spark.range(0, 500)
+      .select($"id".as("doc_id"), (($"id" % 7) * 10 + 5).as("n_tok"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Packing.packAssignments(df, "doc_id", $"n_tok", budget = 100)
+        .orderBy($"doc_id").collect()
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a.sameElements(b), "assignment must not depend on input layout")
+
+    // recompute each bucket's prefix sums locally and check pack arithmetic
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byBucket = a.map(r => (r.getInt(1), md5Hex(r.getLong(0).toString),
+        r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    byBucket.foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, packId, nTok) =>
+        assert(packId == cum / 100,
+          s"pack id must be floor(tokens-before/budget): got $packId at cum=$cum")
+        cum += nTok
+      }
+    }
+    // buckets spread the work: far more than one, none dominating
+    assert(byBucket.size > 100, s"expected ~256 buckets, got ${byBucket.size}")
+  }
+
+  test("packSummary totals match assignments") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val asg = graft.ops.Packing.packAssignments(docs, "doc_id",
+      size(split(trim($"text"), "\\s+")), budget = 4)
+    val total = graft.ops.Packing.packSummary(asg)
+      .agg(sum($"n_docs"), sum($"sum_tokens")).as[(Long, Long)].head()
+    assert(total == ((3L, 6L)))
+  }
+
   // --- Repetition signals ------------------------------------------------
 
   test("repetitionSignals: hand-checked ratios, single-word doc defaults") {
