@@ -28,38 +28,47 @@ object Dedup {
   }
 
   /** Word n-gram shingles of `text`, as a distinct-exploded (id, shingle)
-    * DataFrame. */
+    * DataFrame. Within-document dedup happens in the ARRAY domain
+    * (`array_distinct` before the explode) — per-(id, shingle) distinctness
+    * never needs a shuffle, so downstream consumers aggregate or join the
+    * exploded table directly off the scan. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val grams = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
-    df.select(col(idCol), explode(
-        when(size(words) >= n, grams).otherwise(array())).as("shingle"))
-      .where(length(col("shingle")) > 0)
-      .distinct()
+    val deduped = array_distinct(filter(
+      when(size(words) >= n, grams).otherwise(array()),
+      x => length(x) > 0))
+    df.select(col(idCol), explode(deduped).as("shingle"))
   }
 
   /** Corpus-duplication (contamination) signal: per document, the fraction
     * of its DISTINCT word n-gram shingles that also occur in at least one
     * other document — how much of this text is boilerplate the corpus
     * already contains elsewhere (the per-doc readout of C4/RefinedWeb-style
-    * duplicate-span removal). Scale shape: the shingle table shuffles once
-    * by shingle for the document-frequency window count, once by doc for
-    * the rollup — no self-join, no pair explosion, so hot shingles cost
-    * their row count, never df². */
+    * duplicate-span removal).
+    *
+    * Scale shape: a shingle with document frequency 1 has exactly one owner,
+    * so shared-per-doc = total-per-doc − unique-per-doc, and both terms are
+    * hash AGGREGATES with map-side partial combine (outputs: one row per doc,
+    * one row per distinct shingle) joined doc-level at the end — no window
+    * sort over the full exploded shingle table, no self-join, no pair
+    * explosion; hot shingles cost their row count, never df². */
   def corpusDupSignal(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleLen)
-    val w = Window.partitionBy(col("shingle"))
-    sh.withColumn("__df", count(lit(1)).over(w))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+    // two consumers of the exploded shingle table: materialize it once
+    val sh = shingles(docs, idCol, textCol, shingleLen).localCheckpoint()
+    val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val uniqPerDoc = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .where(col("__df") === 1)
+      .groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("__n_unique"))
+    perDoc.join(uniqPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_shingles"),
-        (col("n_shared").cast(DoubleType) / col("n_shingles").cast(DoubleType))
-          .as("dup_frac"))
+        ((col("n_shingles") - coalesce(col("__n_unique"), lit(0L))).cast(DoubleType)
+          / col("n_shingles").cast(DoubleType)).as("dup_frac"))
   }
 
   /** Benchmark decontamination signal (the GPT-3/PaLM n-gram-overlap recipe):
@@ -169,7 +178,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.0,
       maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh0 = shingles(docs, idCol, textCol, shingleLen)
+    // the exploded shingle table feeds the hot-list aggregate, the cap
+    // anti-join, the per-doc set sizes, and both sides of the pair join —
+    // materialize the (CPU-heavy) explode exactly once; the 100TB pipeline
+    // would persist this intermediate as a table
+    val sh0 = shingles(docs, idCol, textCol, shingleLen).localCheckpoint()
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {
@@ -186,10 +199,9 @@ object Dedup {
           .select(col("shingle"))
         sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
-    // the capped shingle table feeds three consumers (set sizes + both join
-    // sides); materialize it once — the 100TB pipeline would persist this
-    // intermediate table rather than re-explode the corpus per branch
-    val sh = capped.localCheckpoint()
+    // downstream consumers re-run only the cheap broadcast anti-join over
+    // the checkpointed explode, never the explode itself
+    val sh = capped
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))

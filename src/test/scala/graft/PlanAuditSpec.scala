@@ -79,4 +79,21 @@ class PlanAuditSpec extends GraftSparkSpec {
     // exact re-rank joins the bounded candidate set by broadcast
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("q45: benchmark shingle set joins by broadcast — corpus side never " +
+      "shuffles before the per-doc rollup") {
+    val p = plan("q45_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // hash exchanges: corpus shingle distinct (keyed by doc+shingle), the
+    // TINY benchmark-side distinct, and the per-doc rollup — the corpus table
+    // is never exchanged on shingle alone for the overlap join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
+  test("q46: packing windows are bucket-partitioned — no single-partition " +
+      "global window in the plan") {
+    val p = plan("q46_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
 }
