@@ -25,10 +25,13 @@ object AsofJoin {
     * @param joinType  "inner" drops left rows with no prior right row;
     *                  "left" keeps them with NULL payload
     * @param strict    false → a right row AT the left timestamp matches
-    *                  (DuckDB ASOF `>=`); true → only strictly earlier rows */
+    *                  (DuckDB ASOF `>=`); true → only strictly earlier rows
+    * @param tolerance max lookback (pandas merge_asof tolerance): a match
+    *                  further than this behind the left timestamp is treated
+    *                  as no match. Requires a numeric `tsCol`; same unit. */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String], tsCol: String,
       valueCols: Seq[String], joinType: String = "inner",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"joinType inner|left, got $joinType")
     require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
     val collisions = valueCols.filter(left.columns.contains)
@@ -47,10 +50,19 @@ object AsofJoin {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col(tsCol).asc, tagOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val packed = when(col("__tag") === 0, struct(valueCols.map(col): _*))
-    val matched = u
-      .withColumn("__m", last(packed, ignoreNulls = true).over(w))
+    // the matched right ts rides in the struct so a tolerance check can
+    // disqualify too-old matches after the fact, payload-atomically
+    val packed = when(col("__tag") === 0,
+      struct(col(tsCol).as("__rts") +: valueCols.map(col): _*))
+    val matched0 = u
+      .withColumn("__m0", last(packed, ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+    val matched = tolerance match {
+      case None => matched0.withColumn("__m", col("__m0"))
+      case Some(t) => matched0.withColumn("__m",
+        when(col("__m0").isNotNull &&
+          col(tsCol) - col("__m0").getField("__rts") <= t, col("__m0")))
+    }
     val kept =
       if (joinType == "inner") matched.filter(col("__m").isNotNull) else matched
     kept.select(leftCols.map(col) ++

@@ -67,6 +67,21 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Gap-based session windows over event time — the streaming shape of
+    * [[graft.ops.Sessionize]] (q40). Declarative `session_window` (not
+    * custom state): Catalyst merges overlapping per-key windows as events
+    * arrive and the watermark finalizes + evicts a session once event time
+    * passes its close by `lateness`, so state is O(open sessions), not
+    * O(stream). Emits one row per CLOSED session (append mode). */
+  def sessionizedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col(keyCol), col("n_events"))
+
   /** Event-time tumbling-window counts with bounded state — the streaming
     * shape of the hourly-events rollup (q08): watermark evicts windows older
     * than `lateness`, so state is O(active windows), not O(stream). */

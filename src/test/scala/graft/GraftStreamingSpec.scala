@@ -62,6 +62,37 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("session windows close on gap and emit once finalized (streaming q40)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = GraftStreaming.sessionizedCounts(
+      mem.toDF().toDF("ts", "user"), "ts", "user", "30 minutes", "0 seconds")
+
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // user 7: two events 10 min apart (one session), then a 2 h gap
+    mem.addData((t(10, 0), 7L), (t(10, 10), 7L), (t(12, 30), 7L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close user 7's second session too
+    mem.addData((t(15, 0), 8L))
+    q.processAllAvailable()
+    mem.addData((t(18, 0), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out")
+      .select($"user", $"s_start", $"s_end", $"n_events")
+      .orderBy($"user", $"s_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    // session end = last event + gap (Spark session_window semantics)
+    assert(rows.contains((7L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L)),
+      s"two close events must merge into one session: $rows")
+    assert(rows.contains((7L, "2026-01-01 12:30:00.0", "2026-01-01 13:00:00.0", 1L)),
+      s"post-gap event must open a new session: $rows")
+  }
+
   test("windowed event-time counts with watermark (streaming shape of q08)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

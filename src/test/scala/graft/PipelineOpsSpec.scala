@@ -110,6 +110,23 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(run("inner", strict = true).toSeq == Seq((1L, 20L, "b", 15L)))
   }
 
+  test("asofJoin tolerance disqualifies matches older than the lookback") {
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "ts")
+    val r = Seq((1L, 95L, "near"), (1L, 120L, "far")).toDF("k", "ts", "v")
+    // ts=100 matches v@95 (lag 5); ts=200 matches v@120 (lag 80)
+    val noTol = graft.ops.AsofJoin.asofJoin(l, r, Seq("k"), "ts", Seq("v"))
+      .orderBy($"ts").as[(Long, Long, String)].collect().toSeq
+    assert(noTol == Seq((1L, 100L, "near"), (1L, 200L, "far")))
+    val tol = graft.ops.AsofJoin.asofJoin(l, r, Seq("k"), "ts", Seq("v"),
+      joinType = "left", tolerance = Some(50L))
+      .orderBy($"ts").as[(Long, Long, Option[String])].collect().toSeq
+    assert(tol == Seq((1L, 100L, Some("near")), (1L, 200L, None)),
+      "an 80-tick-old match must not survive tolerance 50")
+    val tolInner = graft.ops.AsofJoin.asofJoin(l, r, Seq("k"), "ts", Seq("v"),
+      tolerance = Some(50L)).as[(Long, Long, String)].collect().toSeq
+    assert(tolInner == Seq((1L, 100L, "near")), "inner drops the disqualified row")
+  }
+
   test("asofJoin matches payload columns row-atomically (no struct tearing)") {
     import graft.ops.AsofJoin
     // newest right row has v1 = NULL: a per-column last() would pull v1 from
