@@ -554,6 +554,18 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")), budget = 512)
         .orderBy(col("doc_id"))
 
+    /** Duplicate clusters: MinHash-LSH pairs (est_sim >= 0.5) → connected
+      * components → per-doc cluster label (min doc id in cluster). The
+      * pairwise output of q22 turned into the canonical-survivor decision
+      * every dedup pipeline actually ships. */
+    def q47DedupClusters(s: SparkSession, dir: String): DataFrame = {
+      val d = tbl(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minHashLshPairs(d, "doc_id", "text")
+        .where(col("est_sim") >= 0.5).select(col("a"), col("b"))
+      graft.ops.Components.connectedComponents(d.select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
+    }
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -741,6 +753,7 @@ object SparkEntry {
     "q44_corpus_dup" -> (Queries.q44CorpusDup _),
     "q45_decontaminate" -> (Queries.q45Decontaminate _),
     "q46_pack_sequences" -> (Queries.q46PackSequences _),
+    "q47_dedup_clusters" -> (Queries.q47DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1166,5 +1179,36 @@ object SparkEntry {
         | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id,
         | n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q47_dedup_clusters" -> {
+      // the q22 LSH pipeline at est_sim >= 0.5, then transitive closure:
+      // comp(v) = min id reachable from v (recursive CTE; dedup components
+      // are tiny, so the closure's row count stays bounded)
+      val mins = (0 until 8).map(p => s"min(md5('$p:' || shingle)) AS mh$p").mkString(", ")
+      val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE sh AS ($sqlShingles),
+         |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band_id, mh0||mh1 AS band_val FROM sigs
+         | UNION ALL SELECT doc_id, 1, mh2||mh3 FROM sigs
+         | UNION ALL SELECT doc_id, 2, mh4||mh5 FROM sigs
+         | UNION ALL SELECT doc_id, 3, mh6||mh7 FROM sigs),
+         |cand AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
+         | WHERE l.doc_id < r.doc_id),
+         |pairs AS (
+         | SELECT a, b FROM cand
+         | JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
+         | WHERE CAST($agree AS DOUBLE) / 8.0 >= 0.5),
+         |edges AS (SELECT a AS s, b AS d FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach(s, d) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, min(d) AS comp FROM reach
+         |GROUP BY s ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -208,6 +208,30 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(total == ((3L, 6L)))
   }
 
+  // --- Connected components ----------------------------------------------
+
+  test("connectedComponents: chains merge, isolates stay, matches BFS oracle") {
+    // random-ish graph with known structure: a 5-chain, a triangle, isolates
+    val vs = spark.range(0, 12).toDF("doc_id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1..5
+      (7L, 8L), (8L, 9L), (7L, 9L),                       // triangle
+      (10L, 10L)                                          // self-loop
+    ).toDF("a", "b")
+    val got = graft.ops.Components.connectedComponents(vs, es)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L, 11L -> 11L)
+    assert(got == want)
+  }
+
+  test("dedupByClusters keeps exactly one representative per cluster") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = graft.ops.Components.dedupByClusters(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
   // --- Repetition signals ------------------------------------------------
 
   test("repetitionSignals: hand-checked ratios, single-word doc defaults") {
