@@ -566,6 +566,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    /** Per-language corpus length statistics with EXACT interpolated
+      * quantiles (sort-based percentile; both engines use the same
+      * p·(n−1) linear interpolation, and quarter-point fractions over
+      * integer token counts are exact in binary). */
+    def q48CorpusStats(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "documents")
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile(col("n_tok"), lit(0.25)).as("p25_tok"),
+          percentile(col("n_tok"), lit(0.5)).as("p50_tok"),
+          percentile(col("n_tok"), lit(0.75)).as("p75_tok"),
+          avg(col("n_chars")).as("mean_chars"))
+        .orderBy(col("lang"))
+
+    /** Deterministic mixture calibration: thin over-represented languages
+      * until the kept corpus matches target proportions (bottleneck
+      * language keeps rate 1). Reports the kept counts per language. */
+    def q49MixtureCalibration(s: SparkSession, dir: String): DataFrame = {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.calibrateMixture(d, "doc_id", "lang", mixtureTargets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -689,6 +718,11 @@ object SparkEntry {
   // oracle fragments for the dedup/text ops (DuckDB 1.0 dialect).
 
   /** Distinct word-3-gram shingles per doc — mirrors Dedup.shingles. */
+  /** Target language proportions for the q49 mixture calibration — shared
+    * verbatim by the Spark op and the SQL oracle. */
+  private val mixtureTargets: Map[String, Double] =
+    Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
   private val sqlShingles: String =
     """SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
@@ -754,6 +788,8 @@ object SparkEntry {
     "q45_decontaminate" -> (Queries.q45Decontaminate _),
     "q46_pack_sequences" -> (Queries.q46PackSequences _),
     "q47_dedup_clusters" -> (Queries.q47DedupClusters _),
+    "q48_corpus_stats" -> (Queries.q48CorpusStats _),
+    "q49_mixture_calibration" -> (Queries.q49MixtureCalibration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1209,6 +1245,38 @@ object SparkEntry {
          | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS doc_id, min(d) AS comp FROM reach
          |GROUP BY s ORDER BY doc_id""".stripMargin
+    },
+    "q48_corpus_stats" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |  n_chars
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | quantile_cont(n_tok, 0.25) AS p25_tok,
+        | quantile_cont(n_tok, 0.5) AS p50_tok,
+        | quantile_cont(n_tok, 0.75) AS p75_tok,
+        | avg(n_chars) AS mean_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q49_mixture_calibration" -> {
+      val tgtRows = mixtureTargets.toSeq.sorted
+        .map { case (l, t) => s"SELECT '$l' AS lang, $t AS tgt" }
+        .mkString(" UNION ALL ")
+      s"""WITH b AS (
+         | SELECT doc_id, lang,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+         | FROM documents),
+         |t AS ($tgtRows),
+         |n AS (SELECT lang, count(*) AS nl FROM b JOIN t USING (lang) GROUP BY lang),
+         |k AS (SELECT min(nl / tgt) AS kk FROM n JOIN t USING (lang)),
+         |r AS (SELECT n.lang, t.tgt * k.kk / n.nl AS rate
+         |      FROM n JOIN t ON n.lang = t.lang CROSS JOIN k),
+         |kept AS (
+         | SELECT b.doc_id, b.lang FROM b JOIN r ON b.lang = r.lang
+         | WHERE CAST(b.bucket AS DOUBLE) < r.rate * 256.0)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
   )
 }

@@ -43,6 +43,31 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(rate * 256).toInt)
   }
 
+  /** Keep rates that calibrate the corpus to target stratum PROPORTIONS by
+    * downsampling over-represented strata only (no upsampling): with
+    * K = min_s(n_s / target_s), stratum s keeps rate target_s·K/n_s — the
+    * bottleneck stratum keeps everything, every other stratum is thinned
+    * until the kept mixture matches `targets`. The stratum count aggregate
+    * is collected driver-side: it is bounded by the number of DISTINCT
+    * strata (domains/languages), not data size. */
+  def mixtureRates(df: DataFrame, stratumCol: String,
+      targets: Map[String, Double]): Map[String, Double] = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive proportions")
+    val counts = df
+      .where(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = targets.collect { case (s, t) if counts.contains(s) => counts(s) / t }.min
+    targets.collect { case (s, t) if counts.contains(s) => s -> t * k / counts(s) }
+  }
+
+  /** Deterministic mixture calibration: [[mixtureRates]] applied through
+    * [[stratifiedSample]] — reproducible across runs and engines. */
+  def calibrateMixture(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Double]): DataFrame =
+    stratifiedSample(df, idCol, stratumCol, mixtureRates(df, stratumCol, targets))
+
   /** Per-stratum deterministic sampling: one rate per stratum value (e.g.
     * downsample web text, keep all books). Unmatched strata keep rate 0. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,

@@ -42,6 +42,22 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(math.abs(out("web") / 1000.0 - 0.25) < 0.06)
   }
 
+  test("mixtureRates: bottleneck stratum keeps 1.0, kept mixture hits targets") {
+    // 800 web / 100 books / 100 code; targets 50/25/25 → books is the
+    // bottleneck (100/0.25=400 < web 800/0.5=1600), K=400
+    val df = spark.range(0, 1000).select($"id",
+      (when($"id" < 800, "web").when($"id" < 900, "books").otherwise("code")).as("s"))
+    val targets = Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25)
+    val rates = Sampling.mixtureRates(df, "s", targets)
+    assert(math.abs(rates("books") - 1.0) < 1e-12, s"bottleneck must keep all: $rates")
+    assert(math.abs(rates("web") - 0.25) < 1e-12, s"web thins 800→200: $rates")
+    assert(math.abs(rates("code") - 1.0) < 1e-12)
+    val kept = Sampling.calibrateMixture(df, "id", "s", targets)
+      .groupBy($"s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("books") == 100L && kept("code") == 100L)
+    assert(math.abs(kept("web") / 200.0 - 1.0) < 0.15, s"~200 web kept: $kept")
+  }
+
   // --- Redaction ---------------------------------------------------------
 
   test("redact scrubs every PII kind; counts agree with matches") {
