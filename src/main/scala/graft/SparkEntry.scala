@@ -595,6 +595,27 @@ object SparkEntry {
         .orderBy(col("lang"))
     }
 
+    /** End-to-end training-data pipeline in one DataFrame program:
+      * exact dedup (canonical survivor per content hash) → benchmark
+      * decontamination (drop overlap ≥ 0.8 vs the held-out eval set) →
+      * deterministic split assignment → per-(split, lang) corpus rollup.
+      * Every stage is an op proven by its own oracle (q20/q45/q38); this
+      * pins their COMPOSITION — the shape a real corpus build runs. */
+    def q50PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+      val d = tbl(s, dir, "documents")
+      val surv = graft.ops.Dedup.exact(d, "doc_id", Seq(md5(col("text"))))
+      val corpus = surv.where(col("doc_id") % 41 =!= 0)
+      val bench = d.where(col("doc_id") % 41 === 0)
+      val contam = graft.ops.Dedup.decontaminationSignal(corpus, bench, "doc_id", "text")
+      val clean = corpus.join(
+        contam.where(col("contam_frac") < 0.8).select(col("doc_id")), "doc_id")
+      graft.ops.Sampling.withSplit(clean, "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("sum_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -723,13 +744,17 @@ object SparkEntry {
   private val mixtureTargets: Map[String, Double] =
     Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
-  private val sqlShingles: String =
-    """SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
-      |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-      |  WHERE len(w) >= 3)
-      |WHERE len(shingle) > 0""".stripMargin
+  /** Distinct 3-gram (doc_id, shingle) pairs over any relation with
+    * (doc_id, text) — mirrors Dedup.shingles. */
+  private def sqlShinglesFor(src: String): String =
+    raw"""SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w)-3,0)+1),
+         |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM $src)
+         |  WHERE len(w) >= 3)
+         |WHERE len(shingle) > 0""".stripMargin
+
+  private val sqlShingles: String = sqlShinglesFor("documents")
 
   /** Per-language marker-count score — mirrors TextAnalysis.langScore
     * (occurrence counting via replace-length arithmetic over ' '+text+' '). */
@@ -790,6 +815,7 @@ object SparkEntry {
     "q47_dedup_clusters" -> (Queries.q47DedupClusters _),
     "q48_corpus_stats" -> (Queries.q48CorpusStats _),
     "q49_mixture_calibration" -> (Queries.q49MixtureCalibration _),
+    "q50_pipeline_e2e" -> (Queries.q50PipelineE2e _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1278,5 +1304,35 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q50_pipeline_e2e" ->
+      s"""WITH surv_ids AS (
+         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |corpus AS (
+         | SELECT d.* FROM documents d JOIN surv_ids USING (doc_id)
+         | WHERE d.doc_id % 41 <> 0),
+         |benchdocs AS (SELECT * FROM documents WHERE doc_id % 41 = 0),
+         |shc AS (${sqlShinglesFor("corpus")}),
+         |shb AS (SELECT DISTINCT shingle FROM (${sqlShinglesFor("benchdocs")})),
+         |ov AS (
+         | SELECT shc.doc_id,
+         |  CAST(sum(CASE WHEN shb.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*) AS cf
+         | FROM shc LEFT JOIN shb ON shc.shingle = shb.shingle
+         | GROUP BY shc.doc_id),
+         |clean AS (
+         | SELECT corpus.* FROM corpus JOIN ov USING (doc_id) WHERE ov.cf < 0.8),
+         |sp AS (
+         | SELECT *,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+         | FROM clean),
+         |s AS (
+         | SELECT *, CASE WHEN bucket < 205 THEN 'train'
+         |                WHEN bucket < 230 THEN 'val'
+         |                ELSE 'test' END AS split
+         | FROM sp)
+         |SELECT split, lang, count(*) AS n_docs,
+         | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
+         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
   )
 }
