@@ -96,4 +96,26 @@ class PlanAuditSpec extends GraftSparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("q48: exact quantiles still aggregate in two phases (partial map-side)") {
+    val p = plan("q48_corpus_stats")
+    assert("Aggregate".r.findAllIn(p).length >= 2, p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q49: mixture calibration bakes rates into a narrow filter — " +
+      "no join in the sampling plan") {
+    val p = plan("q49_mixture_calibration")
+    // rates come from a strata-bounded driver aggregate; the applied
+    // sample is a literal-threshold filter + one rollup, never a join
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q50: pipeline composition broadcasts the small sides (no shuffle join " +
+      "for benchmark overlap or the clean-id semi join)") {
+    val p = plan("q50_pipeline_e2e")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
