@@ -503,7 +503,7 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           col("n_chars"))
         .withColumn("chars_per_token",
           col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
@@ -551,7 +551,7 @@ object SparkEntry {
       * appears in the plan. */
     def q46PackSequences(s: SparkSession, dir: String): DataFrame =
       graft.ops.Packing.packAssignments(tbl(s, dir, "documents"), "doc_id",
-        size(split(trim(col("text")), "\\s+")), budget = 512)
+        graft.ops.TextAnalysis.tokenCount(col("text")), budget = 512)
         .orderBy(col("doc_id"))
 
     /** Duplicate clusters: MinHash-LSH pairs (est_sim >= 0.5) → connected
@@ -573,7 +573,7 @@ object SparkEntry {
     def q48CorpusStats(s: SparkSession, dir: String): DataFrame =
       tbl(s, dir, "documents")
         .select(col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"),
           col("n_chars"))
         .groupBy(col("lang"))
         .agg(
@@ -607,12 +607,16 @@ object SparkEntry {
       val corpus = surv.where(col("doc_id") % 41 =!= 0)
       val bench = d.where(col("doc_id") % 41 === 0)
       val contam = graft.ops.Dedup.decontaminationSignal(corpus, bench, "doc_id", "text")
-      val clean = corpus.join(
-        contam.where(col("contam_frac") < 0.8).select(col("doc_id")), "doc_id")
+      // LEFT join: a doc too short to shingle has no contamination signal —
+      // that means nothing overlapped, not that the doc should be dropped
+      val clean = corpus
+        .join(contam.select(col("doc_id"), col("contam_frac")), Seq("doc_id"), "left")
+        .where(col("contam_frac").isNull || col("contam_frac") < 0.8)
+        .drop("contam_frac")
       graft.ops.Sampling.withSplit(clean, "doc_id")
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("sum_tokens"))
+          sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
         .orderBy(col("split"), col("lang"))
     }
 
@@ -1320,7 +1324,8 @@ object SparkEntry {
          | FROM shc LEFT JOIN shb ON shc.shingle = shb.shingle
          | GROUP BY shc.doc_id),
          |clean AS (
-         | SELECT corpus.* FROM corpus JOIN ov USING (doc_id) WHERE ov.cf < 0.8),
+         | SELECT corpus.* FROM corpus LEFT JOIN ov USING (doc_id)
+         | WHERE ov.cf IS NULL OR ov.cf < 0.8),
          |sp AS (
          | SELECT *,
          |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

@@ -34,6 +34,7 @@ object AsofJoin {
       strict: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"joinType inner|left, got $joinType")
     require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    require(tolerance.forall(_ > 0), s"tolerance must be positive: $tolerance")
     val collisions = valueCols.filter(left.columns.contains)
     require(collisions.isEmpty,
       s"right value columns collide with left columns: ${collisions.mkString(",")}")

@@ -31,7 +31,10 @@ object Dedup {
     * DataFrame. Within-document dedup happens in the ARRAY domain
     * (`array_distinct` before the explode) — per-(id, shingle) distinctness
     * never needs a shuffle, so downstream consumers aggregate or join the
-    * exploded table directly off the scan. */
+    * exploded table directly off the scan. REQUIRES one input row per id:
+    * a docs frame with duplicated ids (un-deduped union, join fan-out)
+    * yields duplicated (id, shingle) pairs, which inflates every
+    * downstream count. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val grams = transform(

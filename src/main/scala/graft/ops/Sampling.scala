@@ -58,8 +58,12 @@ object Sampling {
       .where(col(stratumCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val k = targets.collect { case (s, t) if counts.contains(s) => counts(s) / t }.min
-    targets.collect { case (s, t) if counts.contains(s) => s -> t * k / counts(s) }
+    val absent = targets.keys.filterNot(counts.contains)
+    require(absent.isEmpty,
+      s"target strata absent from the data (kept mixture could never match " +
+        s"targets): ${absent.mkString(",")}")
+    val k = targets.map { case (s, t) => counts(s) / t }.min
+    targets.map { case (s, t) => s -> t * k / counts(s) }
   }
 
   /** Deterministic mixture calibration: [[mixtureRates]] applied through

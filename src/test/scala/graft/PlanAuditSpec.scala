@@ -84,10 +84,10 @@ class PlanAuditSpec extends GraftSparkSpec {
       "shuffles before the per-doc rollup") {
     val p = plan("q45_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
-    // hash exchanges: corpus shingle distinct (keyed by doc+shingle), the
-    // TINY benchmark-side distinct, and the per-doc rollup — the corpus table
-    // is never exchanged on shingle alone for the overlap join
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+    // hash exchanges: the TINY benchmark-side distinct and the per-doc
+    // rollup. The corpus shingle table is never exchanged at all — its
+    // within-doc dedup happens in the array domain before the explode
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
   }
 
   test("q46: packing windows are bucket-partitioned — no single-partition " +
