@@ -240,6 +240,25 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents matches a local union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)( (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) )
+      // local oracle: union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val minOf = (0 until n).groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min.toLong; vs.map(v => v.toLong -> m)
+      }
+      val got = graft.ops.Components.connectedComponents(
+          spark.range(0, n).toDF("id"), edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == minOf, s"trial $trial mismatch")
+    }
+  }
+
   test("dedupByClusters keeps exactly one representative per cluster") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
