@@ -184,7 +184,9 @@ object Dedup {
     // the exploded shingle table feeds the hot-list aggregate, the cap
     // anti-join, the per-doc set sizes, and both sides of the pair join —
     // materialize the (CPU-heavy) explode exactly once; the 100TB pipeline
-    // would persist this intermediate as a table
+    // would persist this as a shingle-BUCKETED table so the self-join and
+    // shingle-keyed aggregates read it exchange-free (a localCheckpoint
+    // cannot carry partitioning through the aliased join branches)
     val sh0 = shingles(docs, idCol, textCol, shingleLen).localCheckpoint()
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
