@@ -67,6 +67,78 @@ object GraftStreaming {
       .toDF()
   }
 
+  /** Streaming MinHash-LSH near-duplicate detection — the streaming shape
+    * of [[graft.ops.Dedup.minHashLshPairs]] (q22): each arriving document's
+    * MinHash signature is computed NARROWLY (shingles, dedup, and the
+    * per-permutation min all happen in the array domain on the row — no
+    * shuffle), banded identically to the batch op, and checked against a
+    * keyed state store of band buckets. A new document emits
+    * (a, b, est_sim) against every prior document sharing a band — across
+    * micro-batches — then joins the bucket. Same md5 permutation math as
+    * batch, so streaming estimates equal the batch op's on identical input.
+    *
+    * Scale shape: state is partitioned by band key across executors;
+    * `maxBucket` caps each bucket (hot boilerplate bands stop accumulating
+    * — the streaming analog of the batch doc-frequency cap), bounding both
+    * state size and per-row emit fan-out. Multi-band collisions emit the
+    * pair once per shared band; downstream dedups with distinct(), exactly
+    * like the batch candidate pipeline. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 64): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = array_distinct(filter(
+      when(size(words) >= shingleLen,
+        transform(
+          sequence(lit(0), greatest(size(words) - shingleLen, lit(0))),
+          i => concat_ws(" ", slice(words, i + 1, lit(shingleLen)))))
+        .otherwise(array()),
+      x => length(x) > 0))
+    val sigCols = (0 until numPerms).map { p =>
+      array_min(transform(col("__grams"), x => md5(concat(lit(s"$p:"), x))))
+        .as(s"mh$p")
+    }
+    val numBands = numPerms / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      concat(lit(s"$b:"), concat(parts: _*))
+    }
+    val banded = docs
+      .select(col(idCol).cast("long").as("__id"), grams.as("__grams"))
+      .select(col("__id") +: sigCols: _*)
+      .where(col("mh0").isNotNull) // shingle-less docs can't near-dup
+      .select(col("__id"),
+        array((0 until numPerms).map(p => col(s"mh$p")): _*).as("__sig"),
+        explode(array(bandCols: _*)).as("__band"))
+      .as[(Long, Seq[String], String)]
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, Seq[String], String)],
+            state: GroupState[List[(Long, Seq[String])]]) => {
+          var bucket = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // in-batch arrival order is nondeterministic: process by id so the
+          // emitted pair set is reproducible
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            bucket.foreach { case (pid, psig) =>
+              if (pid != id) {
+                val agree = sig.zip(psig).count { case (x, y) => x == y }
+                out += ((math.min(id, pid), math.max(id, pid),
+                  agree.toDouble / numPerms))
+              }
+            }
+            if (bucket.size < maxBucket) bucket = (id, sig) :: bucket
+          }
+          state.update(bucket)
+          out.result().iterator
+        })
+      .toDF("a", "b", "est_sim")
+  }
+
   /** Gap-based session windows over event time — the streaming shape of
     * [[graft.ops.Sessionize]] (q40). Declarative `session_window` (not
     * custom state): Catalyst merges overlapping per-key windows as events

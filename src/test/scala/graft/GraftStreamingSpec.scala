@@ -62,6 +62,36 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("streaming near-dup: cross-batch LSH pairs match the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely unrelated text about something else entirely"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    val out = GraftStreaming.nearDupStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    mem.addData(docs(0), docs(1)) // batch 1
+    q.processAllAvailable()
+    mem.addData(docs(2), docs(3)) // batch 2: exact dup arrives LATER
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("neardup_out")
+      .select($"a", $"b", $"est_sim").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Dedup.minHashLshPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"streaming pairs must equal batch LSH pairs:\n  s=$streamed\n  b=$batch")
+    assert(streamed.exists { case (a, b, s) => a == 1L && b == 4L && s == 1.0 },
+      "the cross-batch exact duplicate must surface with est_sim 1.0")
+  }
+
   test("session windows close on gap and emit once finalized (streaming q40)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
