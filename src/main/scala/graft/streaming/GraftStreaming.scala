@@ -89,25 +89,15 @@ object GraftStreaming {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = split(trim(col(textCol)), "\\s+")
-    val grams = array_distinct(filter(
-      when(size(words) >= shingleLen,
-        transform(
-          sequence(lit(0), greatest(size(words) - shingleLen, lit(0))),
-          i => concat_ws(" ", slice(words, i + 1, lit(shingleLen)))))
-        .otherwise(array()),
-      x => length(x) > 0))
-    val sigCols = (0 until numPerms).map { p =>
-      array_min(transform(col("__grams"), x => md5(concat(lit(s"$p:"), x))))
-        .as(s"mh$p")
-    }
+    val sigCols = graft.ops.Dedup.minHashSignatureCols(col("__grams"), numPerms)
     val numBands = numPerms / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"$b:"), concat(parts: _*))
     }
     val banded = docs
-      .select(col(idCol).cast("long").as("__id"), grams.as("__grams"))
+      .select(col(idCol).cast("long").as("__id"),
+        graft.ops.Dedup.shingleArray(col(textCol), shingleLen).as("__grams"))
       .select(col("__id") +: sigCols: _*)
       .where(col("mh0").isNotNull) // shingle-less docs can't near-dup
       .select(col("__id"),
