@@ -37,13 +37,62 @@ object Graft {
       tableDir: String = defaultTableDir): DataFrame = {
     // versioned path: re-registering a name must never rewrite storage that
     // an earlier registration (or a running query) is still serving —
-    // insertInto/rematerialize version the same way
+    // insertInto/rematerialize version the same way. Superseded paths are
+    // RETIRED (not deleted): call vacuumTable once no reader can hold a
+    // plan over them, or dropTable to reclaim everything.
     val path = s"$tableDir/$name-${System.nanoTime()}"
     df.withColumn(RowIdCol, monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
+    retire(name, serving.put(name, List(path)).getOrElse(Nil))
     val withId = spark.read.parquet(path)
     withId.createOrReplaceTempView(name)
     withId
+  }
+
+  // --- table-artifact lifecycle ------------------------------------------
+  // serving = the storage paths the CURRENT view of each table reads;
+  // retired = paths superseded by re-registration / rematerialize, kept on
+  // disk until vacuumed because in-flight plans may still scan them.
+  private val serving = scala.collection.concurrent.TrieMap.empty[String, List[String]]
+  private val retired = scala.collection.concurrent.TrieMap.empty[String, List[String]]
+
+  private def retire(name: String, paths: List[String]): Unit =
+    if (paths.nonEmpty) retired.updateWith(name) {
+      case Some(old) => Some(paths ++ old)
+      case None => Some(paths)
+    }
+
+  private def addServing(name: String, path: String): Unit =
+    serving.updateWith(name) {
+      case Some(ps) => Some(path :: ps)
+      case None => Some(List(path))
+    }
+
+  private def deletePath(p: String): Unit = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path)) {
+      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** Delete storage retired by re-registrations/rematerializations of
+    * `name`. Caller asserts no in-flight reader still holds a plan over the
+    * old paths (a long-running session calls this between batches — the
+    * storage-GC hook that keeps unbounded re-registration from leaking).
+    * Returns the number of paths reclaimed. */
+  def vacuumTable(name: String): Int = {
+    val dead = retired.remove(name).getOrElse(Nil)
+    dead.foreach(deletePath)
+    dead.size
+  }
+
+  /** Unregister `name` and reclaim ALL its storage (serving + retired). */
+  def dropTable(spark: SparkSession, name: String): Unit = {
+    spark.catalog.dropTempView(name)
+    serving.remove(name).getOrElse(Nil).foreach(deletePath)
+    vacuumTable(name)
+    ()
   }
 
   /** Exact top-k by metric distance — the reference's flagship
@@ -130,6 +179,13 @@ object Graft {
   def ingestRowsPerShard: Int =
     sys.props.get("graft.ingest.rowsPerShard").map(_.toInt).getOrElse(262144)
 
+  private def asSharded(idx: graft.index.VectorIndex): Option[graft.index.ShardedHnswIndex] =
+    idx match {
+      case sh: graft.index.ShardedHnswIndex => Some(sh)
+      case l: graft.index.LazyLoadedIndex => asSharded(l.resolved)
+      case _ => None
+    }
+
   /** Engine DML over immutable storage (SURVEY.md §7.3): append rows to a
     * registered table AND its indexes; NULL vectors are skipped on insert
     * exactly as the reference does (reference src/hnsw/hnsw_index.cpp:437-439).
@@ -152,41 +208,41 @@ object Graft {
     val deltaPath = s"$defaultTableDir/$table-delta-${System.nanoTime()}"
     rows.withColumn(RowIdCol, monotonically_increasing_id() + lit(maxId + 1))
       .write.parquet(deltaPath)
+    addServing(table, deltaPath)
     val withIds = spark.read.parquet(deltaPath)
     val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
     val indexes = IndexCatalog.list.filter(_.table == table)
-    lazy val batchRows = withIds.count() // one cheap count over the delta parquet
     indexes.foreach { e =>
       val pairs = withIds.select(col(RowIdCol).cast(LongType), col(e.column))
         .where(col(e.column).isNotNull)
-      val shardedOpt = e.index match {
-        case sh: graft.index.ShardedHnswIndex => Some(sh)
-        case l: graft.index.LazyLoadedIndex => l.resolved match {
-          case sh: graft.index.ShardedHnswIndex => Some(sh)
-          case _ => None
-        }
-        case _ => None
-      }
+      val shardedOpt = asSharded(e.index)
       IndexCatalog.withWal(e.name) { wal =>
+        // stream the delta partition-by-partition: driver memory is
+        // bounded by one partition, not the insert volume
+        def streamIntoDelta(): Unit =
+          pairs.toLocalIterator().forEachRemaining { r =>
+            val key = r.getLong(0)
+            val vec = r.getSeq[Float](1).toArray
+            e.index.insert(key, vec)
+            wal.foreach(_.insert(key, vec))
+          }
         shardedOpt match {
-          case Some(sh) if batchRows >= shardBatchThreshold =>
-            val nShards = math.max(1, math.ceil(batchRows.toDouble / ingestRowsPerShard).toInt)
-            val metas = IndexCatalog.buildShardMetas(
-              pairs.repartition(nShards),
-              s"${IndexCatalog.indexArtifactDir}/${e.name}-ingest-${System.nanoTime()}",
-              e.options)
-            sh.appendShards(metas)
-            wal.foreach(_.appendShards(metas))
-          case _ =>
-            // stream the delta partition-by-partition: driver memory is
-            // bounded by one partition, not the insert volume
-            pairs.toLocalIterator().forEachRemaining { r =>
-              val key = r.getLong(0)
-              val vec = r.getSeq[Float](1).toArray
-              e.index.insert(key, vec)
-              wal.foreach(_.insert(key, vec))
-            }
+          case Some(sh) =>
+            // threshold + shard sizing count INDEXABLE (non-NULL-vector)
+            // rows — a mostly-NULL batch must not mint tiny shard artifacts
+            // that permanently inflate per-search fan-out
+            val nVec = pairs.count()
+            if (nVec >= shardBatchThreshold) {
+              val nShards = math.max(1, math.ceil(nVec.toDouble / ingestRowsPerShard).toInt)
+              val metas = IndexCatalog.buildShardMetas(
+                pairs.repartition(nShards),
+                s"${IndexCatalog.indexArtifactDir}/${e.name}-ingest-${System.nanoTime()}",
+                e.options)
+              sh.appendShards(metas)
+              wal.foreach(_.appendShards(metas))
+            } else streamIntoDelta()
+          case None => streamIntoDelta()
         }
       }
     }
@@ -202,14 +258,46 @@ object Graft {
     * confirmed deletes land in the WAL. */
   def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
     val existing = spark.table(table)
-    IndexCatalog.list.filter(_.table == table).foreach { e =>
-      IndexCatalog.withWal(e.name) { wal =>
-        existing.where(cond && col(e.column).isNotNull).select(col(RowIdCol))
-          .toLocalIterator().forEachRemaining { r =>
-            val id = r.getLong(0)
-            if (e.index.delete(id)) wal.foreach(_.delete(id))
+    // one doomed-rowid scan per distinct indexed COLUMN; when several
+    // indexes share a column the id set is materialized to storage once
+    // (executor-side write, compact longs) instead of re-running the full
+    // predicate scan per index
+    IndexCatalog.list.filter(_.table == table).groupBy(_.column).foreach {
+      case (column, es) =>
+        val doomed = existing.where(cond && col(column).isNotNull).select(col(RowIdCol))
+        val ids =
+          if (es.sizeIs > 1) {
+            val p = s"$defaultTableDir/$table-del-${System.nanoTime()}"
+            doomed.write.parquet(p)
+            retire(table, List(p)) // transient: reclaimed at next vacuum
+            spark.read.parquet(p)
+          } else doomed
+        es.foreach { e =>
+          IndexCatalog.withWal(e.name) { wal =>
+            asSharded(e.index) match {
+              case Some(sh) =>
+                // chunked shard-major batch delete: each involved shard is
+                // consulted once per chunk instead of thrashing the shard
+                // LRU key-by-key; driver memory stays one chunk of longs
+                val it = ids.toLocalIterator()
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                def flush(): Unit = {
+                  sh.deleteAll(buf.toSeq).foreach(id => wal.foreach(_.delete(id)))
+                  buf.clear()
+                }
+                while (it.hasNext) {
+                  buf += it.next().getLong(0)
+                  if (buf.size >= 65536) flush()
+                }
+                flush()
+              case None =>
+                ids.toLocalIterator().forEachRemaining { r =>
+                  val id = r.getLong(0)
+                  if (e.index.delete(id)) wal.foreach(_.delete(id))
+                }
+            }
           }
-      }
+        }
     }
     val remaining = existing.where(!cond || cond.isNull)
     remaining.createOrReplaceTempView(table)
@@ -224,6 +312,7 @@ object Graft {
       tableDir: String = defaultTableDir): DataFrame = {
     val path = s"$tableDir/$table-m${System.nanoTime()}"
     spark.table(table).write.parquet(path)
+    retire(table, serving.put(table, List(path)).getOrElse(Nil))
     val df = spark.read.parquet(path)
     df.createOrReplaceTempView(table)
     df

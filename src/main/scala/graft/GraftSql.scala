@@ -42,7 +42,7 @@ object GraftSql {
   // registered as a temp view, and the rest of the statement runs unchanged.
   private val VssMatchFromRe =
     ("""(?is)FROM\s+(\w+)\s*,\s*vss_match\(\s*'?(\w+)'?\s*,\s*(?:(\w+)\.)?(\w+)\s*,\s*(\w+)\s*,""" +
-      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+\w+)?""").r
+      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+(\w+))?""").r
 
   /** Parse `metric = 'cosine', ef_construction = 200` into an options map
     * (quotes optional, keys case-insensitive — validation happens in
@@ -89,10 +89,14 @@ object GraftSql {
           spark.table(left), spark.table(right), leftCol, rightCol, k, metric)
         .select(org.apache.spark.sql.functions.col("left_tbl.*"),
           org.apache.spark.sql.functions.col("matches"))
-      val view = s"__vss_match_${math.abs(stmt.hashCode).toString}"
+      val view = s"__vss_match_${Integer.toHexString(stmt.hashCode)}"
       matched.createOrReplaceTempView(view)
       Graft.registerFunctions(spark)
-      spark.sql(stmt.substring(0, m.start) + s"FROM $view" + stmt.substring(m.end))
+      // keep the statement's qualifiers resolvable over the rewritten FROM
+      // clause: the explicit AS alias if one was written, else the left
+      // table's name (its columns are all present in the view)
+      val alias = Option(m.group(8)).getOrElse(left)
+      spark.sql(stmt.substring(0, m.start) + s"FROM $view AS $alias" + stmt.substring(m.end))
     case other =>
       Graft.registerFunctions(spark)
       spark.sql(other)

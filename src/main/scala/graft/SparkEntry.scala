@@ -714,9 +714,14 @@ object SparkEntry {
       val ev = tbl(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
+      // pre-aggregate to ONE purchase row per (user, ts): AsofJoin resolves
+      // right-side timestamp ties by partition row order and DuckDB ASOF by
+      // its own arbitrary choice — collapsing ties (max value) makes both
+      // engines deterministic regardless of fixture tie content
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
-          col("value").as("p_value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("p_value"))
       graft.ops.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts",
           Seq("p_ts", "p_value"))
         .orderBy(col("user_id"), col("ts"))
@@ -1198,8 +1203,8 @@ object SparkEntry {
       """WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value FROM events),
         |c AS (SELECT user_id, event_id, tus FROM e WHERE event_type = 'click'),
-        |p AS (SELECT user_id, tus AS p_tus, value AS p_value FROM e
-        |      WHERE event_type = 'purchase')
+        |p AS (SELECT user_id, tus AS p_tus, max(value) AS p_value FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id, tus)
         |SELECT c.user_id, c.event_id, c.tus AS ts, p.p_tus AS p_ts, p.p_value AS p_value
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.tus >= p.p_tus
         |ORDER BY c.user_id, ts""".stripMargin,

@@ -252,11 +252,20 @@ object IndexCatalog {
     case _ => ()
   }
 
-  /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489). */
-  def dropIndex(name: String): Boolean = entries.remove(name) match {
-    case Some(e) => evictShards(e.index); true
-    case None => false
-  }
+  /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489).
+    * When WAL logging is armed, the drop is itself a WAL record — without
+    * it, a post-checkpoint DROP would be silently undone on restore, and a
+    * drop/recreate under the same name would replay the old epoch's records
+    * onto the new index. */
+  def dropIndex(name: String): Boolean =
+    if (!entries.contains(name)) false
+    else {
+      withWal(name)(_.foreach(_.drop()))
+      entries.remove(name) match {
+        case Some(e) => evictShards(e.index); true
+        case None => false
+      }
+    }
 
   /** PRAGMA hnsw_compact_index('name')
     * (reference src/hnsw/hnsw_index_pragmas.cpp:154-197). */
@@ -392,6 +401,10 @@ object IndexCatalog {
       while (i < vec.length) { out.writeFloat(vec(i)); i += 1 }
     }
     def delete(key: Long): Unit = { out.writeByte(1); out.writeLong(key) }
+    /** The index was dropped this epoch: replay stops applying records here
+      * and the restored entry is removed (a recreate under the same name is
+      * NOT covered until the next checkpoint captures it). */
+    def drop(): Unit = out.writeByte(3)
     /** Batch-ingest shards are already durable artifacts on shared storage;
       * the WAL only records their metas so restore re-attaches them. */
     def appendShards(metas: Array[ShardMeta]): Unit = {
@@ -422,11 +435,15 @@ object IndexCatalog {
     case _ => None
   }
 
-  /** Replay one index's WAL records (in order) onto its restored artifact. */
-  private def replayWal(entry: IndexEntry, path: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(path)) return
+  /** Replay one index's WAL records (in order) onto its restored artifact.
+    * Returns false if a drop record was hit: records after it belong to a
+    * later same-name epoch (not in this checkpoint's manifest) and are
+    * parsed but NOT applied, and the caller must discard the entry. */
+  private def replayWal(entry: IndexEntry, path: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.exists(path)) return true
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       java.nio.file.Files.newInputStream(path)))
+    var dropped = false
     try {
       var tag = in.read()
       while (tag >= 0) {
@@ -436,24 +453,30 @@ object IndexCatalog {
             val vec = new Array[Float](in.readInt())
             var i = 0
             while (i < vec.length) { vec(i) = in.readFloat(); i += 1 }
-            entry.index.insert(key, vec)
+            if (!dropped) entry.index.insert(key, vec)
           case 1 =>
-            entry.index.delete(in.readLong())
+            val key = in.readLong()
+            if (!dropped) entry.index.delete(key)
           case 2 =>
             val bytes = new Array[Byte](in.readInt())
             in.readFully(bytes)
-            val metas = new java.io.ObjectInputStream(
-              new java.io.ByteArrayInputStream(bytes)).readObject()
-              .asInstanceOf[Array[ShardMeta]]
-            asSharded(entry.index).getOrElse(throw new IllegalStateException(
-              s"WAL shard-append record for non-sharded index ${entry.name}"))
-              .appendShards(metas)
+            if (!dropped) {
+              val metas = new java.io.ObjectInputStream(
+                new java.io.ByteArrayInputStream(bytes)).readObject()
+                .asInstanceOf[Array[ShardMeta]]
+              asSharded(entry.index).getOrElse(throw new IllegalStateException(
+                s"WAL shard-append record for non-sharded index ${entry.name}"))
+                .appendShards(metas)
+            }
+          case 3 =>
+            dropped = true
           case other =>
             throw new IllegalStateException(s"corrupt WAL record tag $other in $path")
         }
         tag = in.read()
       }
     } finally in.close()
+    !dropped
   }
 
   /** Restart recovery: re-register every checkpointed index with a LAZY
@@ -477,9 +500,13 @@ object IndexCatalog {
       entries(name) = entry
       entry
     }
-    restored.foreach(e => replayWal(e, walFile(dir, e.name)))
+    val alive = restored.filter { e =>
+      val ok = replayWal(e, walFile(dir, e.name))
+      if (!ok) entries.remove(e.name) // dropped after the checkpoint
+      ok
+    }
     walDir = Some(dir) // keep logging: the WAL stays the post-checkpoint history
-    restored
+    alive
   }
 
   /** Lazy reload of a persisted index into the catalog (deferred full

@@ -116,7 +116,7 @@ object IvfIndex {
 
   /** Nearest-centroid id as a pure column expression (codegen'd; the
     * assignment pass is a narrow map over the table). */
-  private def assignExpr(vecCol: String, centroids: Array[Array[Float]],
+  private[index] def assignExpr(vecCol: String, centroids: Array[Array[Float]],
       metric: String): org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(vector.metricDistance(metric)(col(vecCol), lit(c)).as("d"),

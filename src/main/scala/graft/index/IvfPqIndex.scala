@@ -65,13 +65,7 @@ object IvfPqIndex {
     val centroids = IvfIndex.train(df, vecCol, nLists, metric, iters, seed = seed)
     val cb = PqIndex.train(df, vecCol, m, k, metric, iters, seed = seed)
     val path = s"$baseDir/$name-ivfpq-${System.currentTimeMillis()}"
-    val assign = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(vector.metricDistance(metric)(col(vecCol), lit(c)).as("d"),
-          lit(i).as("i"))
-      }
-      array_min(array(scored.toIndexedSeq: _*)).getField("i")
-    }
+    val assign = IvfIndex.assignExpr(vecCol, centroids, metric)
     df.where(col(vecCol).isNotNull)
       .select(col(idCol), assign.as(ListCol),
         PqEncode.column(col(vecCol), cb).as(PqIndex.CodesCol))

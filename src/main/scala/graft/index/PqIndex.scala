@@ -201,7 +201,16 @@ object PqIndex {
       val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       lloyd(slice, k, iters, seed + s)
     }
-    new Codebooks(books, metric)
+    // lloyd caps each subspace at its own distinct-sample count, so the
+    // books can be RAGGED — but the m×k ADC table is strided on a single k.
+    // Pad every book to the widest with copies of its last centroid: a
+    // padded duplicate ties (never strictly beats) the original in encode's
+    // strict-min, so padded code ids are never emitted, and the ADC table
+    // entries they produce are merely unused.
+    val kk = books.map(_.length).max
+    val padded = books.map(b =>
+      if (b.length == kk) b else b ++ Array.fill(kk - b.length)(b.last))
+    new Codebooks(padded, metric)
   }
 
   /** Train + encode + write the code table (id, m-byte codes). */

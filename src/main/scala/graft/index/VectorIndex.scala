@@ -332,6 +332,43 @@ class ShardedHnswIndex private (
     }
   }
 
+  /** Batch delete, shard-major: keys are bucketed by Bloom-candidate shard
+    * up front, then each involved shard graph is consulted AT MOST ONCE per
+    * batch, in shards0 order (same owner attribution as per-key [[delete]]).
+    * The per-key path consults shards in key order, which can thrash the
+    * shard LRU when one batch spans more shards than the cache holds; here
+    * residency is one shard at a time regardless of batch size. Returns the
+    * keys actually deleted. */
+  def deleteAll(keys: Seq[Long]): Seq[Long] = synchronized {
+    val deleted = Seq.newBuilder[Long]
+    val pending = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    keys.foreach { key =>
+      if (delta != null && delta.contains(key)) { delta.remove(key); deleted += key }
+      else if (!deletedKeys.containsKey(key)) {
+        shards0.foreach { s =>
+          if (s.keyFilter == null || s.keyFilter.maybeContains(key)) {
+            pending.getOrElseUpdate(s.path, scala.collection.mutable.ArrayBuffer.empty) += key
+          }
+        }
+      }
+    }
+    val owned = scala.collection.mutable.HashSet.empty[Long]
+    shards0.foreach { s =>
+      pending.get(s.path).foreach { ks =>
+        lazy val graph = ShardCache.get(s.path) // loaded only if keys pend
+        ks.foreach { k =>
+          if (!owned.contains(k) && graph.contains(k)) {
+            owned += k
+            deletedKeys.put(k, java.lang.Boolean.TRUE)
+            shardTombstones.update(s.path, shardTombstones.getOrElse(s.path, 0) + 1)
+            deleted += k
+          }
+        }
+      }
+    }
+    deleted.result()
+  }
+
   private def freshCompactDir(): String = {
     val dir = s"${IndexCatalog.indexArtifactDir}/compact-${System.currentTimeMillis()}-${System.nanoTime() % 1000000}"
     Files.createDirectories(Paths.get(dir))

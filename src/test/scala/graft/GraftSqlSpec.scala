@@ -123,4 +123,35 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
       } finally sys.props.remove("graft.indexes.dir")
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
+
+  test("vss_match rewrite keeps the statement's alias and left-table qualifiers resolvable") {
+    spark.table("sql_emb").filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("s_vec"))
+      .createOrReplaceTempView("sql_s2")
+    // alias-qualified column reference through the AS alias
+    val viaAlias = GraftSql.sql(spark,
+      "SELECT res.qid, size(res.matches) AS n " +
+        "FROM sql_s2, vss_match(sql_emb, s_vec, embedding, 2) AS res ORDER BY res.qid")
+      .collect()
+    assert(viaAlias.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 2), (1L, 2), (2L, 2)))
+    // left-table-qualified reference without an explicit alias
+    val viaLeft = GraftSql.sql(spark,
+      "SELECT sql_s2.qid FROM sql_s2, vss_match(sql_emb, s_vec, embedding, 1) " +
+        "ORDER BY sql_s2.qid")
+      .collect()
+    assert(viaLeft.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("vacuumTable reclaims superseded registrations; current stays readable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(10)
+    Graft.registerTable(spark, "vac_t", emb)
+    Graft.registerTable(spark, "vac_t", emb) // supersedes the first
+    val reclaimed = Graft.vacuumTable("vac_t")
+    assert(reclaimed >= 1, "re-registration must retire the old path")
+    assert(spark.table("vac_t").count() == 10, "current registration survives")
+    assert(Graft.vacuumTable("vac_t") == 0, "vacuum is idempotent")
+    Graft.dropTable(spark, "vac_t")
+    intercept[Exception](spark.table("vac_t").count())
+  }
 }

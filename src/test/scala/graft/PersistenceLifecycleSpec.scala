@@ -128,4 +128,40 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
         .select($"vec_id").as[Long].collect().toSet.contains(700042L))
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
+
+  test("WAL: a post-checkpoint DROP INDEX stays dropped after restore; " +
+      "a same-name recreate's records don't replay onto the old artifact") {
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drop-wal").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "dw_t", emb)
+      IndexCatalog.dropIndex("dw_idx")
+      IndexCatalog.createIndex(spark, "dw_idx", "dw_t", "embedding",
+        Map("ef_search" -> "600"))
+      IndexCatalog.checkpoint(spark, dir)
+      val sizeAtCkpt = IndexCatalog.get("dw_idx").get.index.size
+
+      // post-checkpoint epoch: DML, then DROP, then recreate + more DML
+      Graft.insertInto(spark, "dw_t",
+        Seq((888000L, Seq.fill(64)(44f), 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      assert(IndexCatalog.dropIndex("dw_idx"))
+      IndexCatalog.createIndex(spark, "dw_idx", "dw_t", "embedding",
+        Map("ef_search" -> "600"))
+      Graft.insertInto(spark, "dw_t",
+        Seq((888001L, Seq.fill(64)(45f), 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+
+      // crash + restore: the manifest's dw_idx was dropped this epoch — it
+      // must NOT resurrect, and the recreate's records must not replay onto
+      // the old artifact (the recreate is only covered by the NEXT checkpoint)
+      IndexCatalog.clear()
+      val alive = IndexCatalog.restoreAll(spark, dir)
+      assert(!alive.exists(_.name == "dw_idx"))
+      assert(IndexCatalog.get("dw_idx").isEmpty,
+        s"dropped index resurrected with size " +
+          s"${IndexCatalog.get("dw_idx").map(_.index.size)} (ckpt was $sizeAtCkpt)")
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
 }

@@ -59,10 +59,13 @@ class PlanAuditSpec extends GraftSparkSpec {
   }
 
   test("q40/q42: sessionize and as-of join shuffle ONCE on the user key") {
-    for (q <- Seq("q40_sessionize", "q42_asof_join")) {
-      val p = plan(q)
-      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"$q:\n$p")
-    }
+    val p40 = plan("q40_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p40).length == 1, s"q40:\n$p40")
+    // q42 pays ONE extra keyed shuffle for the (user, ts) tie-collapse
+    // pre-aggregation that makes right-side ties deterministic in both
+    // engines; the as-of union window itself still shuffles once
+    val p42 = plan("q42_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p42).length == 2, s"q42:\n$p42")
   }
 
   test("q41: PQ candidate generation reads only (id, codes) — never vectors") {

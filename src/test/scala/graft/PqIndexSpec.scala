@@ -53,6 +53,29 @@ class PqIndexSpec extends GraftSparkSpec {
     PqIndex.drop("pq_recall")
   }
 
+  test("ragged codebooks (subspace with fewer distinct values than k) pad safely") {
+    // subspace 0 is CONSTANT (1 distinct value), subspace 1 varies: lloyd
+    // caps book 0 at one centroid while book 1 gets k — the ADC stride must
+    // survive the raggedness and full-refine stays exact
+    val df = spark.range(0, 60).select($"id".as("vid"),
+      array(lit(1.0f), lit(1.0f),
+        ($"id" % 13).cast("float"), ($"id" % 7).cast("float")).as("v"))
+    df.createOrReplaceTempView("pq_ragged")
+    PqIndex.drop("pq_ragged_idx")
+    val e = PqIndex.create(spark, "pq_ragged_idx", "pq_ragged", "vid", "v",
+      m = 2, k = 8)
+    assert(e.codebooks.books.forall(_.length == e.codebooks.k),
+      "books must be padded to a uniform k")
+    val q = Array(1.0f, 1.0f, 5.0f, 3.0f)
+    val got = PqIndex.search(spark, "pq_ragged_idx", q, 5, refine = 100,
+        tieBreak = Seq("vid"))
+      .select($"vid").as[Long].collect().toSeq
+    val brute = Graft.topK(spark.table("pq_ragged"), "v", q, 5, "l2sq", Seq("vid"))
+      .select($"vid").as[Long].collect().toSeq
+    assert(got == brute)
+    PqIndex.drop("pq_ragged_idx")
+  }
+
   test("train rejects cosine and non-divisible subspace counts") {
     embeddings
     val err = intercept[IllegalArgumentException] {

@@ -51,6 +51,24 @@ class ShardedScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     victims.foreach(v => assert(!idx.contains(v)))
   }
 
+  test("deleteAll: shard-major batch delete matches per-key semantics") {
+    val sizeBefore = idx.size
+    val tombsBefore = idx.shards.map(s => idx.tombstonesForShard(s.path)).sum
+    // keys disjoint from the earlier attribution test's victims
+    val present = someRowids(20).drop(10).take(6)
+    val absent = Seq(111222333L, 444555666L)
+    val deleted = idx.deleteAll(present ++ absent)
+    assert(deleted.toSet == present.toSet,
+      "batch delete must delete exactly the present keys")
+    assert(idx.size == sizeBefore - present.size)
+    assert(idx.shards.map(s => idx.tombstonesForShard(s.path)).sum ==
+      tombsBefore + present.size, "tombstones attribute per owning shard")
+    // idempotent: already-tombstoned and absent keys delete nothing
+    assert(idx.deleteAll(present ++ absent).isEmpty)
+    assert(idx.size == sizeBefore - present.size)
+    present.foreach(v => assert(!idx.contains(v)))
+  }
+
   test("local compacted() writes replacement artifacts under the SHARED artifact dir") {
     val compacted = idx.compacted().asInstanceOf[ShardedHnswIndex]
     // a driver-local temp dir would be unresolvable by executors on a real
