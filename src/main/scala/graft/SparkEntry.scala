@@ -620,6 +620,15 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }
 
+    /** Z-order (Morton) interleave of two bucketized dimensions — the
+      * clustering key behind layout-optimized writes (Layout.zorderWrite);
+      * pure bit-twiddling, hash-exact in both engines. */
+    def q51ZOrder(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Layout.zValue(col("n_chars") % 65536, col("doc_id") % 65536)
+          .as("zval"))
+        .orderBy(col("doc_id"))
+
     /** Language ID + quality score + canonical fingerprint — pure column
       * algebra, bit-identical across engines. */
     def q25TextSignals(s: SparkSession, dir: String): DataFrame =
@@ -765,6 +774,15 @@ object SparkEntry {
 
   private val sqlShingles: String = sqlShinglesFor("documents")
 
+  /** Morton bit-spread of the low 16 bits of `x` — mirrors Layout.spread16.
+    * The fold doubles the expression text per step (16 copies of the base);
+    * fine for an oracle string. */
+  private def sqlSpread16(x: String): String =
+    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+      .foldLeft(s"($x & 65535)") {
+        case (acc, (sh, m)) => s"(($acc | ($acc << $sh)) & $m)"
+      }
+
   /** Per-language marker-count score — mirrors TextAnalysis.langScore
     * (occurrence counting via replace-length arithmetic over ' '+text+' '). */
   private def sqlLangScore(markers: Seq[String]): String =
@@ -825,6 +843,7 @@ object SparkEntry {
     "q48_corpus_stats" -> (Queries.q48CorpusStats _),
     "q49_mixture_calibration" -> (Queries.q49MixtureCalibration _),
     "q50_pipeline_e2e" -> (Queries.q50PipelineE2e _),
+    "q51_zorder" -> (Queries.q51ZOrder _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1344,5 +1363,10 @@ object SparkEntry {
          |SELECT split, lang, count(*) AS n_docs,
          | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
          |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q51_zorder" ->
+      s"""SELECT doc_id,
+         | (${sqlSpread16("(n_chars % 65536)")}
+         |  | (${sqlSpread16("(doc_id % 65536)")} << 1)) AS zval
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
