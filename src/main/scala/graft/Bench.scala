@@ -36,7 +36,9 @@ object Bench {
       "q28_embedding_neardup" -> "build_q28_index",
       "q30_ivf_topk" -> "build_q30_ivf",
       "q41_pq_topk" -> "build_q41_pq",
-      "q43_ivfpq_topk" -> "build_q43_ivfpq").map { case (q, metric) =>
+      "q43_ivfpq_topk" -> "build_q43_ivfpq",
+      "q53_bm25_indexed" -> "build_q53_term",
+      "q55_sq_topk" -> "build_q55_sq").map { case (q, metric) =>
       val t0 = System.nanoTime()
       run(q)
       metric -> (System.nanoTime() - t0) / 1e9

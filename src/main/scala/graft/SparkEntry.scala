@@ -751,6 +751,87 @@ object SparkEntry {
           col("n_frames"), col("n_sampled"))
         .orderBy(col("doc_id"))
     }
+
+    // --- text search -----------------------------------------------------
+
+    /** Shared keyword query for the BM25 family (q52/q53/q54). */
+    val bm25Terms: Seq[String] = Seq("spark", "join", "query")
+
+    /** Brute-force BM25 top-20 keyword search over the corpus. */
+    def q52Bm25TopK(s: SparkSession, dir: String): DataFrame =
+      graft.ops.TextSearch.bm25TopK(tbl(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, 20)
+
+    /** The same search through the bucket-partitioned inverted term index —
+      * reads only the query terms' posting partitions (PartitionFilters,
+      * pinned by TextSearchSpec); result is bit-identical to q52, so the
+      * two share the oracle. */
+    def q53Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q53_docs_$tag", s"q53_term_$tag")
+      tbl(s, dir, "documents").createOrReplaceTempView(tname)
+      if (graft.index.TermIndex.get(iname).isEmpty) {
+        graft.index.TermIndex.create(s, iname, tname, "doc_id", "text",
+          nBuckets = 8)
+      }
+      graft.index.TermIndex.search(s, iname, bm25Terms, 20)
+    }
+
+    /** Hybrid search: BM25 keyword top-20 fused with exact vector top-20
+      * (documents and embeddings share the id space) by reciprocal-rank
+      * fusion — the standard no-calibration combiner. Ranks are 1-indexed
+      * row_numbers over (score, id); rrf = 1/(60+rank_kw) + 1/(60+rank_vec)
+      * is integer-derived IEEE division, bit-exact cross-engine. */
+    def q54HybridRrf(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val kw = q52Bm25TopK(s, dir)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val vec = Graft.topK(emb, "embedding", qv, 20, "l2sq", Seq("vec_id"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.TextSearch.rrfFuse(kw, vec, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }
+
+    /** Batch keyword retrieval (the BM25 analog of the KNN join): every
+      * 97th document's first 3 words play the query table; top-3 docs per
+      * query in ONE distributed plan — postings filtered to the union of
+      * query terms before any shuffle, then a term candidate join and a
+      * per-query top-k window. */
+    def q56Bm25Join(s: SparkSession, dir: String): DataFrame = {
+      val d = tbl(s, dir, "documents")
+      val queries = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          slice(graft.ops.TextSearch.tokens(col("text")), 1, 3).as("terms"))
+      graft.ops.TextSearch.bm25JoinTopK(d, "doc_id", "text",
+          queries, "qid", "terms", 3)
+        .orderBy(col("qid"), col("rank"))
+    }
+
+    /** SQ8 scalar-quantization index path: per-dimension int8 codes, ADC
+      * candidate scan, exact re-rank. Full refine ⇒ exact — the oracle is
+      * plain brute force (same trick as q30/q41/q43). */
+    def q55SqTopK(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q55_emb_$tag", s"q55_sq_$tag")
+      tbl(s, dir, "embeddings").createOrReplaceTempView(tname)
+      if (graft.index.SqIndex.get(iname).isEmpty) {
+        graft.index.SqIndex.create(s, iname, tname, "vec_id", "embedding")
+      }
+      val qv = s.table(tname).filter(col("vec_id") === 13)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.SqIndex.search(s, iname, qv, 10, refine = Int.MaxValue / 16,
+          tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -782,6 +863,38 @@ object SparkEntry {
       .foldLeft(s"($x & 65535)") {
         case (acc, (sh, m)) => s"(($acc | ($acc << $sh)) & $m)"
       }
+
+  /** BM25 `scored` CTE chain (doc_id, score) — mirrors TextSearch.bm25 with
+    * identical literals, operator association, and per-term fold order. tf,
+    * df, dl, N are integer-exact; `ln` is the one inexact step, absorbed by
+    * the same round-to-6 both engines apply. */
+  private def sqlBm25Scored(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivot = terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN c END), 0.0)")
+      .mkString(" + ")
+    raw"""toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+         |       WHERE term IN ($inList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |contrib AS (SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |    (tf.tf * (1.2 + 1.0)) /
+         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+         |  FROM tf JOIN df ON tf.term = df.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+         |scored AS (SELECT doc_id, round($pivot, 6) AS score
+         |           FROM contrib GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q52/q53 top-20 keyword search over the scored CTEs. */
+  private def sqlBm25TopK(terms: Seq[String], k: Int): String =
+    s"""WITH ${sqlBm25Scored(terms)}
+       |SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   /** Per-language marker-count score — mirrors TextAnalysis.langScore
     * (occurrence counting via replace-length arithmetic over ' '+text+' '). */
@@ -844,6 +957,11 @@ object SparkEntry {
     "q49_mixture_calibration" -> (Queries.q49MixtureCalibration _),
     "q50_pipeline_e2e" -> (Queries.q50PipelineE2e _),
     "q51_zorder" -> (Queries.q51ZOrder _),
+    "q52_bm25_topk" -> (Queries.q52Bm25TopK _),
+    "q53_bm25_indexed" -> (Queries.q53Bm25Indexed _),
+    "q54_hybrid_rrf" -> (Queries.q54HybridRrf _),
+    "q55_sq_topk" -> (Queries.q55SqTopK _),
+    "q56_bm25_join" -> (Queries.q56Bm25Join _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1368,5 +1486,58 @@ object SparkEntry {
          | (${sqlSpread16("(n_chars % 65536)")}
          |  | (${sqlSpread16("(doc_id % 65536)")} << 1)) AS zval
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_bm25_topk" -> sqlBm25TopK(Queries.bm25Terms, 20),
+    // q53 runs the same search through the inverted term index — results are
+    // bit-identical to brute force, so the oracle is shared
+    "q53_bm25_indexed" -> sqlBm25TopK(Queries.bm25Terms, 20),
+    "q54_hybrid_rrf" ->
+      s"""WITH ${sqlBm25Scored(Queries.bm25Terms)},
+         |kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |       FROM (SELECT doc_id, score FROM scored
+         |             ORDER BY score DESC, doc_id LIMIT 20)),
+         |vv AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY dist, vec_id) AS r
+         |       FROM (SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |             FROM embeddings e,
+         |                  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+         |             ORDER BY dist, e.vec_id LIMIT 20))
+         |SELECT coalesce(kw.doc_id, vv.doc_id) AS doc_id,
+         |       coalesce(1.0 / (60.0 + kw.r), 0.0)
+         |     + coalesce(1.0 / (60.0 + vv.r), 0.0) AS rrf
+         |FROM kw FULL OUTER JOIN vv ON kw.doc_id = vv.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q55_sq_topk" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // mirrors TextSearch.bm25JoinTopK: per-(query, doc) contributions are
+    // folded in term-sorted order (list(c ORDER BY term) + list_reduce ==
+    // Spark's sort_array + 0.0-seeded aggregate, since contributions are
+    // positive and 0.0 + x = x)
+    "q56_bm25_join" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+           |q AS (SELECT doc_id AS qid, w[1:3] AS terms FROM toks WHERE doc_id % 97 = 0),
+           |qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+           |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |contrib AS (SELECT tf.doc_id, tf.term,
+           |    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+           |    (tf.tf * (1.2 + 1.0)) /
+           |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+           |  FROM tf JOIN df ON tf.term = df.term
+           |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+           |scored AS (SELECT qt.qid, contrib.doc_id,
+           |    round(list_reduce(list(contrib.c ORDER BY contrib.term), (x,y) -> x + y), 6) AS score
+           |  FROM contrib JOIN qt ON contrib.term = qt.term
+           |  GROUP BY qt.qid, contrib.doc_id)
+           |SELECT qid, doc_id, score, rank FROM (
+           |  SELECT qid, doc_id, score,
+           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -1,0 +1,143 @@
+package graft.index
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextSearch
+
+/** Inverted term index for BM25 keyword search — the storage-native scale
+  * path for full-text relevance, the exact text analog of [[IvfIndex]] for
+  * vectors:
+  *
+  *   - BUILD: one tokenize pass produces posting rows (term, doc id, tf,
+  *     doc length) written to parquet PARTITIONED BY a hash bucket of the
+  *     term — the posting lists ARE storage partitions. Corpus stats
+  *     (N, avgdl) are computed in the same pass and kept as entry metadata.
+  *   - SEARCH: the query terms' buckets are computed driver-side and Spark
+  *     scans ONLY those partitions (PartitionFilters prune at file-listing
+  *     time); within them a `term IN (...)` row filter pushes to parquet.
+  *     A 100 TB corpus reads |query-term buckets| / nBuckets of the
+  *     postings, never the documents themselves.
+  *
+  * Because a term's postings live entirely in its bucket, df computed from
+  * the pruned read is the GLOBAL df — search results are bit-identical to
+  * the brute-force [[TextSearch.bm25TopK]] over the source table (the
+  * correctness oracle, mirroring IVF's nProbe = nLists). Nothing must fit
+  * in memory anywhere: driver state is (N, avgdl) and the bucket list. */
+object TermIndex {
+
+  /** Stats are kept in ADDITIVE form (nDocs, sumDl — exact integer-valued
+    * doubles) so [[append]] can update them exactly; avgdl is derived as
+    * sumDl/nDocs, the identical division avg() performs. */
+  case class TermEntry(
+      name: String,
+      sourceTable: String,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nBuckets: Int,
+      nDocs: Double,
+      sumDl: Double) {
+    def avgDl: Double = sumDl / nDocs
+  }
+
+  private val entries = TrieMap.empty[String, TermEntry]
+  def get(name: String): Option[TermEntry] = entries.get(name)
+
+  def drop(name: String): Boolean = entries.remove(name) match {
+    case Some(e) =>
+      deleteRecursively(java.nio.file.Paths.get(e.path)); true
+    case None => false
+  }
+  def clear(): Unit = entries.keys.foreach(drop)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  val BucketCol = "__term_bucket"
+
+  private def bucketExpr(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** Tokenize + write the bucket-partitioned posting lists. */
+  def create(spark: SparkSession, name: String, table: String, idCol: String,
+      textCol: String, nBuckets: Int = 64,
+      baseDir: String = IndexCatalog.indexArtifactDir): TermEntry = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    val docs = spark.table(table)
+    val path = s"$baseDir/$name-term-${System.currentTimeMillis()}"
+    TextSearch.postingsFor(docs, idCol, textCol)
+      .withColumn(BucketCol, bucketExpr(col("term"), nBuckets))
+      .write.partitionBy(BucketCol).parquet(path)
+    val stats = TextSearch.corpusCounts(docs, textCol).head()
+    val entry = TermEntry(name, table, idCol, textCol, path, nBuckets,
+      stats.getDouble(0), stats.getDouble(1))
+    if (entries.putIfAbsent(name, entry).isDefined) { // lose the race cleanly
+      deleteRecursively(java.nio.file.Paths.get(path))
+      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
+    }
+    entry
+  }
+
+  /** Incremental ingest: append `docs`' postings as new files in their
+    * term-bucket partitions and fold the corpus counts — search results
+    * after an append are bit-identical to a fresh build over the union
+    * (postings are additive rows; df/tf fall out of the same aggregation;
+    * avgdl re-derives from the exactly-updated sums). The docs must be NEW
+    * ids — re-appending an indexed doc would double-count its postings
+    * (same contract as HNSW insert, which keys by rowid). Single-writer,
+    * like every index build here. */
+  def append(spark: SparkSession, name: String, docs: org.apache.spark.sql.DataFrame): TermEntry = {
+    val entry = entries.getOrElse(name,
+      throw new IllegalArgumentException(s"no term index named $name"))
+    TextSearch.postingsFor(docs, entry.idCol, entry.textCol)
+      .withColumn(BucketCol, bucketExpr(col("term"), entry.nBuckets))
+      .write.mode("append").partitionBy(BucketCol).parquet(entry.path)
+    val stats = TextSearch.corpusCounts(docs, entry.textCol).head()
+    if (stats.getDouble(0) == 0.0) return entry // empty append: no stats delta
+    val updated = entry.copy(nDocs = entry.nDocs + stats.getDouble(0),
+      sumDl = entry.sumDl + stats.getDouble(1))
+    entries.put(name, updated)
+    updated
+  }
+
+  /** The query terms' partition buckets, computed with the SAME hash
+    * expression the build used (a 1-row-per-term local job — no driver
+    * reimplementation of xxhash64 to drift out of sync). */
+  def bucketsOf(spark: SparkSession, terms: Seq[String], nBuckets: Int): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("term").select(bucketExpr(col("term"), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Top-k BM25 search through the index: identical results to
+    * `TextSearch.bm25TopK(sourceTable, ...)`, reading only the query
+    * terms' posting buckets. */
+  def search(spark: SparkSession, name: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val entry = entries.getOrElse(name,
+      throw new IllegalArgumentException(s"no term index named $name"))
+    scoredPostings(spark, entry, terms, k1, b)
+      .orderBy(col("score").desc, col(entry.idCol))
+      .limit(k)
+  }
+
+  /** All matching docs with scores (the un-limited form; search adds the
+    * top-k). Split out so specs can compare full score sets. */
+  def scoredPostings(spark: SparkSession, entry: TermEntry, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val buckets = bucketsOf(spark, terms, entry.nBuckets)
+    val postings = spark.read.parquet(entry.path)
+      .where(col(BucketCol).isin(buckets: _*)) // partition pruning
+      .where(col("term").isin(terms: _*)) // parquet row-group filter
+    val stats = spark.range(1)
+      .select(lit(entry.nDocs).as("n"), lit(entry.avgDl).as("avgdl"))
+    TextSearch.scorePostings(postings, stats, entry.idCol, terms, k1, b)
+  }
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-text relevance search over a document corpus — the keyword-side
+  * complement of the engine's vector similarity surface (BM25 is to text
+  * what the distance kernels are to embeddings).
+  *
+  * Scoring is Okapi BM25 with the Lucene idf variant
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` (non-negative for every df).
+  * All inputs to the formula are integer-valued doubles (tf, df, doc
+  * length, N — exact in both engines regardless of aggregation order; the
+  * corpus length sum is < 2^53), so the ONLY cross-engine-inexact step is
+  * the single `ln`, which both JVM and C runtimes compute within 1 ulp —
+  * scores are rounded to 6 decimals to absorb it, and per-term
+  * contributions are added in the caller's term order (a fixed-order fold,
+  * not an order-unstable SUM) so the DuckDB oracle replays bit-equal.
+  *
+  * Scale shape: the tokenize→tf pass filters to the query's terms BEFORE
+  * the (doc, term) shuffle, so a 100 TB corpus shuffles only rows
+  * containing query terms; df and corpus stats are single-row/broadcast
+  * joins. For repeated querying, [[graft.index.TermIndex]] materializes the
+  * same postings partitioned by term bucket so each query reads only its
+  * terms' partitions. */
+object TextSearch {
+
+  /** Whitespace tokens (same contract as [[TextAnalysis.tokenCount]]). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Posting rows (idCol, term, tf, dl): one row per (doc, distinct term),
+    * with the doc's token count carried alongside. `terms = Some(q)`
+    * filters to the query's terms before the tf shuffle. */
+  def postingsFor(docs: DataFrame, idCol: String, textCol: String,
+      terms: Option[Seq[String]] = None): DataFrame = {
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(DoubleType))
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+    val filtered = terms match {
+      case Some(q) => toks.where(col("term").isin(q: _*))
+      case None => toks
+    }
+    filtered
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+  }
+
+  /** One-row corpus stats (n docs, avg doc length). Both values are exact
+    * cross-engine: n is a count and avgdl is an exact integer sum divided
+    * by n (token counts are integers, so the double sum is exact below
+    * 2^53 regardless of aggregation order). */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    corpusCounts(docs, textCol)
+      .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
+
+  /** The additive form of [[corpusStats]]: (n, sumdl) — what an
+    * incremental index append can update exactly (avg is re-derived as
+    * sumdl/n, the same division avg() performs). */
+  def corpusCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(size(tokens(col(textCol))).cast(DoubleType).as("__dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"), sum(col("__dl")).as("sumdl"))
+
+  /** BM25 score per document from posting rows. `stats` is a one-row
+    * (n, avgdl) frame (broadcast); df is computed from the postings
+    * themselves, so postings must cover every occurrence of each query term
+    * (true for both the brute-force pass and a term-bucketed index read).
+    * Output: (idCol, score DOUBLE rounded to 6 decimals), docs matching at
+    * least one term. */
+  def scorePostings(postings: DataFrame, stats: DataFrame, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct (fixed-order fold)")
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val contrib = postings
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order pivot: one column per query term, then a left-to-right
+    // fold in the caller's term order — float addition is not associative,
+    // so an order-unstable SUM would not replay in the oracle
+    val pivotCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"__c_$i")
+    }
+    val score = terms.indices
+      .map(i => coalesce(col(s"__c_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib.groupBy(col(idCol)).agg(pivotCols.head, pivotCols.tail: _*)
+      .select(col(idCol), round(score, 6).as("score"))
+  }
+
+  /** Batch keyword retrieval — the BM25 analog of the KNN join: for EVERY
+    * row of a queries table (qid, array-of-terms), the top-k docs by BM25
+    * score, in one distributed plan (no per-query loop):
+    *
+    *   query terms exploded+deduped → postings filtered to the union of
+    *   all query terms (broadcast semi-join BEFORE the tf shuffle) → df/idf
+    *   once per distinct term → postings ⋈ query-terms on term (the
+    *   candidate join — each doc meets only queries it shares a term with,
+    *   never all queries) → per-(qid, doc) score → per-qid top-k window.
+    *
+    * Scores match [[bm25]] run per query. Per-(qid, doc) contributions are
+    * summed by an explicit term-sorted fold (collect_list → sort_array →
+    * aggregate) — deterministic addition order over a dynamic term set, so
+    * the DuckDB oracle (`list(c ORDER BY term)` + list_reduce) replays
+    * bit-equal; 0.0-seeded fold and first-element-seeded list_reduce agree
+    * because 0.0 + x = x and contributions are positive.
+    *
+    * Output: (qidCol, idCol, score, rank 1..k). */
+  def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries
+      .select(col(qidCol), explode(col(termsCol)).as("term"))
+      .distinct()
+    val allTerms = qterms.select(col("term")).distinct()
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(DoubleType))
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+    val postings = toks
+      .join(broadcast(allTerms), Seq("term"), "left_semi")
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val contrib = postings
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(corpusStats(docs, textCol)))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib
+      .join(qterms, "term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("term"), col("c")))),
+            x => x.getField("c")),
+          lit(0.0), (acc, v) => acc + v), 6).as("score"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  /** Brute-force corpus-wide BM25 scores for a fixed query-term set. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scorePostings(postingsFor(docs, idCol, textCol, Some(terms)),
+      corpusStats(docs, textCol), idCol, terms, k1, b)
+
+  /** Top-k keyword search: highest BM25 score first, ties broken by id —
+    * a TakeOrderedAndProject over the scored docs (per-partition top-k +
+    * k-row driver merge, same shape as the vector topK). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two ranked lists: `rrf = Σ 1/(c + rank)` over the lists containing the
+    * id (1-indexed ranks; absent list contributes 0). Pure integer-derived
+    * division and a fixed-order two-term sum — bit-exact cross-engine, no
+    * rounding needed. The standard hybrid-search combiner: fuse a vector
+    * top-k with a BM25 top-k without score calibration. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rank", c: Int = 60): DataFrame = {
+    val cc = lit(c.toDouble)
+    a.select(col(idCol), col(rankCol).cast(DoubleType).as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).cast(DoubleType).as("__rb")),
+        Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (cc + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (cc + col("__rb")), lit(0.0)))
+      .drop("__ra", "__rb")
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.index.TermIndex
+import graft.ops.TextSearch
+
+class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = TermIndex.clear()
+  override def afterAll(): Unit = TermIndex.clear()
+
+  private def tiny = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry durian cherry cherry")).toDF("doc_id", "text")
+
+  /** Reference BM25 (Lucene idf) on the tiny corpus, mirroring the engine's
+    * rounding (Spark's Round = BigDecimal.valueOf(d).setScale HALF_UP). */
+  private def refScore(tfs: Map[String, Double], dl: Double, n: Double,
+      avgdl: Double, dfs: Map[String, Double], terms: Seq[String]): Double = {
+    val raw = terms.map { t =>
+      tfs.get(t).fold(0.0) { tf =>
+        val df = dfs(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      }
+    }.reduceLeft(_ + _)
+    JBigDecimal.valueOf(raw).setScale(6, RoundingMode.HALF_UP).doubleValue
+  }
+
+  test("bm25 matches the hand-computed Okapi/Lucene formula") {
+    val got = TextSearch.bm25(tiny, "doc_id", "text", Seq("apple", "cherry"))
+      .as[(Long, Double)].collect().toMap
+    val n = 3.0; val avgdl = 3.0
+    val dfs = Map("apple" -> 1.0, "cherry" -> 2.0)
+    val expected = Map(
+      1L -> refScore(Map("apple" -> 2.0), 3.0, n, avgdl, dfs, Seq("apple", "cherry")),
+      2L -> refScore(Map("cherry" -> 1.0), 2.0, n, avgdl, dfs, Seq("apple", "cherry")),
+      3L -> refScore(Map("cherry" -> 3.0), 4.0, n, avgdl, dfs, Seq("apple", "cherry")))
+    assert(got == expected)
+  }
+
+  test("bm25TopK ranks by score desc with id tie-break and honors k") {
+    val top = TextSearch.bm25TopK(tiny, "doc_id", "text", Seq("cherry"), 1)
+      .as[(Long, Double)].collect()
+    assert(top.length == 1)
+    assert(top.head._1 == 3L) // tf=3 beats tf=1
+  }
+
+  test("terms absent from the corpus contribute nothing and don't error") {
+    val got = TextSearch.bm25(tiny, "doc_id", "text", Seq("banana", "zzz"))
+      .as[(Long, Double)].collect().toMap
+    val only = TextSearch.bm25(tiny, "doc_id", "text", Seq("banana"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == only)
+    assertThrows[IllegalArgumentException] {
+      TextSearch.bm25(tiny, "doc_id", "text", Seq("a", "a"))
+    }
+  }
+
+  test("TermIndex search is bit-identical to brute force (incl. 1 bucket)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("ts_docs")
+    val terms = Seq("spark", "join", "query")
+    val brute = TextSearch.bm25TopK(docs, "doc_id", "text", terms, 20)
+      .as[(Long, Double)].collect().toSeq
+    Seq(1, 8).foreach { nb =>
+      val name = s"ts_idx_$nb"
+      TermIndex.create(spark, name, "ts_docs", "doc_id", "text", nBuckets = nb)
+      val viaIdx = TermIndex.search(spark, name, terms, 20)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaIdx == brute, s"nBuckets=$nb")
+    }
+  }
+
+  test("TermIndex search prunes posting partitions (PartitionFilters)") {
+    val entry = TermIndex.get("ts_idx_8").get
+    val df = TermIndex.search(spark, "ts_idx_8", Seq("spark"), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(TermIndex.BucketCol), plan)
+    // a single term reads a strict subset of the posting buckets
+    val buckets = TermIndex.bucketsOf(spark, Seq("spark"), entry.nBuckets)
+    val scanned = spark.read.parquet(entry.path)
+      .where(col(TermIndex.BucketCol).isin(buckets: _*)).count()
+    val total = spark.read.parquet(entry.path).count()
+    assert(scanned < total && scanned > 0)
+  }
+
+  test("TermIndex duplicate name errors; drop clears") {
+    assertThrows[IllegalArgumentException] {
+      TermIndex.create(spark, "ts_idx_8", "ts_docs", "doc_id", "text")
+    }
+    val path = TermIndex.get("ts_idx_8").get.path
+    assert(TermIndex.drop("ts_idx_8"))
+    assert(TermIndex.get("ts_idx_8").isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    assert(!TermIndex.drop("ts_idx_8"))
+  }
+
+  test("TermIndex append equals a fresh build over the union (bit-identical)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.where(col("doc_id") < 250).createOrReplaceTempView("ts_half")
+    docs.createOrReplaceTempView("ts_full")
+    val terms = Seq("spark", "join", "query")
+    TermIndex.create(spark, "ts_app", "ts_half", "doc_id", "text", nBuckets = 8)
+    TermIndex.append(spark, "ts_app", docs.where(col("doc_id") >= 250))
+    TermIndex.create(spark, "ts_fullidx", "ts_full", "doc_id", "text", nBuckets = 8)
+    val appended = TermIndex.search(spark, "ts_app", terms, 20)
+      .as[(Long, Double)].collect().toSeq
+    val fresh = TermIndex.search(spark, "ts_fullidx", terms, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(appended == fresh)
+    // stats folded exactly
+    val (a, f) = (TermIndex.get("ts_app").get, TermIndex.get("ts_fullidx").get)
+    assert(a.nDocs == f.nDocs && a.sumDl == f.sumDl)
+    // empty append is a no-op
+    assert(TermIndex.append(spark, "ts_app", docs.where(lit(false))) == a)
+    TermIndex.drop("ts_app"); TermIndex.drop("ts_fullidx")
+  }
+
+  test("bm25JoinTopK matches per-query bm25 runs") {
+    val queries = Seq(
+      (10L, Seq("apple", "cherry")),
+      (20L, Seq("banana")),
+      (30L, Seq("durian", "banana", "zzz"))).toDF("qid", "terms")
+    val got = TextSearch.bm25JoinTopK(tiny, "doc_id", "text",
+        queries, "qid", "terms", 2)
+      .select($"qid", $"doc_id", $"score", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val expected = Seq(
+      (10L, Seq("apple", "cherry")),
+      (20L, Seq("banana")),
+      (30L, Seq("durian", "banana", "zzz"))).flatMap { case (qid, ts) =>
+      // per-query reference: bm25 with the terms sorted (the join's fold
+      // order), then top-2 by (score desc, id)
+      TextSearch.bm25(tiny, "doc_id", "text", ts.sorted)
+        .as[(Long, Double)].collect().toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(2).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("rrfFuse: overlap sums both lists, one-sided ids keep one term") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val got = TextSearch.rrfFuse(a, b, "id").as[(Long, Double)].collect().toMap
+    assert(got == Map(
+      1L -> 1.0 / 61.0,
+      2L -> (1.0 / 62.0 + 1.0 / 61.0),
+      3L -> 1.0 / 62.0))
+  }
+}
