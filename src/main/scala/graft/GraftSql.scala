@@ -44,6 +44,14 @@ object GraftSql {
     ("""(?is)FROM\s+(\w+)\s*,\s*vss_match\(\s*'?(\w+)'?\s*,\s*(?:(\w+)\.)?(\w+)\s*,\s*(\w+)\s*,""" +
       """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+(\w+))?""").r
 
+  // engine extension (beyond the reference surface): keyword top-k as a
+  // table-function-style invocation —
+  //   SELECT * FROM bm25_topk('table', 'id_col', 'text_col', 'terms…', k)
+  // routed through a TermIndex on the table when one exists (the same
+  // index-selection spirit as the vector rewrites), else brute force.
+  private val Bm25TopKRe =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+bm25_topk\(\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)\s*;?\s*""".r
+
   /** Parse `metric = 'cosine', ef_construction = 200` into an options map
     * (quotes optional, keys case-insensitive — validation happens in
     * HnswOptions with the reference's error wording). */
@@ -76,6 +84,15 @@ object GraftSql {
     case CheckpointBareRe() => // DuckDB's argument-less CHECKPOINT form
       IndexCatalog.checkpoint(spark, s"${IndexCatalog.indexArtifactDir}/checkpoint")
       spark.emptyDataFrame
+    case Bm25TopKRe(table, idCol, textCol, termsStr, k) =>
+      val terms = termsStr.trim.split("\\s+").toSeq
+      graft.index.TermIndex.forTable(table) match {
+        case Some(e) if e.idCol == idCol && e.textCol == textCol =>
+          graft.index.TermIndex.search(spark, e.name, terms, k.toInt)
+        case _ =>
+          graft.ops.TextSearch.bm25TopK(spark.table(table), idCol, textCol,
+            terms, k.toInt)
+      }
     case VssJoinRe(left, right, leftCol, rightCol, k, metric) =>
       graft.operators.VssJoins.vssJoin(spark.table(left), spark.table(right),
         leftCol, rightCol, k.toInt, Option(metric).getOrElse("l2sq"))

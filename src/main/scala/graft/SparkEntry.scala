@@ -815,6 +815,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
+    /** Overlapping token-window chunking (32-token chunks, 8-token
+      * overlap): the doc → training-sequence / RAG-passage splitter. Pure
+      * integer + slice + join algebra, one narrow pass. */
+    def q57Chunk(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Chunking.chunk(tbl(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+
+    /** L2-normalized embeddings (DOUBLE elements; x/√(a·a) on the same
+      * sequential-fold norm the kernels use) — the cosine→l2sq bridge the
+      * quantized indexes document. Bit-exact: division by an identical
+      * norm replays in DuckDB. */
+    def q58Normalize(s: SparkSession, dir: String): DataFrame =
+      tbl(s, dir, "embeddings")
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          graft.functions.vector.l2_normalize(col("embedding")).as("nvec"))
+        .orderBy(col("vec_id"))
+
     /** SQ8 scalar-quantization index path: per-dimension int8 codes, ADC
       * candidate scan, exact re-rank. Full refine ⇒ exact — the oracle is
       * plain brute force (same trick as q30/q41/q43). */
@@ -962,6 +981,8 @@ object SparkEntry {
     "q54_hybrid_rrf" -> (Queries.q54HybridRrf _),
     "q55_sq_topk" -> (Queries.q55SqTopK _),
     "q56_bm25_join" -> (Queries.q56Bm25Join _),
+    "q57_chunking" -> (Queries.q57Chunk _),
+    "q58_normalize" -> (Queries.q58Normalize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1539,5 +1560,23 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
            |  FROM scored)
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // mirrors Chunking.chunk(32, 8): stride 24, nChunks = max(⌈(n−8)/24⌉, 1)
+    "q57_chunking" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |n AS (SELECT doc_id, w, greatest((len(w) - 8 + 23) // 24, 1) AS nc FROM toks),
+           |c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM n)
+           |SELECT doc_id, chunk_id,
+           |       array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+           |       len(w[chunk_id*24+1 : chunk_id*24+32]) AS n_tokens
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q58_normalize" ->
+      s"""SELECT vec_id,
+         | CASE WHEN ${sqlDot("embedding", "embedding")} = 0.0
+         |      THEN list_transform(embedding, x -> 0.0)
+         |      ELSE list_transform(embedding,
+         |             x -> CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}))
+         | END AS nvec
+         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -274,6 +274,19 @@ object vector {
   def array_cosine_similarity(a: Column, b: Column): Column = c(ArrayCosineSimilarity(x(a), x(b)))
   def array_cosine_distance(a: Column, b: Column): Column = c(ArrayCosineDistance(x(a), x(b)))
 
+  /** Unit-L2 vector with DOUBLE elements: x / √(a·a) over the same
+    * sequential-fold norm the kernels compute, so the result replays
+    * bit-equal in SQL; the all-zero vector normalizes to zeros (no NaN),
+    * mirroring the cosine zero-vector rule. The bridge to the quantized
+    * indexes' cosine guidance: l2_normalize + l2sq ranks like cosine. */
+  def l2_normalize(a: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, sqrt, transform, when}
+    val dot = array_inner_product(a, a)
+    transform(a, x =>
+      when(dot === 0.0, lit(0.0))
+        .otherwise(x.cast(org.apache.spark.sql.types.DoubleType) / sqrt(dot)))
+  }
+
   /** Distance column for a named metric — the reference's metric map
     * (reference src/hnsw/hnsw_index.cpp:232-245): l2sq (default), cosine, ip. */
   def metricDistance(metric: String)(a: Column, b: Column): Column = metric match {

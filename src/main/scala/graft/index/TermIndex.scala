@@ -46,6 +46,12 @@ object TermIndex {
   private val entries = TrieMap.empty[String, TermEntry]
   def get(name: String): Option[TermEntry] = entries.get(name)
 
+  /** The term index serving `table`, if any — how the SQL surface picks an
+    * index for a table-name invocation (the engine-side analog of the
+    * reference's per-table index lookup in its rewrites). */
+  def forTable(table: String): Option[TermEntry] =
+    entries.values.find(_.sourceTable == table)
+
   def drop(name: String): Boolean = entries.remove(name) match {
     case Some(e) =>
       deleteRecursively(java.nio.file.Paths.get(e.path)); true

@@ -44,6 +44,21 @@ object GraftStreaming {
       rematerializeEvery: Int = 64): StreamingQuery =
     indexAppendWriter(spark, table, stream, rematerializeEvery).start()
 
+  /** Continuous ingestion into an inverted term index
+    * ([[graft.index.TermIndex]]): each micro-batch's postings land as new
+    * files in their term-bucket partitions and the corpus stats fold
+    * exactly, so a search after any batch equals a fresh build over
+    * everything seen — the keyword-side mirror of [[indexAppendWriter]].
+    * Batches must carry NEW doc ids (TermIndex.append's contract). */
+  def termIndexAppendWriter(spark: SparkSession, indexName: String,
+      stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.index.TermIndex.append(spark, indexName, batch)
+        ()
+      }
+
   /** Streaming exact dedup with custom state: the FIRST row per key (e.g. a
     * content fingerprint from TextAnalysis.fingerprint) survives, every
     * later duplicate — same batch or any later batch — is dropped. One

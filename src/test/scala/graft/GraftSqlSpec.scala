@@ -143,6 +143,24 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(viaLeft.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("bm25_topk('t', ...) string form: brute force without an index, " +
+      "term-index routed (and bit-identical) with one") {
+    import graft.index.TermIndex
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("sql_docs")
+    val stmt = "SELECT * FROM bm25_topk('sql_docs', 'doc_id', 'text', 'spark join query', 15)"
+    val brute = GraftSql.sql(spark, stmt).collect().toSeq
+    assert(brute.size == 15)
+    TermIndex.create(spark, "sql_docs_term", "sql_docs", "doc_id", "text", nBuckets = 8)
+    try {
+      val viaIdx = GraftSql.sql(spark, stmt)
+      // routed through the index: posting buckets prune at the scan
+      val plan = viaIdx.queryExecution.executedPlan.toString
+      assert(plan.contains(TermIndex.BucketCol), plan)
+      assert(viaIdx.collect().toSeq == brute)
+    } finally TermIndex.drop("sql_docs_term")
+  }
+
   test("vacuumTable reclaims superseded registrations; current stays readable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(10)
     Graft.registerTable(spark, "vac_t", emb)

@@ -41,6 +41,39 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
   }
 
+  test("streaming term-index ingest: post-batch search equals a fresh batch build") {
+    import graft.index.TermIndex
+    TermIndex.clear()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.where($"doc_id" < 100).createOrReplaceTempView("stream_docs_seed")
+    docs.createOrReplaceTempView("stream_docs_all")
+    TermIndex.create(spark, "stream_term", "stream_docs_seed", "doc_id", "text",
+      nBuckets = 8)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val rest = docs.where($"doc_id" >= 100).as[(Long, String)].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    val q = GraftStreaming.termIndexAppendWriter(spark, "stream_term", stream).start()
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    TermIndex.create(spark, "stream_term_ref", "stream_docs_all", "doc_id", "text",
+      nBuckets = 8)
+    val terms = Seq("spark", "join", "query")
+    val streamed = TermIndex.search(spark, "stream_term", terms, 20)
+      .as[(Long, Double)].collect().toSeq
+    val fresh = TermIndex.search(spark, "stream_term_ref", terms, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(streamed == fresh)
+    TermIndex.drop("stream_term"); TermIndex.drop("stream_term_ref")
+  }
+
   test("stateful streaming dedup: first fingerprint wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

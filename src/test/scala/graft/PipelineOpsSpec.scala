@@ -9,6 +9,72 @@ import graft.ops.{Redaction, Sampling, Sessionize, TextAnalysis}
 class PipelineOpsSpec extends GraftSparkSpec {
   import spark.implicits._
 
+  // --- Chunking ----------------------------------------------------------
+
+  test("chunk: windows stride with overlap, cover every token, short docs " +
+      "yield one chunk") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"), // shorter than one chunk
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Chunking.chunk(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // stride 3, nChunks = ceil((10-1)/3) = 3: [1..4], [4..7], [7..10]
+    assert(got == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L),
+      (3L, 0L, "", 1L))) // split("") is [""], same contract as tokenCount
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Chunking.chunk(docs, "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("chunk covers all tokens exactly once modulo the declared overlap") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = graft.ops.Chunking.chunk(docs, "doc_id", "text", 32, 8)
+    val agg = chunks.groupBy($"doc_id")
+      .agg(sum($"n_tokens").as("sum_t"), count(lit(1)).as("nc"))
+    val toks = docs.select($"doc_id",
+      graft.ops.TextAnalysis.tokenCount($"text").as("n"))
+    // Σ chunk tokens = n + (nChunks − 1) · overlap (each boundary re-counts
+    // `overlap` tokens) — exact accounting, no token lost or duplicated
+    val bad = agg.join(toks, "doc_id")
+      .where($"sum_t" =!= $"n" + ($"nc" - 1) * 8).count()
+    assert(bad == 0)
+  }
+
+  // --- l2_normalize ------------------------------------------------------
+
+  test("l2_normalize: unit norm, zero vector maps to zeros") {
+    val v = Seq(
+      (1L, Seq(3f, 4f)),
+      (2L, Seq(0f, 0f))).toDF("id", "vec")
+      .select($"id", $"vec".cast("array<float>").as("vec"))
+    val got = v.select($"id",
+        graft.functions.vector.l2_normalize($"vec").as("n"))
+      .orderBy($"id").as[(Long, Seq[Double])].collect()
+    assert(got(0)._2 == Seq(0.6, 0.8))
+    assert(got(1)._2 == Seq(0.0, 0.0))
+    // normalized fixture vectors rank by l2sq exactly as cosine ranks raw
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding",
+        graft.functions.vector.l2_normalize($"embedding")
+          .cast("array<float>").as("nvec"))
+    val q = emb.filter($"vec_id" === 3).select($"nvec").head().getSeq[Float](0).toArray
+    val qRaw = emb.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0).toArray
+    val byL2 = emb.withColumn("d",
+        graft.functions.vector.array_distance_sq($"nvec", lit(q)))
+      .orderBy($"d", $"vec_id").select($"vec_id").as[Long].collect().toSeq
+    val byCos = emb.withColumn("d",
+        graft.functions.vector.array_cosine_distance($"embedding", lit(qRaw)))
+      .orderBy($"d", $"vec_id").select($"vec_id").as[Long].collect().toSeq
+    assert(byL2 == byCos)
+  }
+
   // --- Sampling ----------------------------------------------------------
 
   test("deterministic split is stable under repartitioning and re-evaluation") {

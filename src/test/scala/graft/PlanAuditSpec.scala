@@ -121,4 +121,26 @@ class PlanAuditSpec extends GraftSparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q52: BM25 filters tokens to the query terms BEFORE the tf shuffle") {
+    val p = plan("q52_bm25_topk")
+    // top-down plan text: an Exchange above, the IN(term) filter below it,
+    // the corpus scan at the bottom — i.e. only query-term rows shuffle
+    assert("(?s)Exchange.* IN \\(.*FileScan".r.findFirstIn(p).isDefined, p)
+    // final top-k is per-partition + k-row merge, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q56: batch BM25 join broadcasts term stats; per-query top-k is a " +
+      "qid-partitioned window with group-limit pushdown") {
+    val p = plan("q56_bm25_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the rank filter runs as WindowGroupLimit (partial before the qid
+    // exchange), so only ≤k rows per (partition, qid) ever shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("windowspecdefinition\\(qid".r.findFirstIn(p).isDefined, p)
+    // the only single-partition exchange is the 1-row corpus-stats
+    // aggregate (partial map-side agg → one final row)
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+  }
 }
