@@ -815,6 +815,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
+    /** Exact-phrase occurrence counts ("hash join") — narrow array algebra
+      * per doc (no shuffle); TermIndex.phraseSearch answers the same query
+      * from positional postings without scanning the corpus (differential
+      * spec pins equality). */
+    def q59Phrase(s: SparkSession, dir: String): DataFrame =
+      graft.ops.TextSearch.phraseMatches(tbl(s, dir, "documents"),
+          "doc_id", "text", Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+
     /** Overlapping token-window chunking (32-token chunks, 8-token
       * overlap): the doc → training-sequence / RAG-passage splitter. Pure
       * integer + slice + join algebra, one narrow pass. */
@@ -983,6 +992,7 @@ object SparkEntry {
     "q56_bm25_join" -> (Queries.q56Bm25Join _),
     "q57_chunking" -> (Queries.q57Chunk _),
     "q58_normalize" -> (Queries.q58Normalize _),
+    "q59_phrase" -> (Queries.q59Phrase _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1578,5 +1588,16 @@ object SparkEntry {
          |             x -> CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}))
          | END AS nvec
          |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+    // mirrors TextSearch.phraseCount(["hash","join"]): 1-based start
+    // offsets i with w[i]='hash' AND w[i+1]='join'
+    "q59_phrase" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+           |SELECT doc_id, n_matches FROM (
+           |  SELECT doc_id,
+           |         len(list_filter(range(1, greatest(len(w) - 1, 0) + 1),
+           |                         i -> w[i] = 'hash' AND w[i+1] = 'join')) AS n_matches
+           |  FROM toks)
+           |WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
   )
 }

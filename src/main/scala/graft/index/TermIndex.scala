@@ -78,7 +78,9 @@ object TermIndex {
     require(!entries.contains(name), s"""Index with name "$name" already exists!""")
     val docs = spark.table(table)
     val path = s"$baseDir/$name-term-${System.currentTimeMillis()}"
-    TextSearch.postingsFor(docs, idCol, textCol)
+    // positional postings: BM25 reads prune the pos column away; phrase
+    // queries verify adjacency from it without touching the corpus
+    TextSearch.positionalPostingsFor(docs, idCol, textCol)
       .withColumn(BucketCol, bucketExpr(col("term"), nBuckets))
       .write.partitionBy(BucketCol).parquet(path)
     val stats = TextSearch.corpusCounts(docs, textCol).head()
@@ -102,7 +104,7 @@ object TermIndex {
   def append(spark: SparkSession, name: String, docs: org.apache.spark.sql.DataFrame): TermEntry = {
     val entry = entries.getOrElse(name,
       throw new IllegalArgumentException(s"no term index named $name"))
-    TextSearch.postingsFor(docs, entry.idCol, entry.textCol)
+    TextSearch.positionalPostingsFor(docs, entry.idCol, entry.textCol)
       .withColumn(BucketCol, bucketExpr(col("term"), entry.nBuckets))
       .write.mode("append").partitionBy(BucketCol).parquet(entry.path)
     val stats = TextSearch.corpusCounts(docs, entry.textCol).head()
@@ -132,6 +134,43 @@ object TermIndex {
     scoredPostings(spark, entry, terms, k1, b)
       .orderBy(col("score").desc, col(entry.idCol))
       .limit(k)
+  }
+
+  /** Exact-phrase search through the positional postings: reads ONLY the
+    * phrase terms' buckets, pivots each term's position array per doc, and
+    * counts aligned occurrences (start positions p of term 1 with term j at
+    * p + j − 1 for every j). Results are bit-identical to
+    * [[TextSearch.phraseMatches]] over the source table — but a 100 TB
+    * corpus is never scanned; cost is the phrase terms' posting lists.
+    * Output: (idCol, n_matches > 0). */
+  def phraseSearch(spark: SparkSession, name: String,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val entry = entries.getOrElse(name,
+      throw new IllegalArgumentException(s"no term index named $name"))
+    val distinctTerms = phrase.distinct
+    val buckets = bucketsOf(spark, distinctTerms, entry.nBuckets)
+    val posts = spark.read.parquet(entry.path)
+      .where(col(BucketCol).isin(buckets: _*))
+      .where(col("term").isin(distinctTerms: _*))
+      .select(col(entry.idCol), col("term"), col("pos"))
+    def pcol(t: String) = s"__pos_${distinctTerms.indexOf(t)}"
+    val pivoted = posts.groupBy(col(entry.idCol)).agg(
+      first(when(col("term") === distinctTerms.head, col("pos")), ignoreNulls = true)
+        .as(pcol(distinctTerms.head)),
+      distinctTerms.tail.map(t =>
+        first(when(col("term") === t, col("pos")), ignoreNulls = true).as(pcol(t))): _*)
+    val allPresent = distinctTerms.map(t => col(pcol(t)).isNotNull).reduce(_ && _)
+    val p0 = col(pcol(phrase.head))
+    val matches =
+      if (phrase.length == 1) size(p0)
+      else size(filter(p0, p =>
+        phrase.zipWithIndex.tail.map { case (t, j) =>
+          array_contains(col(pcol(t)), p + lit(j))
+        }.reduce(_ && _)))
+    pivoted.where(allPresent)
+      .select(col(entry.idCol), matches.cast("long").as("n_matches"))
+      .where(col("n_matches") > 0)
   }
 
   /** All matching docs with scores (the un-limited form; search adds the

@@ -47,6 +47,46 @@ object TextSearch {
       .agg(count(lit(1)).cast(DoubleType).as("tf"))
   }
 
+  /** Positional posting rows (idCol, term, tf, dl, pos sorted array<int>)
+    * — the [[postingsFor]] shape plus each term's occurrence positions
+    * (1-based token index). Stored by [[graft.index.TermIndex]] so phrase
+    * queries can verify adjacency from the index alone; BM25 reads of the
+    * same artifact never touch the pos column (parquet prunes it). */
+  def positionalPostingsFor(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(DoubleType))
+      .select(col(idCol), col("dl"),
+        posexplode(col("__toks")).as(Seq("__p0", "term")))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"),
+        sort_array(collect_list(col("__p0") + 1)).as("pos"))
+
+  /** Exact-phrase occurrence count per row: the number of token offsets i
+    * (1-based) where tokens[i..i+m-1] equals `phrase`. Pure array algebra —
+    * a narrow map over the corpus, no shuffle, bit-exact in SQL
+    * (list_filter over an index range). */
+  def phraseCount(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val m = phrase.length
+    val toks = tokens(text)
+    val n = size(toks)
+    val starts = sequence(lit(1), (n - lit(m - 1)).cast(IntegerType))
+    val hits = filter(starts, i =>
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(toks, (i + lit(j)).cast(IntegerType)) === lit(t)
+      }.reduce(_ && _))
+    when(n >= m, size(hits)).otherwise(lit(0)).cast(LongType)
+  }
+
+  /** Docs containing the exact phrase, with occurrence counts:
+    * (idCol, n_matches > 0). */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame =
+    docs.select(col(idCol), phraseCount(col(textCol), phrase).as("n_matches"))
+      .where(col("n_matches") > 0)
+
   /** One-row corpus stats (n docs, avg doc length). Both values are exact
     * cross-engine: n is a count and avgdl is an exact integer sum divided
     * by n (token counts are integers, so the double sum is exact below

@@ -146,6 +146,42 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("phraseCount: adjacency, overlaps, repeats, and short-doc edge cases") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b" twice, "b a" twice, "a b a" twice (overlapping)
+      (2L, "a a a"), // "a a" twice (overlapping)
+      (3L, "b"), // shorter than the phrase
+      (4L, "")).toDF("doc_id", "text")
+    def counts(phrase: Seq[String]) =
+      docs.select($"doc_id", TextSearch.phraseCount($"text", phrase).as("n"))
+        .as[(Long, Long)].collect().toMap
+    assert(counts(Seq("a", "b")) == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(counts(Seq("a", "b", "a")) == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(counts(Seq("a", "a")) == Map(1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+    assert(counts(Seq("b")) == Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("TermIndex.phraseSearch equals brute-force phraseMatches (incl. " +
+      "repeated-term and single-term phrases)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("ts_ph_docs")
+    TermIndex.create(spark, "ts_ph", "ts_ph_docs", "doc_id", "text", nBuckets = 8)
+    try {
+      Seq(Seq("hash", "join"), Seq("the", "the"), Seq("data"),
+          Seq("order", "fast", "key"), Seq("nosuchword", "join")).foreach { phrase =>
+        val brute = TextSearch.phraseMatches(docs, "doc_id", "text", phrase)
+          .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+        val viaIdx = TermIndex.phraseSearch(spark, "ts_ph", phrase)
+          .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+        assert(viaIdx == brute, s"phrase=$phrase")
+      }
+      // the index path reads only the phrase terms' buckets
+      val plan = TermIndex.phraseSearch(spark, "ts_ph", Seq("hash", "join"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains(TermIndex.BucketCol), plan)
+    } finally TermIndex.drop("ts_ph")
+  }
+
   test("rrfFuse: overlap sums both lists, one-sided ids keep one term") {
     val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
