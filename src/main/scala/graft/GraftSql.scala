@@ -85,7 +85,9 @@ object GraftSql {
       IndexCatalog.checkpoint(spark, s"${IndexCatalog.indexArtifactDir}/checkpoint")
       spark.emptyDataFrame
     case Bm25TopKRe(table, idCol, textCol, termsStr, k) =>
-      val terms = termsStr.trim.split("\\s+").toSeq
+      // order-preserving dedupe: a repeated query term must not trip the
+      // fixed-order-fold invariant at the SQL surface
+      val terms = termsStr.trim.split("\\s+").toSeq.distinct
       graft.index.TermIndex.forTable(table) match {
         case Some(e) if e.idCol == idCol && e.textCol == textCol =>
           graft.index.TermIndex.search(spark, e.name, terms, k.toInt)

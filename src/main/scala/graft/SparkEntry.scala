@@ -904,7 +904,8 @@ object SparkEntry {
     raw"""toks AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |          sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
          |       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
          |       WHERE term IN ($inList) GROUP BY doc_id, term),
@@ -1548,7 +1549,8 @@ object SparkEntry {
       raw"""WITH toks AS (
            |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
            |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
-           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
            |q AS (SELECT doc_id AS qid, w[1:3] AS terms FROM toks WHERE doc_id % 97 = 0),
            |qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
            |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf

@@ -274,18 +274,8 @@ object vector {
   def array_cosine_similarity(a: Column, b: Column): Column = c(ArrayCosineSimilarity(x(a), x(b)))
   def array_cosine_distance(a: Column, b: Column): Column = c(ArrayCosineDistance(x(a), x(b)))
 
-  /** Unit-L2 vector with DOUBLE elements: x / √(a·a) over the same
-    * sequential-fold norm the kernels compute, so the result replays
-    * bit-equal in SQL; the all-zero vector normalizes to zeros (no NaN),
-    * mirroring the cosine zero-vector rule. The bridge to the quantized
-    * indexes' cosine guidance: l2_normalize + l2sq ranks like cosine. */
-  def l2_normalize(a: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, sqrt, transform, when}
-    val dot = array_inner_product(a, a)
-    transform(a, x =>
-      when(dot === 0.0, lit(0.0))
-        .otherwise(x.cast(org.apache.spark.sql.types.DoubleType) / sqrt(dot)))
-  }
+  /** Unit-L2 vector with DOUBLE elements — see [[ArrayL2Normalize]]. */
+  def l2_normalize(a: Column): Column = c(ArrayL2Normalize(x(a)))
 
   /** Distance column for a named metric — the reference's metric map
     * (reference src/hnsw/hnsw_index.cpp:232-245): l2sq (default), cosine, ip. */
@@ -311,5 +301,62 @@ object vector {
     r("array_negative_inner_product", es => ArrayNegativeInnerProduct(es(0), es(1)))
     r("array_cosine_similarity", es => ArrayCosineSimilarity(es(0), es(1)))
     r("array_cosine_distance", es => ArrayCosineDistance(es(0), es(1)))
+    r("l2_normalize", es => ArrayL2Normalize(es(0)))
+  }
+}
+
+/** float vector → unit-L2 DOUBLE vector in ONE pass (native + codegen'd —
+  * a higher-order-function formulation would re-evaluate the O(dim) norm
+  * inside the per-element lambda, O(dim²) per row). The norm is the same
+  * sequential double fold the kernels use, so each element x/√(a·a)
+  * replays bit-equal in the oracle's list_transform; the all-zero vector
+  * normalizes to zeros (no NaN), mirroring the cosine zero-vector rule;
+  * a NULL element yields NULL, like every kernel here. The bridge to the
+  * quantized indexes' cosine guidance: l2_normalize + l2sq ranks like
+  * cosine. */
+case class ArrayL2Normalize(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def prettyName: String = "l2_normalize"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize requires array<float>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayL2Normalize.normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.ArrayL2Normalize.normalize($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArrayL2Normalize {
+  /** Null when any element is null (kernel convention). */
+  def normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    var dot = 0.0
+    i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; dot += x * x; i += 1 }
+    val out = new Array[Double](n)
+    if (dot != 0.0) {
+      val norm = java.lang.Math.sqrt(dot)
+      i = 0
+      while (i < n) { out(i) = a.getFloat(i) / norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

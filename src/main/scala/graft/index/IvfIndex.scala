@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,25 +34,10 @@ object IvfIndex {
       path: String,
       centroids: Array[Array[Float]])
 
-  private val entries = TrieMap.empty[String, IvfEntry]
-  def get(name: String): Option[IvfEntry] = entries.get(name)
-
-  /** Drop the entry AND its parquet artifact (a dropped index frees its
-    * storage; the timestamped dirs would otherwise leak one table copy per
-    * create). */
-  def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) =>
-      deleteRecursively(java.nio.file.Paths.get(e.path))
-      true
-    case None => false
-  }
-  def clear(): Unit = entries.keys.foreach(drop)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+  private val registry = new ArtifactRegistry[IvfEntry](_.path)
+  def get(name: String): Option[IvfEntry] = registry.get(name)
+  def drop(name: String): Boolean = registry.drop(name)
+  def clear(): Unit = registry.clear()
 
   val ListCol = "__ivf_list"
 
@@ -130,19 +113,14 @@ object IvfIndex {
       nLists: Int, metric: String = "l2sq", iters: Int = 10,
       seed: Long = 42L, baseDir: String = IndexCatalog.indexArtifactDir): IvfEntry = {
     require(nLists > 0, "nLists must be positive")
-    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    registry.requireFresh(name)
     val df = spark.table(table)
     val centroids = train(df, vecCol, nLists, metric, iters, seed = seed)
     val path = s"$baseDir/$name-ivf-${System.currentTimeMillis()}"
     df.where(col(vecCol).isNotNull)
       .withColumn(ListCol, assignExpr(vecCol, centroids, metric))
       .write.partitionBy(ListCol).parquet(path)
-    val entry = IvfEntry(name, table, vecCol, metric, path, centroids)
-    if (entries.putIfAbsent(name, entry).isDefined) { // atomic: lose the race cleanly
-      deleteRecursively(java.nio.file.Paths.get(path))
-      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
-    }
-    entry
+    registry.register(name, IvfEntry(name, table, vecCol, metric, path, centroids))
   }
 
   /** The query's nProbe nearest inverted lists (driver-side, nLists tiny). */
@@ -159,8 +137,7 @@ object IvfIndex {
     * ties deterministic (duplicate vectors straddling rank k). */
   def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
       nProbe: Int, tieBreak: Seq[String] = Nil): DataFrame = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no IVF index named $name"))
+    val entry = registry.getOrThrow(name, "IVF")
     val probes = probeLists(entry, q, nProbe)
     val pruned = spark.read.parquet(entry.path)
       .where(col(ListCol).isin(probes: _*))

@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,21 +34,10 @@ object IvfPqIndex {
       codebooks: PqIndex.Codebooks,
       count: Long)
 
-  private val entries = TrieMap.empty[String, IvfPqEntry]
-  def get(name: String): Option[IvfPqEntry] = entries.get(name)
-
-  def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) =>
-      deleteRecursively(java.nio.file.Paths.get(e.path)); true
-    case None => false
-  }
-  def clear(): Unit = entries.keys.foreach(drop)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+  private val registry = new ArtifactRegistry[IvfPqEntry](_.path)
+  def get(name: String): Option[IvfPqEntry] = registry.get(name)
+  def drop(name: String): Boolean = registry.drop(name)
+  def clear(): Unit = registry.clear()
 
   val ListCol = "__ivfpq_list"
 
@@ -60,7 +47,7 @@ object IvfPqIndex {
       vecCol: String, nLists: Int, m: Int = 8, k: Int = 256,
       metric: String = "l2sq", iters: Int = 10, seed: Long = 42L,
       baseDir: String = IndexCatalog.indexArtifactDir): IvfPqEntry = {
-    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    registry.requireFresh(name)
     val df = spark.table(table)
     val centroids = IvfIndex.train(df, vecCol, nLists, metric, iters, seed = seed)
     val cb = PqIndex.train(df, vecCol, m, k, metric, iters, seed = seed)
@@ -72,19 +59,14 @@ object IvfPqIndex {
       .write.partitionBy(ListCol).parquet(path)
     val entry = IvfPqEntry(name, table, idCol, vecCol, metric, path, centroids,
       cb, spark.read.parquet(path).count())
-    if (entries.putIfAbsent(name, entry).isDefined) {
-      deleteRecursively(java.nio.file.Paths.get(path))
-      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
-    }
-    entry
+    registry.register(name, entry)
   }
 
   /** Probe → ADC over the pruned partitions → exact re-rank. Check the plan:
     * PartitionFilters prunes to the probed lists, ReadSchema is (id, codes). */
   def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
       nProbe: Int, refine: Int = 8, tieBreak: Seq[String] = Nil): DataFrame = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no IVF-PQ index named $name"))
+    val entry = registry.getOrThrow(name, "IVF-PQ")
     val d = DistanceKernels.forMetric(entry.metric)
     val probes = entry.centroids.zipWithIndex
       .map { case (c, i) => (d(q, c), i) }

@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -125,21 +123,10 @@ object PqIndex {
       codebooks: Codebooks,
       count: Long)
 
-  private val entries = TrieMap.empty[String, PqEntry]
-  def get(name: String): Option[PqEntry] = entries.get(name)
-
-  def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) =>
-      deleteRecursively(java.nio.file.Paths.get(e.path)); true
-    case None => false
-  }
-  def clear(): Unit = entries.keys.foreach(drop)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+  private val registry = new ArtifactRegistry[PqEntry](_.path)
+  def get(name: String): Option[PqEntry] = registry.get(name)
+  def drop(name: String): Boolean = registry.drop(name)
+  def clear(): Unit = registry.clear()
 
   val CodesCol = "__pq_codes"
 
@@ -218,7 +205,7 @@ object PqIndex {
       vecCol: String, m: Int = 8, k: Int = 256, metric: String = "l2sq",
       iters: Int = 10, seed: Long = 42L,
       baseDir: String = IndexCatalog.indexArtifactDir): PqEntry = {
-    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    registry.requireFresh(name)
     val df = spark.table(table)
     val cb = train(df, vecCol, m, k, metric, iters, seed = seed)
     val path = s"$baseDir/$name-pq-${System.currentTimeMillis()}"
@@ -227,11 +214,7 @@ object PqIndex {
       .write.parquet(path)
     val entry = PqEntry(name, table, idCol, vecCol, metric, path, cb,
       spark.read.parquet(path).count())
-    if (entries.putIfAbsent(name, entry).isDefined) {
-      deleteRecursively(java.nio.file.Paths.get(path))
-      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
-    }
-    entry
+    registry.register(name, entry)
   }
 
   /** ADC candidate generation over the code table + exact re-rank of the
@@ -240,8 +223,7 @@ object PqIndex {
     * size — so re-rank reads only those source rows. */
   def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
       refine: Int = 8, tieBreak: Seq[String] = Nil): DataFrame = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no PQ index named $name"))
+    val entry = registry.getOrThrow(name, "PQ")
     val nCand = math.min(k.toLong * refine, entry.count).toInt
     val adc = new AdcTable(entry.codebooks.adcTable(q), entry.codebooks.k)
     val cand = spark.read.parquet(entry.path)

@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -86,21 +84,10 @@ object SqIndex {
       ranges: Ranges,
       count: Long)
 
-  private val entries = TrieMap.empty[String, SqEntry]
-  def get(name: String): Option[SqEntry] = entries.get(name)
-
-  def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) =>
-      deleteRecursively(java.nio.file.Paths.get(e.path)); true
-    case None => false
-  }
-  def clear(): Unit = entries.keys.foreach(drop)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+  private val registry = new ArtifactRegistry[SqEntry](_.path)
+  def get(name: String): Option[SqEntry] = registry.get(name)
+  def drop(name: String): Boolean = registry.drop(name)
+  def clear(): Unit = registry.clear()
 
   val CodesCol = "__sq_codes"
 
@@ -109,8 +96,9 @@ object SqIndex {
     * full-scan reduce, no shuffle of the data). */
   def train(df: DataFrame, vecCol: String): Ranges = {
     val src = df.select(col(vecCol)).where(col(vecCol).isNotNull)
-    val first = src.head()
-    val dim = first.getSeq[Float](0).length
+    val firstRows = src.head(1)
+    require(firstRows.nonEmpty, "cannot train SQ on an empty table")
+    val dim = firstRows.head.getSeq[Float](0).length
     val aggs = (0 until dim).flatMap { d =>
       Seq(min(element_at(col(vecCol), d + 1)).as(s"mn_$d"),
         max(element_at(col(vecCol), d + 1)).as(s"mx_$d"))
@@ -131,7 +119,7 @@ object SqIndex {
   def create(spark: SparkSession, name: String, table: String, idCol: String,
       vecCol: String, metric: String = "l2sq",
       baseDir: String = IndexCatalog.indexArtifactDir): SqEntry = {
-    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    registry.requireFresh(name)
     require(metric == "l2sq" || metric == "ip",
       s"SQ supports l2sq and ip (per-dimension additive); for cosine, " +
         "L2-normalize the vectors and use l2sq")
@@ -141,13 +129,8 @@ object SqIndex {
     df.where(col(vecCol).isNotNull)
       .select(col(idCol), SqEncode.column(col(vecCol), ranges).as(CodesCol))
       .write.parquet(path)
-    val entry = SqEntry(name, table, idCol, vecCol, metric, path, ranges,
-      spark.read.parquet(path).count())
-    if (entries.putIfAbsent(name, entry).isDefined) {
-      deleteRecursively(java.nio.file.Paths.get(path))
-      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
-    }
-    entry
+    registry.register(name, SqEntry(name, table, idCol, vecCol, metric, path,
+      ranges, spark.read.parquet(path).count()))
   }
 
   /** ADC candidate scan over the code table + exact re-rank of the
@@ -155,8 +138,7 @@ object SqIndex {
     * source table. `k·refine >= count` is exact. */
   def search(spark: SparkSession, name: String, q: Array[Float], k: Int,
       refine: Int = 8, tieBreak: Seq[String] = Nil): DataFrame = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no SQ index named $name"))
+    val entry = registry.getOrThrow(name, "SQ")
     val nCand = math.min(k.toLong * refine, entry.count).toInt
     val adc = new PqIndex.AdcTable(entry.ranges.adcTable(q, entry.metric), 256)
     val cand = spark.read.parquet(entry.path)

@@ -43,27 +43,20 @@ object TermIndex {
     def avgDl: Double = sumDl / nDocs
   }
 
-  private val entries = TrieMap.empty[String, TermEntry]
-  def get(name: String): Option[TermEntry] = entries.get(name)
+  private val registry = new ArtifactRegistry[TermEntry](_.path)
+  def get(name: String): Option[TermEntry] = registry.get(name)
 
   /** The term index serving `table`, if any — how the SQL surface picks an
     * index for a table-name invocation (the engine-side analog of the
     * reference's per-table index lookup in its rewrites). */
   def forTable(table: String): Option[TermEntry] =
-    entries.values.find(_.sourceTable == table)
+    registry.values.find(_.sourceTable == table)
 
-  def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) =>
-      deleteRecursively(java.nio.file.Paths.get(e.path)); true
-    case None => false
+  def drop(name: String): Boolean = {
+    appliedBatches.remove(name)
+    registry.drop(name)
   }
-  def clear(): Unit = entries.keys.foreach(drop)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+  def clear(): Unit = { appliedBatches.clear(); registry.clear() }
 
   val BucketCol = "__term_bucket"
 
@@ -75,7 +68,7 @@ object TermIndex {
       textCol: String, nBuckets: Int = 64,
       baseDir: String = IndexCatalog.indexArtifactDir): TermEntry = {
     require(nBuckets > 0, "nBuckets must be positive")
-    require(!entries.contains(name), s"""Index with name "$name" already exists!""")
+    registry.requireFresh(name)
     val docs = spark.table(table)
     val path = s"$baseDir/$name-term-${System.currentTimeMillis()}"
     // positional postings: BM25 reads prune the pos column away; phrase
@@ -83,14 +76,18 @@ object TermIndex {
     TextSearch.positionalPostingsFor(docs, idCol, textCol)
       .withColumn(BucketCol, bucketExpr(col("term"), nBuckets))
       .write.partitionBy(BucketCol).parquet(path)
-    val stats = TextSearch.corpusCounts(docs, textCol).head()
-    val entry = TermEntry(name, table, idCol, textCol, path, nBuckets,
-      stats.getDouble(0), stats.getDouble(1))
-    if (entries.putIfAbsent(name, entry).isDefined) { // lose the race cleanly
-      deleteRecursively(java.nio.file.Paths.get(path))
-      throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
-    }
-    entry
+    // stats WITHOUT a second corpus tokenize: n is a footer row-count over
+    // the source; sumdl folds one dl per doc out of the just-written
+    // postings (every non-NULL-text doc has >= 1 posting; NULL-text docs
+    // have none and contribute no length — same semantics as corpusCounts)
+    val nDocs = docs.count().toDouble
+    val sumDl = Option(
+      spark.read.parquet(path)
+        .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+        .agg(sum(col("dl"))).head().get(0))
+      .fold(0.0)(_.asInstanceOf[Double])
+    registry.register(name,
+      TermEntry(name, table, idCol, textCol, path, nBuckets, nDocs, sumDl))
   }
 
   /** Incremental ingest: append `docs`' postings as new files in their
@@ -102,16 +99,35 @@ object TermIndex {
     * (same contract as HNSW insert, which keys by rowid). Single-writer,
     * like every index build here. */
   def append(spark: SparkSession, name: String, docs: org.apache.spark.sql.DataFrame): TermEntry = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no term index named $name"))
+    val entry = registry.getOrThrow(name, "term")
     TextSearch.positionalPostingsFor(docs, entry.idCol, entry.textCol)
       .withColumn(BucketCol, bucketExpr(col("term"), entry.nBuckets))
       .write.mode("append").partitionBy(BucketCol).parquet(entry.path)
+    // batches are micro-batch sized — the double-tokenize corpusCounts
+    // cost is bounded by the batch, unlike create's corpus-scale pass
     val stats = TextSearch.corpusCounts(docs, entry.textCol).head()
     if (stats.getDouble(0) == 0.0) return entry // empty append: no stats delta
     val updated = entry.copy(nDocs = entry.nDocs + stats.getDouble(0),
       sumDl = entry.sumDl + stats.getDouble(1))
-    entries.put(name, updated)
+    registry.update(name, updated)
+    updated
+  }
+
+  /** Watermark of the last applied streaming batch per index (this JVM). */
+  private val appliedBatches = TrieMap.empty[String, Long]
+
+  /** Idempotent streaming append: a (name, batchId) pair is applied at
+    * most once, so an at-least-once foreachBatch replay of an
+    * already-applied micro-batch is a no-op instead of double-counting
+    * postings and stats. Covers in-JVM replays (task retry, query restart
+    * within the session); Structured Streaming's own checkpoint never
+    * re-delivers batches committed before a cold restart. */
+  def appendBatch(spark: SparkSession, name: String, docs: org.apache.spark.sql.DataFrame,
+      batchId: Long): TermEntry = {
+    val entry = registry.getOrThrow(name, "term")
+    if (appliedBatches.get(name).exists(_ >= batchId)) return entry
+    val updated = append(spark, name, docs)
+    appliedBatches.put(name, batchId)
     updated
   }
 
@@ -129,8 +145,7 @@ object TermIndex {
     * terms' posting buckets. */
   def search(spark: SparkSession, name: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no term index named $name"))
+    val entry = registry.getOrThrow(name, "term")
     scoredPostings(spark, entry, terms, k1, b)
       .orderBy(col("score").desc, col(entry.idCol))
       .limit(k)
@@ -146,8 +161,7 @@ object TermIndex {
   def phraseSearch(spark: SparkSession, name: String,
       phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val entry = entries.getOrElse(name,
-      throw new IllegalArgumentException(s"no term index named $name"))
+    val entry = registry.getOrThrow(name, "term")
     val distinctTerms = phrase.distinct
     val buckets = bucketsOf(spark, distinctTerms, entry.nBuckets)
     val posts = spark.read.parquet(entry.path)

@@ -29,23 +29,36 @@ object TextSearch {
   /** Whitespace tokens (same contract as [[TextAnalysis.tokenCount]]). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Exploded (idCol, dl, term) token rows — the shared head of every
+    * postings pipeline. */
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(DoubleType))
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+
+  /** (term, id, dl) → tf aggregation shared by all postings variants. */
+  private def tfAgg(rows: DataFrame, idCol: String): DataFrame =
+    rows.groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+
   /** Posting rows (idCol, term, tf, dl): one row per (doc, distinct term),
     * with the doc's token count carried alongside. `terms = Some(q)`
     * filters to the query's terms before the tf shuffle. */
   def postingsFor(docs: DataFrame, idCol: String, textCol: String,
       terms: Option[Seq[String]] = None): DataFrame = {
-    val toks = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("dl", size(col("__toks")).cast(DoubleType))
-      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
-    val filtered = terms match {
-      case Some(q) => toks.where(col("term").isin(q: _*))
-      case None => toks
-    }
-    filtered
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val rows = tokenRows(docs, idCol, textCol)
+    tfAgg(terms.fold(rows)(q => rows.where(col("term").isin(q: _*))), idCol)
   }
+
+  /** [[postingsFor]] filtered by a DataFrame of terms (single column
+    * `term`) via a broadcast semi-join before the tf shuffle — the batch
+    * form used when the term set is data, not literals. */
+  def postingsForTerms(docs: DataFrame, idCol: String, textCol: String,
+      termsDf: DataFrame): DataFrame =
+    tfAgg(tokenRows(docs, idCol, textCol)
+      .join(broadcast(termsDf.select(col("term")).distinct()), Seq("term"), "left_semi"),
+      idCol)
 
   /** Positional posting rows (idCol, term, tf, dl, pos sorted array<int>)
     * — the [[postingsFor]] shape plus each term's occurrence positions
@@ -63,14 +76,33 @@ object TextSearch {
       .agg(count(lit(1)).cast(DoubleType).as("tf"),
         sort_array(collect_list(col("__p0") + 1)).as("pos"))
 
-  /** Exact-phrase occurrence count per row: the number of token offsets i
-    * (1-based) where tokens[i..i+m-1] equals `phrase`. Pure array algebra —
-    * a narrow map over the corpus, no shuffle, bit-exact in SQL
-    * (list_filter over an index range). */
-  def phraseCount(text: Column, phrase: Seq[String]): Column = {
+  /** Postings + one-row stats → per-(doc, term) BM25 contribution in
+    * column `out` (Lucene idf × the Okapi tf saturation term). The single
+    * scoring formula shared by the fixed-term and batch-join paths. */
+  private def withContrib(postings: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, out: String): DataFrame = {
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    postings
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(out,
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  /** Exact-phrase occurrence count over a PRE-SPLIT token-array column:
+    * the number of token offsets i (1-based) where toks[i..i+m-1] equals
+    * `phrase`. Pure array algebra — a narrow map, no shuffle, bit-exact in
+    * SQL (list_filter over an index range). `toks` must be a bound column
+    * (not an inline split(...) expression): expressions embedded in the
+    * filter lambda re-evaluate PER ELEMENT — an inline tokenizer there
+    * costs O(n²) per doc; the interpreted HOF path alone is ~10× (measured, sf0.1). */
+  def phraseCountTokens(toks: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val m = phrase.length
-    val toks = tokens(text)
     val n = size(toks)
     val starts = sequence(lit(1), (n - lit(m - 1)).cast(IntegerType))
     val hits = filter(starts, i =>
@@ -80,17 +112,30 @@ object TextSearch {
     when(n >= m, size(hits)).otherwise(lit(0)).cast(LongType)
   }
 
+  /** [[phraseCountTokens]] over raw text — convenience for one-off column
+    * use; prefer projecting the token array once (as [[phraseMatches]]
+    * does) when scanning a corpus. */
+  def phraseCount(text: Column, phrase: Seq[String]): Column =
+    phraseCountTokens(tokens(text), phrase)
+
   /** Docs containing the exact phrase, with occurrence counts:
-    * (idCol, n_matches > 0). */
+    * (idCol, n_matches > 0). Evaluated by the native codegen'd
+    * [[graft.functions.TokenPhraseCount]] (one JVM loop per doc);
+    * [[phraseCountTokens]] is the declarative reference formulation the
+    * spec differentials it against. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame =
-    docs.select(col(idCol), phraseCount(col(textCol), phrase).as("n_matches"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        graft.functions.TokenPhraseCount.column(col("__toks"), phrase)
+          .as("n_matches"))
       .where(col("n_matches") > 0)
 
   /** One-row corpus stats (n docs, avg doc length). Both values are exact
     * cross-engine: n is a count and avgdl is an exact integer sum divided
     * by n (token counts are integers, so the double sum is exact below
-    * 2^53 regardless of aggregation order). */
+    * 2^53 regardless of aggregation order). Docs with NULL text count
+    * toward n but contribute no length (they also produce no postings). */
   def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     corpusCounts(docs, textCol)
       .select(col("n"), (col("sumdl") / col("n")).as("avgdl"))
@@ -112,16 +157,7 @@ object TextSearch {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, "query terms must be distinct (fixed-order fold)")
-    val df = postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast(DoubleType).as("df"))
-    val contrib = postings
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val contrib = withContrib(postings, stats, k1, b, "contrib")
     // fixed-order pivot: one column per query term, then a left-to-right
     // fold in the caller's term order — float addition is not associative,
     // so an order-unstable SUM would not replay in the oracle
@@ -160,25 +196,8 @@ object TextSearch {
     val qterms = queries
       .select(col(qidCol), explode(col(termsCol)).as("term"))
       .distinct()
-    val allTerms = qterms.select(col("term")).distinct()
-    val toks = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("dl", size(col("__toks")).cast(DoubleType))
-      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
-    val postings = toks
-      .join(broadcast(allTerms), Seq("term"), "left_semi")
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).cast(DoubleType).as("tf"))
-    val df = postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast(DoubleType).as("df"))
-    val contrib = postings
-      .join(broadcast(df), "term")
-      .crossJoin(broadcast(corpusStats(docs, textCol)))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("c",
-        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val postings = postingsForTerms(docs, idCol, textCol, qterms)
+    val contrib = withContrib(postings, corpusStats(docs, textCol), k1, b, "c")
     val scored = contrib
       .join(qterms, "term")
       .groupBy(col(qidCol), col(idCol))

@@ -49,13 +49,16 @@ object GraftStreaming {
     * files in their term-bucket partitions and the corpus stats fold
     * exactly, so a search after any batch equals a fresh build over
     * everything seen — the keyword-side mirror of [[indexAppendWriter]].
-    * Batches must carry NEW doc ids (TermIndex.append's contract). */
+    * Batches must carry NEW doc ids (TermIndex.append's contract); the
+    * batchId makes replays of an already-applied micro-batch no-ops
+    * (TermIndex.appendBatch), so at-least-once delivery can't
+    * double-count postings. */
   def termIndexAppendWriter(spark: SparkSession, indexName: String,
       stream: DataFrame): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.index.TermIndex.append(spark, indexName, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.index.TermIndex.appendBatch(spark, indexName, batch, batchId)
         ()
       }
 

@@ -123,6 +123,29 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     TermIndex.drop("ts_app"); TermIndex.drop("ts_fullidx")
   }
 
+  test("appendBatch is idempotent per batchId (at-least-once replay safe)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.where(col("doc_id") < 100).createOrReplaceTempView("ts_b_seed")
+    TermIndex.create(spark, "ts_batch", "ts_b_seed", "doc_id", "text", nBuckets = 4)
+    try {
+      val batch = docs.where(col("doc_id").between(100, 199))
+      val after1 = TermIndex.appendBatch(spark, "ts_batch", batch, batchId = 0L)
+      val terms = Seq("spark", "join")
+      val scores1 = TermIndex.search(spark, "ts_batch", terms, 20)
+        .as[(Long, Double)].collect().toSeq
+      // replay of the same batch: stats and postings unchanged
+      val after2 = TermIndex.appendBatch(spark, "ts_batch", batch, batchId = 0L)
+      assert(after2 == after1)
+      val scores2 = TermIndex.search(spark, "ts_batch", terms, 20)
+        .as[(Long, Double)].collect().toSeq
+      assert(scores2 == scores1)
+      // a NEW batch id still applies
+      val b2 = docs.where(col("doc_id").between(200, 299))
+      val after3 = TermIndex.appendBatch(spark, "ts_batch", b2, batchId = 1L)
+      assert(after3.nDocs == after1.nDocs + b2.count())
+    } finally TermIndex.drop("ts_batch")
+  }
+
   test("bm25JoinTopK matches per-query bm25 runs") {
     val queries = Seq(
       (10L, Seq("apple", "cherry")),
@@ -159,6 +182,14 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(counts(Seq("a", "b", "a")) == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
     assert(counts(Seq("a", "a")) == Map(1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
     assert(counts(Seq("b")) == Map(1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    // the native codegen'd expression phraseMatches evaluates agrees with
+    // the declarative reference on every case
+    Seq(Seq("a", "b"), Seq("a", "b", "a"), Seq("a", "a"), Seq("b")).foreach { ph =>
+      val native = docs.select($"doc_id", TextSearch.tokens($"text").as("t"))
+        .select($"doc_id", graft.functions.TokenPhraseCount.column($"t", ph).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(native == counts(ph), s"phrase=$ph")
+    }
   }
 
   test("TermIndex.phraseSearch equals brute-force phraseMatches (incl. " +
