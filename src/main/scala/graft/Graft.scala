@@ -323,4 +323,43 @@ object Graft {
     graft.functions.vector.registerAll(spark)
     graft.functions.MinByK.registerAll(spark)
   }
+
+  /** Unified introspection across every index family the engine hosts —
+    * the engine-level generalization of `pragma_hnsw_index_info` (which
+    * stays the reference-shaped HNSW view, [[IndexCatalog.describe]]).
+    * One row per index: (family, index_name, table_name, column, items,
+    * detail); items = −1 where the family keeps no row count (IVF's lists
+    * live only in storage). Driver metadata only — no data is scanned. */
+  def indexInfo(spark: SparkSession): DataFrame = {
+    import graft.index._
+    val rows =
+      IndexCatalog.list.map { e =>
+        (e.name, "hnsw", e.table, e.column, e.index.size.toLong,
+          s"metric=${e.options.metric} dim=${e.index.dim}")
+      } ++
+      IvfIndex.list.map { e =>
+        (e.name, "ivf", e.sourceTable, e.vecCol, -1L,
+          s"metric=${e.metric} nLists=${e.centroids.length}")
+      } ++
+      PqIndex.list.map { e =>
+        (e.name, "pq", e.sourceTable, e.vecCol, e.count,
+          s"metric=${e.metric} m=${e.codebooks.m} k=${e.codebooks.k}")
+      } ++
+      IvfPqIndex.list.map { e =>
+        (e.name, "ivfpq", e.sourceTable, e.vecCol, e.count,
+          s"metric=${e.metric} nLists=${e.centroids.length} m=${e.codebooks.m}")
+      } ++
+      SqIndex.list.map { e =>
+        (e.name, "sq", e.sourceTable, e.vecCol, e.count,
+          s"metric=${e.metric} dim=${e.ranges.dim}")
+      } ++
+      TermIndex.list.map { e =>
+        (e.name, "term", e.sourceTable, e.textCol, e.nDocs.toLong,
+          s"nBuckets=${e.nBuckets} avgdl=${e.avgDl}")
+      }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("index_name", "family", "table_name", "column", "items", "detail")
+      .orderBy(col("family"), col("index_name"))
+  }
 }

@@ -824,6 +824,13 @@ object SparkEntry {
           "doc_id", "text", Seq("hash", "join"))
         .orderBy(col("doc_id"))
 
+    /** Corpus vocabulary: the 50 highest-df terms with document frequency
+      * and total occurrences — the stopword/vocab-pruning rollup. */
+    def q60VocabStats(s: SparkSession, dir: String): DataFrame =
+      graft.ops.TextSearch.termStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("df").desc, col("term"))
+        .limit(50)
+
     /** Overlapping token-window chunking (32-token chunks, 8-token
       * overlap): the doc → training-sequence / RAG-passage splitter. Pure
       * integer + slice + join algebra, one narrow pass. */
@@ -994,6 +1001,7 @@ object SparkEntry {
     "q57_chunking" -> (Queries.q57Chunk _),
     "q58_normalize" -> (Queries.q58Normalize _),
     "q59_phrase" -> (Queries.q59Phrase _),
+    "q60_vocab_stats" -> (Queries.q60VocabStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1601,5 +1609,13 @@ object SparkEntry {
            |                         i -> w[i] = 'hash' AND w[i+1] = 'join')) AS n_matches
            |  FROM toks)
            |WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
+    "q60_vocab_stats" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+           |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+           |FROM tf GROUP BY term
+           |ORDER BY df DESC, term LIMIT 50""".stripMargin,
   )
 }

@@ -36,6 +36,7 @@ object IvfIndex {
 
   private val registry = new ArtifactRegistry[IvfEntry](_.path)
   def get(name: String): Option[IvfEntry] = registry.get(name)
+  def list: Iterable[IvfEntry] = registry.values
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
 

@@ -36,6 +36,7 @@ object IvfPqIndex {
 
   private val registry = new ArtifactRegistry[IvfPqEntry](_.path)
   def get(name: String): Option[IvfPqEntry] = registry.get(name)
+  def list: Iterable[IvfPqEntry] = registry.values
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
 

@@ -125,6 +125,7 @@ object PqIndex {
 
   private val registry = new ArtifactRegistry[PqEntry](_.path)
   def get(name: String): Option[PqEntry] = registry.get(name)
+  def list: Iterable[PqEntry] = registry.values
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
 

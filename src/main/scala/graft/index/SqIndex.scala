@@ -86,6 +86,7 @@ object SqIndex {
 
   private val registry = new ArtifactRegistry[SqEntry](_.path)
   def get(name: String): Option[SqEntry] = registry.get(name)
+  def list: Iterable[SqEntry] = registry.values
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
 

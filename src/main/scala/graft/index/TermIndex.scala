@@ -52,6 +52,8 @@ object TermIndex {
   def forTable(table: String): Option[TermEntry] =
     registry.values.find(_.sourceTable == table)
 
+  def list: Iterable[TermEntry] = registry.values
+
   def drop(name: String): Boolean = {
     appliedBatches.remove(name)
     registry.drop(name)

@@ -212,6 +212,15 @@ object TextSearch {
       .where(col("rank") <= k)
   }
 
+  /** Corpus vocabulary rollup: per term, document frequency and total
+    * occurrence count — the vocabulary-building / stopword-pruning
+    * primitive (and the data a df-threshold filter consumes). One postings
+    * pass + one per-term rollup; both counts are exact integers. */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postingsFor(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast(LongType).as("total_tf"))
+
   /** Brute-force corpus-wide BM25 scores for a fixed query-term set. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =

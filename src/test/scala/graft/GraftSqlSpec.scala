@@ -161,6 +161,26 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally TermIndex.drop("sql_docs_term")
   }
 
+  test("Graft.indexInfo lists every index family with its metadata") {
+    import graft.index.{SqIndex, TermIndex}
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("info_docs")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("info_emb")
+    TermIndex.create(spark, "info_term", "info_docs", "doc_id", "text", nBuckets = 2)
+    SqIndex.create(spark, "info_sq", "info_emb", "vec_id", "embedding")
+    try {
+      val info = Graft.indexInfo(spark).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(3), r.getLong(4)))
+        .toMap
+      assert(info.contains("info_term") && info.contains("info_sq"))
+      val (tFam, tCol, tItems) = info("info_term")
+      assert(tFam == "term" && tCol == "text" && tItems == 500L)
+      val (sFam, sCol, sItems) = info("info_sq")
+      assert(sFam == "sq" && sCol == "embedding" && sItems == 500L)
+    } finally { TermIndex.drop("info_term"); SqIndex.drop("info_sq") }
+  }
+
   test("vacuumTable reclaims superseded registrations; current stays readable") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(10)
     Graft.registerTable(spark, "vac_t", emb)
