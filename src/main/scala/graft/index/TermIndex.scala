@@ -115,6 +115,24 @@ object TermIndex {
     updated
   }
 
+  /** Storage compaction for append-heavy indexes — the term-index analog
+    * of `hnsw_compact_index`: every [[append]] adds one small file set per
+    * bucket, so sustained ingest degrades scan efficiency until the
+    * artifact is rewritten. Postings are immutable rows, so compaction is
+    * a pure storage rewrite (one task per bucket partition) with
+    * bit-identical search results; the registry swap is atomic and the old
+    * artifact is deleted after. Single-writer, like append. */
+  def compact(spark: SparkSession, name: String): TermEntry = {
+    val entry = registry.getOrThrow(name, "term")
+    val parent = java.nio.file.Paths.get(entry.path).getParent.toString
+    val newPath = s"$parent/$name-term-${System.currentTimeMillis()}"
+    spark.read.parquet(entry.path)
+      .write.partitionBy(BucketCol).parquet(newPath)
+    registry.update(name, entry.copy(path = newPath))
+    ArtifactRegistry.deleteRecursively(entry.path)
+    registry.getOrThrow(name, "term")
+  }
+
   /** Watermark of the last applied streaming batch per index (this JVM). */
   private val appliedBatches = TrieMap.empty[String, Long]
 

@@ -123,6 +123,36 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     TermIndex.drop("ts_app"); TermIndex.drop("ts_fullidx")
   }
 
+  test("compact rewrites the artifact with fewer files and identical results") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.where(col("doc_id") < 100).createOrReplaceTempView("ts_c_seed")
+    TermIndex.create(spark, "ts_comp", "ts_c_seed", "doc_id", "text", nBuckets = 2)
+    try {
+      (1 to 3).foreach { i =>
+        TermIndex.append(spark, "ts_comp",
+          docs.where(col("doc_id").between(i * 100, i * 100 + 99)))
+      }
+      def partFiles(p: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          .filter(f => f.toString.endsWith(".parquet")).count()
+      val oldPath = TermIndex.get("ts_comp").get.path
+      val before = partFiles(oldPath)
+      val terms = Seq("spark", "join", "query")
+      val preScores = TermIndex.search(spark, "ts_comp", terms, 20)
+        .as[(Long, Double)].collect().toSeq
+      val prePhrase = TermIndex.phraseSearch(spark, "ts_comp", Seq("hash", "join"))
+        .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+      val compacted = TermIndex.compact(spark, "ts_comp")
+      assert(compacted.path != oldPath)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(oldPath)))
+      assert(partFiles(compacted.path) < before)
+      assert(TermIndex.search(spark, "ts_comp", terms, 20)
+        .as[(Long, Double)].collect().toSeq == preScores)
+      assert(TermIndex.phraseSearch(spark, "ts_comp", Seq("hash", "join"))
+        .orderBy($"doc_id").as[(Long, Long)].collect().toSeq == prePhrase)
+    } finally TermIndex.drop("ts_comp")
+  }
+
   test("appendBatch is idempotent per batchId (at-least-once replay safe)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.where(col("doc_id") < 100).createOrReplaceTempView("ts_b_seed")
