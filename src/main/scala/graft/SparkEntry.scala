@@ -842,13 +842,16 @@ object SparkEntry {
     /** L2-normalized embeddings (DOUBLE elements; x/√(a·a) on the same
       * sequential-fold norm the kernels use) — the cosine→l2sq bridge the
       * quantized indexes document. Bit-exact: division by an identical
-      * norm replays in DuckDB. */
+      * norm replays in DuckDB. Output is exploded to one scalar row per
+      * (vec_id, dim) — the driver's pandas comparator cannot sort/hash a
+      * raw array column (r04 q58 err: "unhashable type: numpy.ndarray"). */
     def q58Normalize(s: SparkSession, dir: String): DataFrame =
       tbl(s, dir, "embeddings")
         .where(col("vec_id") < 20)
         .select(col("vec_id"),
           graft.functions.vector.l2_normalize(col("embedding")).as("nvec"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(col("nvec")).as(Seq("dim", "nval")))
+        .orderBy(col("vec_id"), col("dim"))
 
     /** SQ8 scalar-quantization index path: per-dimension int8 codes, ADC
       * candidate scan, exact re-rank. Full refine ⇒ exact — the oracle is
@@ -1590,14 +1593,21 @@ object SparkEntry {
            |       array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
            |       len(w[chunk_id*24+1 : chunk_id*24+32]) AS n_tokens
            |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // zip-unnest (DuckDB evaluates same-SELECT unnests in lockstep) so the
+    // comparator only ever sees scalar columns
     "q58_normalize" ->
-      s"""SELECT vec_id,
-         | CASE WHEN ${sqlDot("embedding", "embedding")} = 0.0
-         |      THEN list_transform(embedding, x -> 0.0)
-         |      ELSE list_transform(embedding,
-         |             x -> CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}))
-         | END AS nvec
-         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+      s"""WITH nv AS (
+         | SELECT vec_id,
+         |  CASE WHEN ${sqlDot("embedding", "embedding")} = 0.0
+         |       THEN list_transform(embedding, x -> 0.0)
+         |       ELSE list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}))
+         |  END AS nvec
+         | FROM embeddings WHERE vec_id < 20)
+         |SELECT vec_id,
+         |       CAST(unnest(range(len(nvec))) AS INT) AS dim,
+         |       unnest(nvec) AS nval
+         |FROM nv ORDER BY vec_id, dim""".stripMargin,
     // mirrors TextSearch.phraseCount(["hash","join"]): 1-based start
     // offsets i with w[i]='hash' AND w[i+1]='join'
     "q59_phrase" ->
