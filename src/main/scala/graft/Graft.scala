@@ -134,6 +134,90 @@ object Graft {
       .orderBy(col("dist"))
   }
 
+  /** Filtered (predicate + top-k) search through a registered HNSW index:
+    * the classic filtered-ANN problem — `WHERE pred ORDER BY dist LIMIT k`
+    * where a plain index top-k may return rows the predicate rejects.
+    *
+    * Strategy: adaptive over-fetch. Fetch m >= k candidates from the index
+    * (distance-ordered), apply the predicate on the fetched rows, and if
+    * fewer than k survive, geometrically re-fetch (×4) until k survivors or
+    * the whole index has been fetched (at which point the result is the
+    * exact filtered top-k). Every probe is k-bounded work: the predicate is
+    * evaluated on at most m broadcast-joined rows, never on the base table.
+    * With exhaustive `ef_search` the result is EXACT for any predicate and
+    * any selectivity (termination degrades to a full index scan); in
+    * true-ANN mode recall on highly selective predicates is the known
+    * filtered-ANN trade-off and `fetchFactor` is the recall knob.
+    *
+    * At 100 TB: driver work is O(m) hit ids; the fetch join stays a
+    * broadcast hash join; a selective predicate costs log₄(N/k) probes.
+    * (The alternative — pre-filtering the base table then brute-forcing —
+    * is the right plan only when the predicate is pushed-down-selective;
+    * that path already exists as `topK(table.where(pred), …)`.) */
+  def indexTopKWhere(spark: SparkSession, indexName: String, query: Array[Float],
+      k: Int, pred: Column, fetchFactor: Int = 4): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val n = entry.index.size
+    var m = math.min(math.max(k * fetchFactor, k), math.max(n, 1))
+    while (true) {
+      val fetched = indexTopK(spark, indexName, query, m).where(pred)
+      if (m >= n || fetched.limit(k).count() >= k)
+        return fetched.orderBy(col("dist")).limit(k)
+      m = math.min(m * 4, n)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Exact radius (range) search: every row within metric distance `r` of
+    * `query`. A single narrow filter over the table — no shuffle, no
+    * driver materialization, embarrassingly parallel at any scale. This is
+    * the 100 TB default; [[indexRadiusSearch]] is the low-latency variant
+    * for selective radii. */
+  def radiusSearch(table: DataFrame, vecCol: String, query: Array[Float],
+      r: Double, metric: String = "l2sq"): DataFrame = {
+    val dist = vector.metricDistance(metric)(col(vecCol), lit(query))
+    table.withColumn("dist", dist).where(col("dist") <= r)
+  }
+
+  /** Radius search through a registered HNSW index: adaptive top-k
+    * doubling — fetch k candidates, and while the fetch frontier's max
+    * distance still lies inside `r` (meaning rows beyond the fetch could
+    * also qualify), double k; stop when the frontier crosses `r` or the
+    * whole index is fetched, then keep `dist <= r`.
+    *
+    * With exhaustive `ef_search` the doubling invariant makes the result
+    * EXACT: the index's top-m is the true top-m, so once maxDist > r every
+    * unfetched row is farther than r. Driver cost is O(|result| + k₀)
+    * hits; the row fetch is one broadcast join. */
+  def indexRadiusSearch(spark: SparkSession, indexName: String, query: Array[Float],
+      r: Double, initialK: Int = 64): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val ef = IndexCatalog.effectiveEf(spark, entry)
+    val n = entry.index.size
+    var k = math.min(math.max(initialK, 1), math.max(n, 1))
+    var hits = Array.empty[(Long, Double)]
+    var done = n == 0
+    while (!done) {
+      hits = entry.index match {
+        case sh: graft.index.ShardedHnswIndex =>
+          sh.searchDistributed(spark.sparkContext, query, k, ef)
+        case idx => idx.search(query, k, ef)
+      }
+      done = k >= n || (hits.nonEmpty && hits.map(_._2).max > r)
+      if (!done) k = math.min(k * 2, n)
+    }
+    val within = hits.filter(_._2 <= r)
+    val hitDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(within.toSeq.map(h => Row(h._1, h._2)), 1),
+      StructType(Seq(StructField("__hit_rowid", LongType, nullable = false),
+        StructField("dist", DoubleType, nullable = false))))
+    val table = spark.table(entry.table)
+    table.join(broadcast(hitDf), table(entry.rowidCol) === hitDf("__hit_rowid"))
+      .drop("__hit_rowid")
+  }
+
   /** Index-accelerated KNN join: for each outer row's vector, the k nearest
     * rows of the indexed table, with a 1-indexed `rank` — the engine's
     * guaranteed path for the reference's lateral-KNN-join rewrite

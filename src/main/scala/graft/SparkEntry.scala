@@ -44,6 +44,31 @@ object SparkEntry {
   private def sqlCosineDist(a: String, b: String): String =
     s"(1.0 - (${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))))"
 
+  /** CTE body `sh(doc_id, simhash)`: the documents' 64-bit SimHash bit
+    * strings, DuckDB-replayed exactly as Dedup.simHash builds them
+    * (md5 nibble votes, MSB first). Shared by q23/q63/q64. */
+  private def sqlSimhashShCte: String = {
+    val votes = (0 until 64).map { bit =>
+      val pos = bit / 4
+      val pow = 1 << (3 - bit % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, ${pos + 1}, 1)) - 1) // $pow) % 2 = 1 THEN 1 ELSE -1 END) AS v$bit"
+    }.mkString(", ")
+    val bits = (0 until 64).map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""toks AS (
+       | SELECT doc_id, md5(tok) AS h FROM (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+       | WHERE len(tok) > 0),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM votes)""".stripMargin
+  }
+
+  /** Hamming distance between two 64-char bit strings, as a list fold —
+    * mirrors Dedup.hammingDist exactly (integer arithmetic only). */
+  private def sqlHamming(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> " +
+      s"CASE WHEN substring($a, i, 1) != substring($b, i, 1) THEN 1 ELSE 0 END), (x,y) -> x+y)"
+
   object Queries {
     // --- relational core -------------------------------------------------
 
@@ -870,6 +895,46 @@ object SparkEntry {
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }
+
+    /** Filtered ANN: `WHERE label = 2 ORDER BY dist LIMIT 10` through the
+      * index via adaptive over-fetch (label=2 is ~9% of rows, so the first
+      * k×4 fetch under-fills and the ×4 re-probe loop actually runs).
+      * Exhaustive ef ⇒ exact, so the brute-force filtered oracle applies. */
+    def q61FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      val qv = embQueryVec(s, table, 3)
+      Graft.indexTopKWhere(s, index, qv, 10, col("label") === 2)
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** Radius (range) search through the index: adaptive top-k doubling
+      * until the fetch frontier crosses r, then keep dist <= r. Exhaustive
+      * ef ⇒ exact vs the single-pass brute-force oracle. */
+    def q62RadiusSearch(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      val qv = embQueryVec(s, table, 3)
+      Graft.indexRadiusSearch(s, index, qv, 1.55)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** SimHash near-dup lookup: the 10 documents whose 64-bit fingerprint
+      * is Hamming-nearest to doc 42's. (hamming, doc_id) is a total order,
+      * so top-k ties are pinned. */
+    def q63SimHashTopK(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.simHashTopK(tbl(s, dir, "documents"), "doc_id", "text",
+          lit(42L), 10)
+        .orderBy(col("hamming"), col("doc_id"))
+
+    /** SimHash banded near-dup pairs: all pairs within 3 bit flips via
+      * 4-band blocking (pigeonhole-complete for hamming <= bands-1); the
+      * n² oracle self-join certifies completeness, the engine never runs
+      * it. */
+    def q64SimHashPairs(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id",
+          "text", maxHamming = 3, bands = 4)
+        .orderBy(col("a"), col("b"))
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1005,6 +1070,10 @@ object SparkEntry {
     "q58_normalize" -> (Queries.q58Normalize _),
     "q59_phrase" -> (Queries.q59Phrase _),
     "q60_vocab_stats" -> (Queries.q60VocabStats _),
+    "q61_filtered_topk" -> (Queries.q61FilteredTopK _),
+    "q62_radius_search" -> (Queries.q62RadiusSearch _),
+    "q63_simhash_topk" -> (Queries.q63SimHashTopK _),
+    "q64_simhash_pairs" -> (Queries.q64SimHashPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1147,21 +1216,9 @@ object SparkEntry {
          |FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
          |ORDER BY a, b""".stripMargin
     },
-    "q23_simhash" -> {
-      val votes = (0 until 64).map { bit =>
-        val pos = bit / 4
-        val pow = 1 << (3 - bit % 4)
-        s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, ${pos + 1}, 1)) - 1) // $pow) % 2 = 1 THEN 1 ELSE -1 END) AS v$bit"
-      }.mkString(", ")
-      val bits = (0 until 64).map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
-      s"""WITH toks AS (
-         | SELECT doc_id, md5(tok) AS h FROM (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
-         | WHERE len(tok) > 0),
-         |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
-    },
+    "q23_simhash" ->
+      s"""WITH $sqlSimhashShCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
     "q24_jaccard_pairs" ->
       s"""WITH sh0 AS ($sqlShingles),
          |keep AS (SELECT shingle FROM (
@@ -1627,5 +1684,27 @@ object SparkEntry {
            |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
            |FROM tf GROUP BY term
            |ORDER BY df DESC, term LIMIT 50""".stripMargin,
+    "q61_filtered_topk" ->
+      s"""SELECT e.vec_id, e.label, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3) q
+         |WHERE e.label = 2
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q62_radius_search" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3) q
+         |WHERE ${sqlL2Sq("e.embedding", "q.qv")} <= 1.55
+         |ORDER BY dist, e.vec_id""".stripMargin,
+    "q63_simhash_topk" ->
+      s"""WITH $sqlSimhashShCte
+         |SELECT a.doc_id, ${sqlHamming("a.simhash", "q.qh")} AS hamming
+         |FROM sh a, (SELECT simhash AS qh FROM sh WHERE doc_id = 42) q
+         |ORDER BY hamming, a.doc_id LIMIT 10""".stripMargin,
+    "q64_simhash_pairs" ->
+      s"""WITH $sqlSimhashShCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       ${sqlHamming("a.simhash", "b.simhash")} AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE ${sqlHamming("a.simhash", "b.simhash")} <= 3
+         |ORDER BY a, b""".stripMargin,
   )
 }

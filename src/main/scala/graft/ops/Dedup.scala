@@ -339,4 +339,58 @@ object Dedup {
         col("best").getItem(0).getField("dist").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Hamming distance between two [[simHash]] fingerprints ('0'/'1' × 64
+    * bit strings): count of differing positions. Pure codegen column
+    * algebra over a 64-slot HOF — integer result, so engine/oracle parity
+    * is exact by construction. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(64)),
+        i => when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Near-dup lookup by document: the k fingerprints nearest to `queryId`'s
+    * SimHash by Hamming distance. The query row's 64-char hash is a 1-row
+    * broadcast; scoring is a narrow pass over the fingerprint table and the
+    * top-k is a TakeOrderedAndProject — no shuffle of the corpus. Ranks
+    * deterministically by (hamming, id). */
+  def simHashTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryId: Column, k: Int): DataFrame = {
+    val hashes = simHash(docs, idCol, textCol)
+    val q = hashes.where(col(idCol) === queryId)
+      .select(col("simhash").as("__qhash"))
+    hashes.crossJoin(broadcast(q))
+      .select(col(idCol), hammingDist(col("simhash"), col("__qhash")).as("hamming"))
+      .orderBy(col("hamming"), col(idCol)).limit(k)
+  }
+
+  /** All fingerprint pairs within `maxHamming` bit flips, via banded
+    * blocking: split the 64-bit SimHash into `bands` equal substrings and
+    * equi-join on (band index, band value) — any pair differing in at most
+    * `bands - 1` bits shares at least one identical band (pigeonhole), so
+    * with the default 4 bands the result is COMPLETE for maxHamming <= 3.
+    * Exact Hamming is then verified once per distinct candidate pair.
+    *
+    * Scale shape: identical to MinHash LSH — the only shuffles are the
+    * per-doc fingerprint aggregation and the band equi-join, whose fan-out
+    * is the collision set, never n². Returns (a, b, hamming), a < b. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val w = 64 / bands
+    val hashes = simHash(docs, idCol, textCol)
+    val banded = hashes.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("simhash"), b * w + 1, w)): _*)).as(Seq("band", "bandval")))
+    val l = banded.select(col(idCol).as("a"), col("simhash").as("ha"),
+      col("band"), col("bandval"))
+    val r = banded.select(col(idCol).as("b"), col("simhash").as("hb"),
+      col("band"), col("bandval"))
+    l.join(r, Seq("band", "bandval"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .select(col("a"), col("b"), hammingDist(col("ha"), col("hb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.vector
+import graft.index.IndexCatalog
+import graft.ops.Dedup
+
+/** Filtered/radius ANN search and SimHash Hamming search: differential
+  * tests against brute-force formulations on the sf0.001 fixtures. */
+class FilteredSearchSpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private lazy val (table, index) = {
+    graft.plans.GraftExtensions.install(spark)
+    val (t, i) = ("fss_emb", "fss_idx")
+    if (IndexCatalog.get(i).isEmpty) {
+      Graft.registerTable(spark, t,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      // exhaustive ef: differential tests assert EXACT parity
+      IndexCatalog.createIndex(spark, i, t, "embedding",
+        Map("ef_search" -> "100000"))
+    }
+    (t, i)
+  }
+
+  private def queryVec(vecId: Long): Array[Float] =
+    spark.table(table).filter(col("vec_id") === vecId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  test("indexTopKWhere == brute-force filtered top-k (selective predicate)") {
+    val qv = queryVec(3)
+    // label = 2 is ~10% of rows: the first k*4 fetch under-fills and the
+    // adaptive re-probe loop actually runs
+    val got = Graft.indexTopKWhere(spark, index, qv, 5, col("label") === 2)
+      .select(col("vec_id"), col("dist")).orderBy(col("dist"), col("vec_id"))
+      .collect().toSeq
+    val want = spark.table(table)
+      .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+      .where(col("label") === 2)
+      .orderBy(col("dist"), col("vec_id"))
+      .select(col("vec_id"), col("dist")).limit(5)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("indexTopKWhere: predicate rejecting everything returns 0 rows") {
+    val qv = queryVec(3)
+    assert(Graft.indexTopKWhere(spark, index, qv, 5, col("label") === -1)
+      .count() == 0)
+  }
+
+  test("indexRadiusSearch == single-pass brute radiusSearch") {
+    val qv = queryVec(3)
+    // pick r at the 12th-nearest distance: forces at least one doubling
+    // past the initialK=4 frontier below
+    val r = spark.table(table)
+      .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+      .orderBy(col("dist")).limit(12).agg(max(col("dist"))).head().getDouble(0)
+    val got = Graft.indexRadiusSearch(spark, index, qv, r, initialK = 4)
+      .select(col("vec_id"), col("dist")).orderBy(col("vec_id"))
+      .collect().toSeq
+    val want = Graft.radiusSearch(spark.table(table), "embedding", qv, r)
+      .select(col("vec_id"), col("dist")).orderBy(col("vec_id"))
+      .collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("indexRadiusSearch: radius below the nearest non-self hit returns only self") {
+    val qv = queryVec(3)
+    val got = Graft.indexRadiusSearch(spark, index, qv, 1e-9)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
+  test("hammingDist: zero to self, counts flipped bits") {
+    val df = Seq(
+      ("0" * 64, "0" * 64, 0),
+      ("1" * 64, "0" * 64, 64),
+      ("10" + "0" * 62, "00" + "0" * 62, 1)).toDF("a", "b", "want")
+    val bad = df.where(Dedup.hammingDist(col("a"), col("b")) =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("simHashNearDupPairs == brute-force pairs for hamming <= bands-1") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .orderBy(col("a"), col("b")).collect().toSeq
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    val want = l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.hammingDist(col("ha"), col("hb")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("a"), col("b")).collect().toSeq
+    assert(got == want)
+  }
+
+  test("simHashTopK ranks by (hamming, id) with the query doc first") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.simHashTopK(docs, "doc_id", "text", lit(7L), 5).collect()
+    assert(got.length == 5)
+    assert(got.head.getLong(0) == 7L && got.head.getInt(1) == 0)
+    val hams = got.map(_.getInt(1)).toSeq
+    assert(hams == hams.sorted)
+  }
+}
