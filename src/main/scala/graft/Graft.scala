@@ -218,6 +218,67 @@ object Graft {
       .drop("__hit_rowid")
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k: greedily select k rows
+    * maximizing `(1-λ)·minDistToSelected − λ·queryDist` — relevance traded
+    * against redundancy, the standard diversity re-rank for RAG context
+    * selection and training-data subset picking (Carbonell & Goldstein,
+    * SIGIR'98).
+    *
+    * Two-stage shape, which is how MMR deploys at scale: the index (or
+    * brute-force TakeOrderedAndProject on an unindexed table) reduces the
+    * corpus to a `poolSize`-bounded candidate pool — the only part that
+    * touches the data — and the O(poolSize·k) greedy runs on the driver
+    * over that pool. First pick = most relevant (min query distance); ties
+    * break on rowid. Distances use the same sequential-fold kernels as the
+    * distributed operators, so results replay exactly in an oracle. */
+  def mmrTopK(spark: SparkSession, indexName: String, query: Array[Float],
+      k: Int, poolSize: Int, lambda: Double = 0.5): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val ef = IndexCatalog.effectiveEf(spark, entry)
+    val hits = entry.index match {
+      case sh: graft.index.ShardedHnswIndex =>
+        sh.searchDistributed(spark.sparkContext, query, poolSize, ef)
+      case idx => idx.search(query, poolSize, ef)
+    }
+    val qdist = hits.toMap
+    val table = spark.table(entry.table)
+    val hitIds = hits.map(_._1)
+    val pool = table.where(col(entry.rowidCol).isin(hitIds: _*))
+      .select(col(entry.rowidCol), col(entry.column))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // greedy MMR over the driver-resident pool
+    val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+    val minDistToSel = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(Double.PositiveInfinity)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    while (picks.length < k && remaining.nonEmpty) {
+      val pick =
+        if (picks.isEmpty)
+          remaining.keys.minBy(id => (qdist(id), id))
+        else
+          // argmax score, ties to the smaller rowid: minBy the negation
+          remaining.keys.minBy { id =>
+            (-((1 - lambda) * minDistToSel(id) - lambda * qdist(id)), id)
+          }
+      val pickVec = remaining.remove(pick).get
+      picks += ((pick, picks.length + 1, qdist(pick)))
+      remaining.foreach { case (id, vec) =>
+        val d = graft.index.DistanceKernels.l2sq(vec, pickVec)
+        if (d < minDistToSel(id)) minDistToSel(id) = d
+      }
+    }
+    val pickDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(picks.toSeq.map(p => Row(p._1, p._2, p._3)), 1),
+      StructType(Seq(StructField("__hit_rowid", LongType, nullable = false),
+        StructField("mmr_rank", IntegerType, nullable = false),
+        StructField("dist", DoubleType, nullable = false))))
+    table.join(broadcast(pickDf), table(entry.rowidCol) === pickDf("__hit_rowid"))
+      .drop("__hit_rowid")
+  }
+
   /** Index-accelerated KNN join: for each outer row's vector, the k nearest
     * rows of the indexed table, with a 1-indexed `rank` — the engine's
     * guaranteed path for the reference's lateral-KNN-join rewrite

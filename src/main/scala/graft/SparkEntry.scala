@@ -935,6 +935,26 @@ object SparkEntry {
       graft.ops.Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id",
           "text", maxHamming = 3, bands = 4)
         .orderBy(col("a"), col("b"))
+
+    /** Embedding-space outlier detection: top-20 rows by distance to their
+      * 5th nearest other row, through the index KNN join. Exhaustive ef ⇒
+      * exact vs the oracle's window-function formulation. */
+    def q65KnnOutliers(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      graft.ops.Dedup.knnOutlierScores(s, table, "vec_id", index, 5)
+        .orderBy(col("outlier_score").desc, col("vec_id")).limit(20)
+    }
+
+    /** MMR diversified top-5 from a 30-candidate index pool (λ=0.5):
+      * greedy (1-λ)·minDistToSelected − λ·queryDist, ties to the smaller
+      * id. The oracle replays the greedy as 5 chained argmax CTEs. */
+    def q66MmrTopK(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      val qv = embQueryVec(s, table, 3)
+      Graft.mmrTopK(s, index, qv, k = 5, poolSize = 30, lambda = 0.5)
+        .select(col("vec_id"), col("mmr_rank"), col("dist"))
+        .orderBy(col("mmr_rank"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1074,6 +1094,8 @@ object SparkEntry {
     "q62_radius_search" -> (Queries.q62RadiusSearch _),
     "q63_simhash_topk" -> (Queries.q63SimHashTopK _),
     "q64_simhash_pairs" -> (Queries.q64SimHashPairs _),
+    "q65_knn_outliers" -> (Queries.q65KnnOutliers _),
+    "q66_mmr_topk" -> (Queries.q66MmrTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1706,5 +1728,45 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE ${sqlHamming("a.simhash", "b.simhash")} <= 3
          |ORDER BY a, b""".stripMargin,
+    "q65_knn_outliers" ->
+      s"""WITH d AS (
+         | SELECT a.vec_id AS a, b.vec_id AS b,
+         |        ${sqlL2Sq("a.embedding", "b.embedding")} AS dist
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL),
+         |r AS (SELECT a, dist,
+         |        row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn FROM d)
+         |SELECT a AS vec_id, dist AS outlier_score FROM r WHERE rn = 5
+         |ORDER BY outlier_score DESC, vec_id LIMIT 20""".stripMargin,
+    // the engine's greedy MMR replayed as chained argmax CTEs: sel_i adds
+    // the remaining candidate maximizing 0.5*min(dist to selected) -
+    // 0.5*query_dist, ties to the smaller vec_id — byte-identical
+    // arithmetic to Graft.mmrTopK (same fold kernels, same 0.5 factors)
+    "q66_mmr_topk" -> {
+      val stages = (2 to 5).map { i =>
+        s"""s$i AS (
+           | SELECT c.vec_id, c.embedding, c.qdist, $i AS mmr_rank
+           | FROM cand c, sel${i - 1} s
+           | WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           | GROUP BY c.vec_id, c.embedding, c.qdist
+           | ORDER BY (0.5 * min(${sqlL2Sq("c.embedding", "s.embedding")})
+           |           - 0.5 * c.qdist) DESC, c.vec_id
+           | LIMIT 1),
+           |sel$i AS (SELECT vec_id, embedding, qdist, mmr_rank FROM sel${i - 1}
+           |          UNION ALL SELECT vec_id, embedding, qdist, mmr_rank FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+         |cand AS (
+         | SELECT e.vec_id, e.embedding, ${sqlL2Sq("e.embedding", "q.qv")} AS qdist
+         | FROM embeddings e, q WHERE e.embedding IS NOT NULL
+         | ORDER BY qdist, e.vec_id LIMIT 30),
+         |sel1 AS (
+         | SELECT vec_id, embedding, qdist, 1 AS mmr_rank FROM cand
+         | ORDER BY qdist, vec_id LIMIT 1),
+         |$stages
+         |SELECT vec_id, mmr_rank, qdist AS dist FROM sel5 ORDER BY mmr_rank"""
+        .stripMargin
+    },
   )
 }

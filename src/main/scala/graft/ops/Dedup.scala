@@ -340,6 +340,31 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Embedding-space outlier scores: each row's distance to its k-th
+    * nearest OTHER row — small score = dense cluster member, large score =
+    * isolated point. The standard kNN-distance outlier signal for
+    * embedding-space quality filtering of training corpora.
+    *
+    * Runs through the index KNN join (broadcast index, shuffle-free outer):
+    * fetch k+1 neighbors (self may or may not appear under duplicate
+    * vectors), drop self, rank the rest by (dist, id) and keep rank k.
+    * One window over at most (k+1) rows per key — outer×(k+1) total. */
+  def knnOutlierScores(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, indexName: String, k: Int): DataFrame = {
+    val entry = graft.index.IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val t = spark.table(table)
+    val outer = t.select(col(idCol).as("__qid"), col(entry.column).as("__qv"))
+      .where(col("__qv").isNotNull)
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist"), col(idCol))
+    graft.Graft.knnJoin(spark, outer, "__qv", indexName, k + 1)
+      .where(col("__qid") =!= col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === k)
+      .select(col("__qid").as(idCol), col("dist").as("outlier_score"))
+  }
+
   /** Hamming distance between two [[simHash]] fingerprints ('0'/'1' × 64
     * bit strings): count of differing positions. Pure codegen column
     * algebra over a 64-slot HOF — integer result, so engine/oracle parity

@@ -96,6 +96,50 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("knnOutlierScores == brute-force kth-NN distance") {
+    val got = Dedup.knnOutlierScores(spark, table, "vec_id", index, 3)
+      .orderBy(col("vec_id")).collect().toSeq
+    val t = spark.table(table)
+    val l = t.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = t.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("dist"), col("b"))
+    val want = l.crossJoin(r).where(col("a") =!= col("b"))
+      .select(col("a"),  col("b"),
+        vector.array_distance_sq(col("va"), col("vb")).as("dist"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 3)
+      .select(col("a").as("vec_id"), col("dist").as("outlier_score"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("mmrTopK: rank 1 is the nearest; later picks trade distance for diversity") {
+    val qv = queryVec(3)
+    val got = Graft.mmrTopK(spark, index, qv, k = 4, poolSize = 20)
+      .select(col("vec_id"), col("mmr_rank"), col("dist"))
+      .orderBy(col("mmr_rank")).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4))
+    // rank 1 = plain nearest neighbor (the query vector itself, dist 0)
+    assert(got.head.getLong(0) == 3L && got.head.getDouble(2) == 0.0)
+    // all picks distinct, all drawn from the candidate pool
+    assert(got.map(_.getLong(0)).distinct.length == 4)
+    val poolIds = Graft.indexTopK(spark, index, qv, 20)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).forall(poolIds.contains))
+  }
+
+  test("mmrTopK with lambda=1 degenerates to plain top-k by distance") {
+    val qv = queryVec(3)
+    val got = Graft.mmrTopK(spark, index, qv, k = 5, poolSize = 20, lambda = 1.0)
+      .select(col("vec_id")).orderBy(col("mmr_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Graft.topK(spark.table(table), "embedding", qv, 5,
+        tieBreak = Seq("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("simHashTopK ranks by (hamming, id) with the query doc first") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = Dedup.simHashTopK(docs, "doc_id", "text", lit(7L), 5).collect()
