@@ -62,6 +62,30 @@ object GraftStreaming {
         ()
       }
 
+  /** Online ANN serving: a stream of query rows KNN-joined per micro-batch
+    * against a registered HNSW index — the capability the reference's
+    * native engine cannot express (its index is query-time only; here the
+    * same broadcast index join that serves batch queries serves a
+    * continuous query feed). Each micro-batch runs [[graft.Graft.knnJoin]],
+    * so results always reflect the index LIVE: rows ingested by
+    * [[indexAppendWriter]] between batches are searchable in the next
+    * batch. `sink` receives the joined result and the batch id (write it
+    * to a topic/table, or collect it in tests).
+    *
+    * Scale shape: identical to batch — the index broadcast is reused
+    * across batches (per-JVM shard cache for sharded indexes), the query
+    * batch streams partition-parallel with no shuffle, and per-batch work
+    * is O(batchRows × k). */
+  def knnServeWriter(spark: SparkSession, queries: DataFrame, vecCol: String,
+      indexName: String, k: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.Graft.knnJoin(spark, batch, vecCol, indexName, k), batchId)
+        ()
+      }
+
   /** Streaming exact dedup with custom state: the FIRST row per key (e.g. a
     * content fingerprint from TextAnalysis.fingerprint) survives, every
     * later duplicate — same batch or any later batch — is dropped. One

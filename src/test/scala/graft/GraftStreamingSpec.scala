@@ -41,6 +41,48 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
   }
 
+  test("knnServeWriter: per-batch results match batch knnJoin and see live ingest") {
+    IndexCatalog.clear()
+    Graft.registerTable(spark, "serve_t",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    // exhaustive ef: the differential against brute-force top-1 is exact
+    IndexCatalog.createIndex(spark, "serve_idx", "serve_t", "embedding",
+      Map("ef_search" -> "100000"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val queries = mem.toDF().toDF("qid", "qvec")
+      .select($"qid", $"qvec".cast("array<float>"))
+    val writer = GraftStreaming.knnServeWriter(spark, queries, "qvec",
+      "serve_idx", 1) { (res, _) =>
+      results ++= res.select($"qid", $"vec_id", $"rank")
+        .as[(Long, Long, Long)].collect()
+    }
+
+    // batch 1: two existing vectors as queries -> nearest = themselves
+    val v2 = spark.table("serve_t").filter($"vec_id" === 2L)
+      .select($"embedding").as[Seq[Float]].head()
+    val v5 = spark.table("serve_t").filter($"vec_id" === 5L)
+      .select($"embedding").as[Seq[Float]].head()
+    mem.addData((102L, v2), (105L, v5))
+    val q = writer.start()
+    q.processAllAvailable()
+    assert(results.sorted.toSeq == Seq((102L, 2L, 1L), (105L, 5L, 1L)))
+
+    // live ingest between batches: a probe vector inserted now must be the
+    // next batch's answer
+    val probe = Seq.fill(64)(42f)
+    Graft.insertInto(spark, "serve_t",
+      Seq((77001L, probe, 9)).toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+    results.clear()
+    mem.addData((200L, probe))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSeq == Seq((200L, 77001L, 1L)))
+  }
+
   test("streaming term-index ingest: post-batch search equals a fresh batch build") {
     import graft.index.TermIndex
     TermIndex.clear()
