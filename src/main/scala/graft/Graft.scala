@@ -218,6 +218,60 @@ object Graft {
       .drop("__hit_rowid")
   }
 
+  /** Distributed radius join: for every outer row, ALL rows of the indexed
+    * table within metric distance `r` — the unbounded-fanout sibling of the
+    * KNN join and the primitive behind threshold near-dup mining.
+    *
+    * Shape: iterative frontier doubling over the broadcast index join.
+    * Round i KNN-joins the still-open outer rows at k_i; a row is CLOSED
+    * when its k_i-th candidate lies beyond `r` (its within-r set is then
+    * provably complete under exhaustive ef) or the index is exhausted.
+    * Open rows re-join at 2·k_i. Rows with typical fan-out close in round
+    * one; only genuinely dense query points escalate, so total work is at
+    * most ~2× the final fan-out, distributed end to end (the driver only
+    * counts open rows). log₂(maxFanout/initialK) rounds worst-case.
+    *
+    * Closed matches are localCheckpoint'd per round (result-sized) so the
+    * returned union doesn't re-execute every round's join on consumption,
+    * and `pending` is checkpointed to keep lineage flat across rounds.
+    *
+    * `idCol` must uniquely key the outer rows (per-row completeness is
+    * tracked by it). Output = outer row + matched inner row + `dist`. */
+  def radiusJoin(spark: SparkSession, outer: DataFrame, idCol: String,
+      outerVecCol: String, indexName: String, r: Double,
+      initialK: Int = 16): DataFrame = {
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val n = math.max(entry.index.size, 1)
+    var k = math.min(math.max(initialK, 1), n)
+    var pending = outer.localCheckpoint()
+    var acc: Option[DataFrame] = None
+    var openCount = pending.count()
+    while (openCount > 0) {
+      val joined = knnJoin(spark, pending, outerVecCol, indexName, k)
+        .drop("rank")
+      // a row stays OPEN iff its frontier is full AND still inside r AND
+      // the index has more rows to offer
+      val openIds =
+        if (k >= n) pending.select(col(idCol)).limit(0)
+        else joined.groupBy(col(idCol))
+          .agg(count(lit(1)).as("__cnt"), max(col("dist")).as("__maxd"))
+          .where(col("__cnt") === k && col("__maxd") <= r)
+          .select(col(idCol))
+      val closed = joined
+        .join(broadcast(openIds), Seq(idCol), "left_anti")
+        .where(col("dist") <= r)
+      acc = Some(acc.map(_.unionByName(closed)).getOrElse(closed)
+        .localCheckpoint())
+      pending = pending.join(broadcast(openIds), Seq(idCol), "left_semi")
+        .localCheckpoint()
+      openCount = pending.count()
+      k = math.min(k * 2, n)
+    }
+    acc.getOrElse(
+      knnJoin(spark, outer.limit(0), outerVecCol, indexName, 1).drop("rank"))
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k: greedily select k rows
     * maximizing `(1-λ)·minDistToSelected − λ·queryDist` — relevance traded
     * against redundancy, the standard diversity re-rank for RAG context

@@ -955,6 +955,20 @@ object SparkEntry {
         .select(col("vec_id"), col("mmr_rank"), col("dist"))
         .orderBy(col("mmr_rank"))
     }
+
+    /** Distributed radius θ-join through the index: every (outer, inner)
+      * pair within L2² 1.55, via frontier doubling (initialK=4 forces at
+      * least one escalation round at sf0.01 fan-outs of ~24). Exhaustive
+      * ef ⇒ exact vs the brute-force θ-join oracle. */
+    def q67RadiusJoin(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      val outer = s.table(table)
+        .filter(col("vec_id") < 5 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.radiusJoin(s, outer, "qid", "qvec", index, 1.55, initialK = 4)
+        .select(col("qid"), col("vec_id").as("nid"), col("dist"))
+        .orderBy(col("qid"), col("dist"), col("nid"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1096,6 +1110,7 @@ object SparkEntry {
     "q64_simhash_pairs" -> (Queries.q64SimHashPairs _),
     "q65_knn_outliers" -> (Queries.q65KnnOutliers _),
     "q66_mmr_topk" -> (Queries.q66MmrTopK _),
+    "q67_radius_join" -> (Queries.q67RadiusJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1768,5 +1783,12 @@ object SparkEntry {
          |SELECT vec_id, mmr_rank, qdist AS dist FROM sel5 ORDER BY mmr_rank"""
         .stripMargin
     },
+    "q67_radius_join" ->
+      s"""SELECT o.vec_id AS qid, e.vec_id AS nid,
+         |       ${sqlL2Sq("o.embedding", "e.embedding")} AS dist
+         |FROM embeddings o JOIN embeddings e
+         |  ON ${sqlL2Sq("o.embedding", "e.embedding")} <= 1.55
+         |WHERE o.vec_id < 5 AND o.embedding IS NOT NULL
+         |ORDER BY qid, dist, nid""".stripMargin,
   )
 }

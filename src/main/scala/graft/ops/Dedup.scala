@@ -382,7 +382,9 @@ object Dedup {
     * deterministically by (hamming, id). */
   def simHashTopK(docs: DataFrame, idCol: String, textCol: String,
       queryId: Column, k: Int): DataFrame = {
-    val hashes = simHash(docs, idCol, textCol)
+    // materialize the fingerprints once: the query-hash branch and the
+    // scoring pass would otherwise each re-run the 64-vote aggregation
+    val hashes = simHash(docs, idCol, textCol).localCheckpoint()
     val q = hashes.where(col(idCol) === queryId)
       .select(col("simhash").as("__qhash"))
     hashes.crossJoin(broadcast(q))
@@ -404,18 +406,34 @@ object Dedup {
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val w = 64 / bands
+    // one fingerprint pass feeds both join sides and the verify — without
+    // this the self-join recomputes the 64-vote aggregation per branch (at
+    // 100 TB: persist the fingerprint table instead of localCheckpoint).
+    // The bit string is also packed into two 32-bit words here: boilerplate
+    // text makes band buckets SKEWED (one hot band value can carry hundreds
+    // of docs → candidate pairs in the hundreds of thousands), and the
+    // verify must stay codegen'd integer algebra — xor+bit_count — rather
+    // than an interpreted 64-slot string fold (HOF lambdas don't codegen).
     val hashes = simHash(docs, idCol, textCol)
-    val banded = hashes.select(col(idCol), col("simhash"),
+      .select(col(idCol), col("simhash"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast(LongType).as("__h1"))
+      .localCheckpoint()
+    val banded = hashes.select(col(idCol), col("__h0"), col("__h1"),
       posexplode(array((0 until bands).map(b =>
         substring(col("simhash"), b * w + 1, w)): _*)).as(Seq("band", "bandval")))
-    val l = banded.select(col(idCol).as("a"), col("simhash").as("ha"),
-      col("band"), col("bandval"))
-    val r = banded.select(col(idCol).as("b"), col("simhash").as("hb"),
-      col("band"), col("bandval"))
+    val l = banded.select(col(idCol).as("a"), col("__h0").as("a0"),
+      col("__h1").as("a1"), col("band"), col("bandval"))
+    val r = banded.select(col(idCol).as("b"), col("__h0").as("b0"),
+      col("__h1").as("b1"), col("band"), col("bandval"))
     l.join(r, Seq("band", "bandval"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
-      .select(col("a"), col("b"), hammingDist(col("ha"), col("hb")).as("hamming"))
+      .select(col("a"), col("b"), col("a0"), col("a1"), col("b0"), col("b1"))
+      .distinct()
+      .select(col("a"), col("b"),
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1")))).cast(IntegerType)
+          .as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -72,6 +72,37 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == Seq(3L))
   }
 
+  test("radiusJoin == brute-force theta-join; frontier doubling is exact") {
+    val qv = queryVec(3) // any outer works; use several rows as queries
+    val t = spark.table(table)
+    val outer = t.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // r at each row's ~8th neighbor: initialK=2 forces multiple doublings
+    val r = t.withColumn("dist",
+        vector.array_distance_sq(col("embedding"), lit(qv)))
+      .orderBy(col("dist")).limit(8).agg(max(col("dist"))).head().getDouble(0)
+    val got = Graft.radiusJoin(spark, outer, "qid", "qvec", index, r,
+        initialK = 2)
+      .select(col("qid"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("vec_id")).collect().toSeq
+    val inner = t.select(col("vec_id"), col("embedding").as("ivec"))
+    val want = outer.crossJoin(inner)
+      .withColumn("dist", vector.array_distance_sq(col("qvec"), col("ivec")))
+      .where(col("dist") <= r)
+      .select(col("qid"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("vec_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("radiusJoin: empty outer returns empty with the joined schema") {
+    val t = spark.table(table)
+    val outer = t.where(col("vec_id") < 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Graft.radiusJoin(spark, outer, "qid", "qvec", index, 1.0)
+    assert(res.count() == 0)
+    assert(res.columns.contains("dist") && res.columns.contains("qid"))
+  }
+
   test("hammingDist: zero to self, counts flipped bits") {
     val df = Seq(
       ("0" * 64, "0" * 64, 0),
