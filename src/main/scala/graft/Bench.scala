@@ -29,20 +29,14 @@ object Bench {
     // family's warm-up time (build + one query) is reported as its own
     // `build_*` metric below.
     run("q01_pricing_summary")
-    val buildMetrics = Seq(
-      "q16_index_topk" -> "build_shared_index",
-      "q35_sharded_topk" -> "build_sharded_index",
-      "q18_index_info" -> "build_q18_index",
-      "q28_embedding_neardup" -> "build_q28_index",
-      "q30_ivf_topk" -> "build_q30_ivf",
-      "q41_pq_topk" -> "build_q41_pq",
-      "q43_ivfpq_topk" -> "build_q43_ivfpq",
-      "q53_bm25_indexed" -> "build_q53_term",
-      "q55_sq_topk" -> "build_q55_sq").map { case (q, metric) =>
-      val t0 = System.nanoTime()
-      run(q)
-      metric -> (System.nanoTime() - t0) / 1e9
-    }
+    val buildMetrics = runBuilds(run)
+    // Then warm EVERY query once: the measured pass below reports
+    // steady-state plan cost, not first-invocation codegen/JIT — without
+    // this, regex- and aggregate-heavy queries carry 3-10 s of one-time
+    // compilation that swamps cross-round comparison. Per-query work that
+    // is PART of the operator (shuffles, localCheckpoint materializations)
+    // still re-executes inside the measured run.
+    SparkEntry.queries.keys.toSeq.sorted.foreach(run)
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
@@ -56,4 +50,20 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private def runBuilds(run: String => Unit): Seq[(String, Double)] =
+    Seq(
+      "q16_index_topk" -> "build_shared_index",
+      "q35_sharded_topk" -> "build_sharded_index",
+      "q18_index_info" -> "build_q18_index",
+      "q28_embedding_neardup" -> "build_q28_index",
+      "q30_ivf_topk" -> "build_q30_ivf",
+      "q41_pq_topk" -> "build_q41_pq",
+      "q43_ivfpq_topk" -> "build_q43_ivfpq",
+      "q53_bm25_indexed" -> "build_q53_term",
+      "q55_sq_topk" -> "build_q55_sq").map { case (q, metric) =>
+      val t0 = System.nanoTime()
+      run(q)
+      metric -> (System.nanoTime() - t0) / 1e9
+    }
 }
