@@ -969,6 +969,24 @@ object SparkEntry {
         .select(col("qid"), col("vec_id").as("nid"), col("dist"))
         .orderBy(col("qid"), col("dist"), col("nid"))
     }
+
+    /** Radius search through the IVF index (q30's inverted lists): lists
+      * are pruned LOSSLESSLY by the triangle-inequality covering-radius
+      * bound, so the result is exact regardless of pruning — no nProbe
+      * knob, no recall trade-off. Oracle = brute radius scan. */
+    def q68IvfRadius(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q30_emb_$tag", s"q30_ivf_$tag")
+      tbl(s, dir, "embeddings").createOrReplaceTempView(tname)
+      if (graft.index.IvfIndex.get(iname).isEmpty) {
+        graft.index.IvfIndex.create(s, iname, tname, "embedding", nLists = 8)
+      }
+      val qv = s.table(tname).filter(col("vec_id") === 5)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.IvfIndex.radiusSearch(s, iname, qv, 1.55)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1111,6 +1129,7 @@ object SparkEntry {
     "q65_knn_outliers" -> (Queries.q65KnnOutliers _),
     "q66_mmr_topk" -> (Queries.q66MmrTopK _),
     "q67_radius_join" -> (Queries.q67RadiusJoin _),
+    "q68_ivf_radius" -> (Queries.q68IvfRadius _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1790,5 +1809,10 @@ object SparkEntry {
          |  ON ${sqlL2Sq("o.embedding", "e.embedding")} <= 1.55
          |WHERE o.vec_id < 5 AND o.embedding IS NOT NULL
          |ORDER BY qid, dist, nid""".stripMargin,
+    "q68_ivf_radius" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5) q
+         |WHERE ${sqlL2Sq("e.embedding", "q.qv")} <= 1.55
+         |ORDER BY dist, e.vec_id""".stripMargin,
   )
 }

@@ -32,7 +32,11 @@ object IvfIndex {
       vecCol: String,
       metric: String,
       path: String,
-      centroids: Array[Array[Float]])
+      centroids: Array[Array[Float]],
+      // per-list max member↔centroid distance (the list's covering radius,
+      // in the entry's metric) — lets radius queries prune lists LOSSLESSLY
+      // via the triangle inequality
+      listRadii: Map[Int, Double] = Map.empty)
 
   private val registry = new ArtifactRegistry[IvfEntry](_.path)
   def get(name: String): Option[IvfEntry] = registry.get(name)
@@ -121,7 +125,18 @@ object IvfIndex {
     df.where(col(vecCol).isNotNull)
       .withColumn(ListCol, assignExpr(vecCol, centroids, metric))
       .write.partitionBy(ListCol).parquet(path)
-    registry.register(name, IvfEntry(name, table, vecCol, metric, path, centroids))
+    // covering radius per list: one aggregate pass over the written lists
+    // (distance to the row's OWN centroid via element_at on the centroid
+    // distance array). Distributed, map-side combined — never driver-bound.
+    val centDists = array(centroids.toIndexedSeq.map(c =>
+      vector.metricDistance(metric)(col(vecCol), lit(c))): _*)
+    val radii = spark.read.parquet(path)
+      .select(col(ListCol).cast("int").as(ListCol),
+        element_at(centDists, col(ListCol).cast("int") + 1).as("__cd"))
+      .groupBy(col(ListCol)).agg(max(col("__cd")).as("__maxd"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    registry.register(name,
+      IvfEntry(name, table, vecCol, metric, path, centroids, radii))
   }
 
   /** The query's nProbe nearest inverted lists (driver-side, nLists tiny). */
@@ -143,6 +158,38 @@ object IvfIndex {
     val pruned = spark.read.parquet(entry.path)
       .where(col(ListCol).isin(probes: _*))
     graft.Graft.topK(pruned, entry.vecCol, q, k, entry.metric, tieBreak)
+      .drop(ListCol)
+  }
+
+  /** EXACT radius search with lossless storage pruning: list i can hold a
+    * point within radius `r` of the query only if, by the triangle
+    * inequality, `‖q−cᵢ‖ ≤ √r' + √radiusᵢ` (distances compared in the L2
+    * domain; r' and the stored covering radius are l2sq). Lists failing the
+    * bound are skipped at FILE-LISTING time via the partition filter, and
+    * the within-list `dist <= r` filter is exact — so unlike top-k probing
+    * there is NO recall trade-off: a 100 TB radius query reads only the
+    * lists whose covering ball intersects the query ball.
+    *
+    * L2-family metrics only (the triangle inequality is the pruning
+    * proof); cosine radius on unit-normalized vectors maps to l2sq via
+    * d_l2sq = 2·d_cos. */
+  def radiusSearch(spark: SparkSession, name: String, q: Array[Float],
+      r: Double): DataFrame = {
+    val entry = registry.getOrThrow(name, "IVF")
+    require(entry.metric == "l2sq" || entry.metric == "l2",
+      s"radiusSearch requires an L2-family metric, got '${entry.metric}'")
+    val d = distFn(entry.metric)
+    val toL2 = (x: Double) =>
+      if (entry.metric == "l2sq") math.sqrt(math.max(x, 0.0)) else x
+    val probes = entry.centroids.indices.filter { i =>
+      val cover = entry.listRadii.getOrElse(i, 0.0)
+      toL2(d(q, entry.centroids(i))) <= toL2(r) + toL2(cover)
+    }
+    val scan = spark.read.parquet(entry.path)
+    val pruned =
+      if (probes.isEmpty) scan.where(lit(false))
+      else scan.where(col(ListCol).isin(probes: _*))
+    graft.Graft.radiusSearch(pruned, entry.vecCol, q, r, entry.metric)
       .drop(ListCol)
   }
 }

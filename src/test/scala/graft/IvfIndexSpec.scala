@@ -41,6 +41,52 @@ class IvfIndexSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(scanned < total && scanned > 0)
   }
 
+  test("radiusSearch == brute force; covering-radius pruning is lossless") {
+    val q = queryVec(3)
+    // r at roughly the 15th neighbor: small enough that some covering
+    // balls must miss the query ball
+    val r = spark.table("ivf_emb")
+      .withColumn("dist", graft.functions.vector.array_distance_sq($"embedding", lit(q)))
+      .orderBy($"dist").limit(15).agg(max($"dist")).head().getDouble(0)
+    val got = IvfIndex.radiusSearch(spark, "ivf1", q, r)
+      .select($"vec_id", $"dist").orderBy($"vec_id").as[(Long, Double)].collect().toSeq
+    val want = spark.table("ivf_emb")
+      .withColumn("dist", graft.functions.vector.array_distance_sq($"embedding", lit(q)))
+      .where($"dist" <= r)
+      .select($"vec_id", $"dist").orderBy($"vec_id").as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("radiusSearch prunes lists whose covering ball misses the query ball") {
+    // two well-separated clusters: the far cluster's covering ball cannot
+    // intersect a small query ball around the near cluster (uniform
+    // high-dim fixtures concentrate distances, so separation must be
+    // constructed to observe pruning deterministically)
+    val near = (0 until 20).map(i => (i.toLong, Array.fill(8)(0f).updated(0, i / 100f)))
+    val far = (20 until 40).map(i => (i.toLong, Array.fill(8)(100f).updated(0, 100f + i / 100f)))
+    (near ++ far).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("ivf_two_clusters")
+    IvfIndex.drop("ivf_sep")
+    IvfIndex.create(spark, "ivf_sep", "ivf_two_clusters", "embedding", nLists = 2)
+    val entry = IvfIndex.get("ivf_sep").get
+    assert(entry.listRadii.size == 2)
+    val q = Array.fill(8)(0f)
+    val d = graft.index.DistanceKernels.forMetric(entry.metric)
+    val pruned = entry.centroids.indices.count { i =>
+      val cover = entry.listRadii.getOrElse(i, 0.0)
+      math.sqrt(d(q, entry.centroids(i))) > math.sqrt(1.0) + math.sqrt(cover)
+    }
+    assert(pruned == 1, s"expected exactly 1 of 2 lists pruned, got $pruned")
+    // pruning is lossless: the near cluster's 20 points, nothing else
+    val got = IvfIndex.radiusSearch(spark, "ivf_sep", q, 1.0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == (0L until 20L).toSet)
+  }
+
+  test("radiusSearch with an impossible radius returns empty") {
+    assert(IvfIndex.radiusSearch(spark, "ivf1", queryVec(3), 1e-9).count() <= 1)
+  }
+
   test("nProbe = 2 recall@10 is reasonable; top-1 in-probe hit is exact") {
     var hits = 0
     (0 until 20).foreach { qi =>
