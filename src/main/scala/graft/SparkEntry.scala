@@ -987,6 +987,31 @@ object SparkEntry {
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }
+
+    /** Incremental IVF maintenance under the oracle: the index is built on
+      * vec_id < 400 only, the rest arrives via `IvfIndex.append` (fixed
+      * centroids, additive partition files, max-merged covering radii) —
+      * then an exact (nProbe = nLists) search over EVERYTHING must match
+      * brute force over the full table, proving append ≡ fresh build. */
+    def q69IvfAppend(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val (tname, iname) = (s"q69_emb_$tag", s"q69_ivf_$tag")
+      tbl(s, dir, "embeddings").createOrReplaceTempView(tname)
+      if (graft.index.IvfIndex.get(iname).isEmpty) {
+        s.table(tname).where(col("vec_id") < 400)
+          .createOrReplaceTempView(s"${tname}_seed")
+        graft.index.IvfIndex.create(s, iname, s"${tname}_seed", "embedding",
+          nLists = 8)
+        graft.index.IvfIndex.append(s, iname,
+          s.table(tname).where(col("vec_id") >= 400))
+      }
+      val qv = s.table(tname).filter(col("vec_id") === 11)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.IvfIndex.search(s, iname, qv, 10, nProbe = 8,
+          tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1130,6 +1155,7 @@ object SparkEntry {
     "q66_mmr_topk" -> (Queries.q66MmrTopK _),
     "q67_radius_join" -> (Queries.q67RadiusJoin _),
     "q68_ivf_radius" -> (Queries.q68IvfRadius _),
+    "q69_ivf_append" -> (Queries.q69IvfAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1814,5 +1840,9 @@ object SparkEntry {
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5) q
          |WHERE ${sqlL2Sq("e.embedding", "q.qv")} <= 1.55
          |ORDER BY dist, e.vec_id""".stripMargin,
+    "q69_ivf_append" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -139,6 +139,34 @@ object IvfIndex {
       IvfEntry(name, table, vecCol, metric, path, centroids, radii))
   }
 
+  /** Incremental append: assign `rows` (same schema as the source table)
+    * to the EXISTING centroids and add them to the inverted lists as new
+    * parquet files inside each list's partition directory — the same
+    * additive-storage contract as TermIndex.append. Centroids are fixed
+    * (standard IVF maintenance; retrain = rebuild), covering radii merge
+    * by max, so radius pruning stays lossless after any number of appends
+    * and a search after append is identical to a fresh build over the
+    * union with the same centroids. Distributed end to end. */
+  def append(spark: SparkSession, name: String, rows: DataFrame): IvfEntry = {
+    val entry = registry.getOrThrow(name, "IVF")
+    val assigned = rows.where(col(entry.vecCol).isNotNull)
+      .withColumn(ListCol, assignExpr(entry.vecCol, entry.centroids, entry.metric))
+    assigned.write.mode("append").partitionBy(ListCol).parquet(entry.path)
+    val centDists = array(entry.centroids.toIndexedSeq.map(c =>
+      vector.metricDistance(entry.metric)(col(entry.vecCol), lit(c))): _*)
+    val newRadii = assigned
+      .select(col(ListCol).cast("int").as(ListCol),
+        element_at(centDists, col(ListCol).cast("int") + 1).as("__cd"))
+      .groupBy(col(ListCol)).agg(max(col("__cd")).as("__maxd"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val merged = (entry.listRadii.keySet ++ newRadii.keySet).map { i =>
+      i -> math.max(entry.listRadii.getOrElse(i, 0.0), newRadii.getOrElse(i, 0.0))
+    }.toMap
+    val updated = entry.copy(listRadii = merged)
+    registry.update(name, updated)
+    updated
+  }
+
   /** The query's nProbe nearest inverted lists (driver-side, nLists tiny). */
   def probeLists(entry: IvfEntry, q: Array[Float], nProbe: Int): Seq[Int] = {
     val d = distFn(entry.metric)

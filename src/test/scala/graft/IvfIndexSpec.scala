@@ -83,6 +83,29 @@ class IvfIndexSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(got == (0L until 20L).toSet)
   }
 
+  test("append: search and radius search equal a fresh build over the union") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.where($"vec_id" % 2 === 0).createOrReplaceTempView("ivf_app_seed")
+    IvfIndex.drop("ivf_app")
+    IvfIndex.create(spark, "ivf_app", "ivf_app_seed", "embedding", nLists = 4)
+    IvfIndex.append(spark, "ivf_app", emb.where($"vec_id" % 2 === 1))
+    val q = queryVec(3)
+    val brute = emb
+      .withColumn("dist", graft.functions.vector.array_distance_sq($"embedding", lit(q)))
+    val wantTop = brute.orderBy($"dist", $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val gotTop = IvfIndex.search(spark, "ivf_app", q, 10, nProbe = 4,
+        tieBreak = Seq("vec_id"))
+      .orderBy($"dist", $"vec_id").select($"vec_id").as[Long].collect().toSeq
+    assert(gotTop == wantTop)
+    // appended rows participate in radius pruning losslessly (radii merged)
+    val r = brute.orderBy($"dist").limit(12).agg(max($"dist")).head().getDouble(0)
+    val gotR = IvfIndex.radiusSearch(spark, "ivf_app", q, r)
+      .select($"vec_id").as[Long].collect().toSet
+    val wantR = brute.where($"dist" <= r).select($"vec_id").as[Long].collect().toSet
+    assert(gotR == wantR && gotR.exists(_ % 2 == 1))
+  }
+
   test("radiusSearch with an impossible radius returns empty") {
     assert(IvfIndex.radiusSearch(spark, "ivf1", queryVec(3), 1e-9).count() <= 1)
   }
