@@ -37,8 +37,14 @@ object Components {
     val undirected = sym.select(col("a").as("s"), col("b").as("d"))
       .union(sym.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint()
-    var labels = vertices
-      .select(col(idCol).as("id"), col(idCol).as("comp"))
+    // Propagation runs over the edge-TOUCHED vertices only: an isolated
+    // vertex can never change its label, and in a dedup graph touched
+    // vertices (2×|pairs| worst case) are a sliver of the corpus — at
+    // 100 TB the iterated state is duplicate-set-sized, not corpus-sized.
+    // Isolated vertices rejoin as their own singleton component at the end.
+    val touched = undirected.select(col("s").as("id")).distinct()
+      .localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -56,7 +62,15 @@ object Components {
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as(idCol), col("comp"))
+    val isolated = vertices.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    // edge endpoints absent from `vertices` are dropped from the output
+    // (documented contract), but they still participated in propagation
+    val inVertices = labels
+      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    inVertices.unionByName(isolated)
+      .select(col("id").as(idCol), col("comp"))
   }
 
   /** Canonical-survivor dedup: cluster `docs` by the near-dup `pairs` and
