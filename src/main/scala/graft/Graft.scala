@@ -333,6 +333,59 @@ object Graft {
       .drop("__hit_rowid")
   }
 
+  /** Batch (grouped) MMR: the diversified-top-k JOIN — for every outer
+    * query row, [[mmrTopK]]'s greedy re-rank, fully distributed. Stage 1
+    * is the broadcast index KNN join (each query's `poolSize` candidate
+    * pool, shuffle-free outer); stage 2 groups by query and runs the
+    * O(pool·k) greedy INSIDE the executors (`flatMapGroups` — per-group
+    * state is one pool, never the corpus). Same arithmetic as the scalar
+    * op: score = (1−λ)·minDistToSelected − λ·queryDist, ties to the
+    * smaller inner id, first pick = most relevant.
+    *
+    * `outer` must carry a unique BIGINT `idCol` and the vector `vecCol`;
+    * the indexed table's BIGINT id column is `innerIdCol`. Returns
+    * (qid, nid, mmr_rank, dist). */
+  def mmrJoin(spark: SparkSession, outer: DataFrame, idCol: String,
+      vecCol: String, indexName: String, innerIdCol: String, k: Int,
+      poolSize: Int, lambda: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val entry = IndexCatalog.get(indexName)
+      .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
+    val cands = knnJoin(spark, outer, vecCol, indexName, poolSize)
+      .select(col(idCol).cast(LongType).as("_qid"),
+        col(innerIdCol).cast(LongType).as("_nid"),
+        col(entry.column).as("_vec"), col("dist").as("_qdist"))
+      .as[(Long, Long, Seq[Float], Double)]
+    val lam = lambda
+    val kk = k
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, rows) =>
+        val pool = rows.map { case (_, nid, vec, qd) => (nid, vec.toArray, qd) }
+          .toArray.sortBy(_._1)
+        val qdist = pool.map(p => p._1 -> p._3).toMap
+        val remaining = scala.collection.mutable.LinkedHashMap(
+          pool.map(p => p._1 -> p._2): _*)
+        val minDistToSel = scala.collection.mutable.Map.empty[Long, Double]
+          .withDefaultValue(Double.PositiveInfinity)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+        while (out.length < kk && remaining.nonEmpty) {
+          val pick =
+            if (out.isEmpty) remaining.keys.minBy(id => (qdist(id), id))
+            else remaining.keys.minBy { id =>
+              (-((1 - lam) * minDistToSel(id) - lam * qdist(id)), id)
+            }
+          val pickVec = remaining.remove(pick).get
+          out += ((qid, pick, out.length + 1, qdist(pick)))
+          remaining.foreach { case (id, vec) =>
+            val d = graft.index.DistanceKernels.l2sq(vec, pickVec)
+            if (d < minDistToSel(id)) minDistToSel(id) = d
+          }
+        }
+        out.iterator
+      }
+      .toDF("qid", "nid", "mmr_rank", "dist")
+  }
+
   /** Index-accelerated KNN join: for each outer row's vector, the k nearest
     * rows of the indexed table, with a 1-indexed `rank` — the engine's
     * guaranteed path for the reference's lateral-KNN-join rewrite

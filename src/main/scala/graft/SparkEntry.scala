@@ -1012,6 +1012,20 @@ object SparkEntry {
         .select(col("vec_id"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }
+
+    /** Batch MMR join: per-query diversified top-4 from 20-candidate index
+      * pools, greedy running inside the executors (flatMapGroups). The
+      * oracle replays every query's greedy simultaneously with per-stage
+      * windowed argmax CTEs — same 0.5-factor arithmetic as q66. */
+    def q70MmrJoin(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedIndex(s, dir)
+      val outer = s.table(table)
+        .filter(col("vec_id") < 3 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.mmrJoin(s, outer, "qid", "qvec", index, "vec_id",
+          k = 4, poolSize = 20, lambda = 0.5)
+        .orderBy(col("qid"), col("mmr_rank"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1156,6 +1170,7 @@ object SparkEntry {
     "q67_radius_join" -> (Queries.q67RadiusJoin _),
     "q68_ivf_radius" -> (Queries.q68IvfRadius _),
     "q69_ivf_append" -> (Queries.q69IvfAppend _),
+    "q70_mmr_join" -> (Queries.q70MmrJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1844,5 +1859,41 @@ object SparkEntry {
       s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q70_mmr_join" -> {
+      val stages = (2 to 4).map { i =>
+        s"""s$i AS (
+           | SELECT qid, nid, embedding, qdist, $i AS mmr_rank FROM (
+           |  SELECT m.qid, m.nid, m.embedding, m.qdist,
+           |         row_number() OVER (PARTITION BY m.qid
+           |           ORDER BY (0.5 * m.mind - 0.5 * m.qdist) DESC, m.nid) AS rr
+           |  FROM (
+           |   SELECT c.qid, c.nid, c.embedding, c.qdist,
+           |          min(${sqlL2Sq("c.embedding", "s.embedding")}) AS mind
+           |   FROM cand c JOIN sel${i - 1} s USING (qid)
+           |   WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} p
+           |                     WHERE p.qid = c.qid AND p.nid = c.nid)
+           |   GROUP BY c.qid, c.nid, c.embedding, c.qdist) m)
+           | WHERE rr = 1),
+           |sel$i AS (SELECT qid, nid, embedding, qdist, mmr_rank FROM sel${i - 1}
+           |          UNION ALL SELECT qid, nid, embedding, qdist, mmr_rank FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pool AS (
+         | SELECT o.vec_id AS qid, e.vec_id AS nid, e.embedding,
+         |        ${sqlL2Sq("o.embedding", "e.embedding")} AS qdist,
+         |        row_number() OVER (PARTITION BY o.vec_id
+         |          ORDER BY ${sqlL2Sq("o.embedding", "e.embedding")}, e.vec_id) AS rn
+         | FROM embeddings o, embeddings e
+         | WHERE o.vec_id < 3 AND o.embedding IS NOT NULL AND e.embedding IS NOT NULL),
+         |cand AS (SELECT qid, nid, embedding, qdist FROM pool WHERE rn <= 20),
+         |sel1 AS (
+         | SELECT qid, nid, embedding, qdist, 1 AS mmr_rank FROM (
+         |  SELECT qid, nid, embedding, qdist,
+         |         row_number() OVER (PARTITION BY qid ORDER BY qdist, nid) AS rr
+         |  FROM cand) WHERE rr = 1),
+         |$stages
+         |SELECT qid, nid, mmr_rank, qdist AS dist FROM sel4
+         |ORDER BY qid, mmr_rank""".stripMargin
+    },
   )
 }

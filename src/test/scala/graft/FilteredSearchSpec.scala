@@ -160,6 +160,24 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got.map(_.getLong(0)).forall(poolIds.contains))
   }
 
+  test("mmrJoin == per-query mmrTopK (batch greedy matches the scalar op)") {
+    val t = spark.table(table)
+    val outer = t.where(col("vec_id") < 3 && col("embedding").isNotNull)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Graft.mmrJoin(spark, outer, "qid", "qvec", index, "vec_id",
+        k = 3, poolSize = 10)
+      .orderBy(col("qid"), col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = (0L until 3L).flatMap { qid =>
+      val qv = queryVec(qid)
+      Graft.mmrTopK(spark, index, qv, k = 3, poolSize = 10)
+        .select(col("vec_id"), col("mmr_rank"))
+        .orderBy(col("mmr_rank"))
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }
+    assert(got == want)
+  }
+
   test("mmrTopK with lambda=1 degenerates to plain top-k by distance") {
     val qv = queryVec(3)
     val got = Graft.mmrTopK(spark, index, qv, k = 5, poolSize = 20, lambda = 1.0)
