@@ -1026,6 +1026,14 @@ object SparkEntry {
           k = 4, poolSize = 20, lambda = 0.5)
         .orderBy(col("qid"), col("mmr_rank"))
     }
+
+    /** Exact-substring span removal (Lee et al. ACL'22 rewrite step):
+      * tokens covered by any 8-token window occurring >= 2 times
+      * corpus-wide are dropped and the surviving text rejoined. */
+    def q71DedupSpans(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.removeDuplicatedSpans(tbl(s, dir, "documents"),
+          "doc_id", "text", windowLen = 8, minOccurrences = 2)
+        .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1171,6 +1179,7 @@ object SparkEntry {
     "q68_ivf_radius" -> (Queries.q68IvfRadius _),
     "q69_ivf_append" -> (Queries.q69IvfAppend _),
     "q70_mmr_join" -> (Queries.q70MmrJoin _),
+    "q71_dedup_spans" -> (Queries.q71DedupSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1895,5 +1904,37 @@ object SparkEntry {
          |SELECT qid, nid, mmr_rank, qdist AS dist FROM sel4
          |ORDER BY qid, mmr_rank""".stripMargin
     },
+
+    "q71_dedup_spans" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS w
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tok FROM base),
+           |wins AS (
+           |  SELECT doc_id,
+           |         unnest(range(greatest(len(w) - 8 + 1, 0))) AS start0,
+           |         unnest(list_transform(range(greatest(len(w) - 8 + 1, 0)),
+           |                j -> md5(array_to_string(w[j+1:j+8], ' ')))) AS whash
+           |  FROM base),
+           |hot AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT w2.doc_id, unnest(range(w2.start0, w2.start0 + 8)) AS pos
+           |    FROM wins w2 JOIN hot USING (whash))),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+           |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+           |reb AS (
+           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_kept, count(*) AS n_kept
+           |  FROM kept GROUP BY doc_id),
+           |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(r.clean_kept, '') AS clean_text,
+           |       coalesce(r.n_kept, 0) + coalesce(m.n_removed, 0) AS n_tokens,
+           |       coalesce(m.n_removed, 0) AS n_removed
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN reb r USING (doc_id) LEFT JOIN rem m USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
   )
 }

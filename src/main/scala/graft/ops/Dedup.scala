@@ -94,6 +94,60 @@ object Dedup {
           / col("n_shingles").cast(DoubleType)).as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL — the rewrite step of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., ACL'22): a
+    * token is dropped when ANY length-`windowLen` token window covering it
+    * occurs at least `minOccurrences` times corpus-wide (md5 window
+    * fingerprints stand in for suffix-array matches; windows, not suffixes,
+    * bound the state). Returns (id, clean_text, n_tokens, n_removed) with
+    * the surviving tokens rejoined in order.
+    *
+    * Scale shape: window hashing is narrow array algebra per doc; the
+    * global occurrence count is one map-side-combined aggregate keyed by
+    * window hash; hot windows flow back via an equi-join on the hash (NOT
+    * a broadcast — the duplicated-window set scales with the corpus), and
+    * covered-position expansion is bounded by hot windows × windowLen.
+    * The rebuild is one per-doc aggregate. ~3 shuffles total, all keyed. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val toks = docs
+      .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
+      .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "tok")))
+      .localCheckpoint() // consumed by the window pass AND the rebuild
+    // guard: Spark's sequence(1, 0) is DESCENDING, not empty — short docs
+    // must produce zero windows, not a slice at start 0
+    val nWin = size(col("__w")) - windowLen + 1
+    val winStarts = when(nWin >= 1, sequence(lit(1), nWin))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs
+      .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
+      .select(col(idCol), posexplode(transform(winStarts,
+        i => md5(concat_ws(" ", slice(col("__w"), i, lit(windowLen))))))
+        .as(Seq("start", "whash")))
+    val hot = wins.groupBy(col("whash")).agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= minOccurrences).select(col("whash"))
+    val covered = wins.join(hot, "whash")
+      .select(col(idCol), explode(sequence(col("start"),
+        col("start") + lit(windowLen - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val removedPerDoc = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_removed"))
+    kept.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_kept"),
+        count(lit(1)).as("__n_kept"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .join(removedPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_kept"), lit("")).as("clean_text"),
+        (coalesce(col("__n_kept"), lit(0L)) +
+          coalesce(col("__n_removed"), lit(0L))).as("n_tokens"),
+        coalesce(col("__n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Benchmark decontamination signal (the GPT-3/PaLM n-gram-overlap recipe):
     * for each corpus document, the count and fraction of its DISTINCT word
     * n-gram shingles that appear anywhere in `benchmark` (the held-out eval

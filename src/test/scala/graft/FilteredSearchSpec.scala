@@ -189,6 +189,36 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("removeDuplicatedSpans: repeated window dropped, unique text kept, hand-checked") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),      // span + 2-token tail context
+      (2L, s"$span"),                        // exactly the span -> fully removed
+      (3L, "one two three four five six seven eight nine"), // unique, kept
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        windowLen = 8, minOccurrences = 2)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: the 8 dup tokens removed; "alpha beta ... gamma" kept
+    assert(got(0) == ((1L, "alpha beta gamma", 11L, 8L)))
+    assert(got(1) == ((2L, "", 8L, 8L)))
+    assert(got(2) == ((3L, "one two three four five six seven eight nine", 9L, 0L)))
+    assert(got(3) == ((4L, "", 0L, 0L)))
+  }
+
+  test("removeDuplicatedSpans: overlapping hot windows cover the union of positions") {
+    // the 9-token run shared by both docs yields two overlapping hot
+    // 8-windows in each; all 9 positions must go, not 8
+    val run = (1 to 9).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"x $run y"), (2L, s"a b $run")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got(0) == ((1L, "x y", 9L)))
+    assert(got(1) == ((2L, "a b", 9L)))
+  }
+
   test("simHashTopK ranks by (hamming, id) with the query doc first") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = Dedup.simHashTopK(docs, "doc_id", "text", lit(7L), 5).collect()
