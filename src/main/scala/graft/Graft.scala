@@ -163,7 +163,9 @@ object Graft {
     while (true) {
       val fetched = indexTopK(spark, indexName, query, m).where(pred)
       if (m >= n || fetched.limit(k).count() >= k)
-        return fetched.orderBy(col("dist")).limit(k)
+        // rowid tie-break: duplicate vectors straddling the k boundary must
+        // resolve deterministically (same contract as topK's tieBreak)
+        return fetched.orderBy(col("dist"), col(entry.rowidCol)).limit(k)
       m = math.min(m * 4, n)
     }
     throw new IllegalStateException("unreachable")
@@ -248,8 +250,12 @@ object Graft {
     var acc: Option[DataFrame] = None
     var openCount = pending.count()
     while (openCount > 0) {
+      // checkpoint the round's join: BOTH the open-row classification and
+      // the closed-match extraction consume it — without this the round's
+      // most expensive stage (the KNN join) would execute twice
       val joined = knnJoin(spark, pending, outerVecCol, indexName, k)
         .drop("rank")
+        .localCheckpoint()
       // a row stays OPEN iff its frontier is full AND still inside r AND
       // the index has more rows to offer
       val openIds =
@@ -276,7 +282,8 @@ object Graft {
     * maximizing `(1-λ)·minDistToSelected − λ·queryDist` — relevance traded
     * against redundancy, the standard diversity re-rank for RAG context
     * selection and training-data subset picking (Carbonell & Goldstein,
-    * SIGIR'98).
+    * SIGIR'98). Both score terms use the INDEX's configured metric, so
+    * relevance and diversity are always on the same scale.
     *
     * Two-stage shape, which is how MMR deploys at scale: the index (or
     * brute-force TakeOrderedAndProject on an unindexed table) reduces the
@@ -296,6 +303,7 @@ object Graft {
       case idx => idx.search(query, poolSize, ef)
     }
     val qdist = hits.toMap
+    val divDist = graft.index.DistanceKernels.forMetric(entry.options.metric)
     val table = spark.table(entry.table)
     val hitIds = hits.map(_._1)
     val pool = table.where(col(entry.rowidCol).isin(hitIds: _*))
@@ -320,7 +328,7 @@ object Graft {
       val pickVec = remaining.remove(pick).get
       picks += ((pick, picks.length + 1, qdist(pick)))
       remaining.foreach { case (id, vec) =>
-        val d = graft.index.DistanceKernels.l2sq(vec, pickVec)
+        val d = divDist(vec, pickVec)
         if (d < minDistToSel(id)) minDistToSel(id) = d
       }
     }
@@ -358,6 +366,7 @@ object Graft {
       .as[(Long, Long, Seq[Float], Double)]
     val lam = lambda
     val kk = k
+    val divDist = graft.index.DistanceKernels.forMetric(entry.options.metric)
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, rows) =>
         val pool = rows.map { case (_, nid, vec, qd) => (nid, vec.toArray, qd) }
@@ -377,7 +386,7 @@ object Graft {
           val pickVec = remaining.remove(pick).get
           out += ((qid, pick, out.length + 1, qdist(pick)))
           remaining.foreach { case (id, vec) =>
-            val d = graft.index.DistanceKernels.l2sq(vec, pickVec)
+            val d = divDist(vec, pickVec)
             if (d < minDistToSel(id)) minDistToSel(id) = d
           }
         }

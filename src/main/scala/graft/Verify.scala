@@ -17,8 +17,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (driver sets no env → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // record which queries this run attempted: the checker fails a missing
+    // result for an ATTEMPTED query (engine crash) and skips only queries
+    // excluded by the filter
+    val attemptedNames = attempted.keys.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      if (attemptedNames.isEmpty) "[]"
+      else attemptedNames.mkString("[\"", "\",\"", "\"]"))
+    attempted
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

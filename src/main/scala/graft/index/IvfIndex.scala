@@ -149,8 +149,13 @@ object IvfIndex {
     * union with the same centroids. Distributed end to end. */
   def append(spark: SparkSession, name: String, rows: DataFrame): IvfEntry = {
     val entry = registry.getOrThrow(name, "IVF")
+    // pin the assignment: the write and the radii aggregate must see the
+    // SAME rows — re-evaluating a nondeterministic input (sample/limit)
+    // could leave a written row out of the radius computation and silently
+    // break the lossless-pruning guarantee
     val assigned = rows.where(col(entry.vecCol).isNotNull)
       .withColumn(ListCol, assignExpr(entry.vecCol, entry.centroids, entry.metric))
+      .localCheckpoint()
     assigned.write.mode("append").partitionBy(ListCol).parquet(entry.path)
     val centDists = array(entry.centroids.toIndexedSeq.map(c =>
       vector.metricDistance(entry.metric)(col(entry.vecCol), lit(c))): _*)

@@ -33,7 +33,14 @@ object Components {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val idCol = vertices.columns.head
+    val vids = vertices.select(col(idCol).as("vid"))
     val sym = edges.toDF("a", "b")
+      // contract: an edge with an endpoint absent from `vertices` is
+      // ignored ENTIRELY — absent ids must neither relay connectivity nor
+      // become component labels (dedupByClusters keys survivors on
+      // comp ∈ vertex ids)
+      .join(vids, col("a") === col("vid"), "left_semi")
+      .join(vids, col("b") === col("vid"), "left_semi")
     val undirected = sym.select(col("a").as("s"), col("b").as("d"))
       .union(sym.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint()
@@ -62,14 +69,12 @@ object Components {
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    // touched ⊆ vertices (absent-endpoint edges were dropped up front), so
+    // labels needs no membership re-filter
     val isolated = vertices.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    // edge endpoints absent from `vertices` are dropped from the output
-    // (documented contract), but they still participated in propagation
-    val inVertices = labels
-      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
-    inVertices.unionByName(isolated)
+    labels.unionByName(isolated)
       .select(col("id").as(idCol), col("comp"))
   }
 

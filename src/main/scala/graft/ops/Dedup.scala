@@ -114,17 +114,20 @@ object Dedup {
     val toks = docs
       .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
       .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "tok")))
-      .localCheckpoint() // consumed by the window pass AND the rebuild
     // guard: Spark's sequence(1, 0) is DESCENDING, not empty — short docs
     // must produce zero windows, not a slice at start 0
     val nWin = size(col("__w")) - windowLen + 1
     val winStarts = when(nWin >= 1, sequence(lit(1), nWin))
       .otherwise(array().cast("array<int>"))
+    // the window table feeds BOTH the hot-window aggregate and the cover
+    // join: materialize it once so the tokenize+md5 pass over the corpus
+    // runs once, not twice (toks has a single consumer — no checkpoint)
     val wins = docs
       .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
       .select(col(idCol), posexplode(transform(winStarts,
         i => md5(concat_ws(" ", slice(col("__w"), i, lit(windowLen))))))
         .as(Seq("start", "whash")))
+      .localCheckpoint()
     val hot = wins.groupBy(col("whash")).agg(count(lit(1)).as("__occ"))
       .where(col("__occ") >= minOccurrences).select(col("whash"))
     val covered = wins.join(hot, "whash")
@@ -459,6 +462,9 @@ object Dedup {
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming <= bands - 1,
+      s"banded blocking is only complete for maxHamming <= bands-1 " +
+        s"(got maxHamming=$maxHamming, bands=$bands): raise bands")
     val w = 64 / bands
     // one fingerprint pass feeds both join sides and the verify — without
     // this the self-join recomputes the 64-vote aggregation per branch (at

@@ -306,6 +306,21 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents: edges with endpoints outside vertices are ignored entirely") {
+    // id 2 is NOT a vertex: the (5,2) edge must neither relay connectivity
+    // nor label 5's component (a comp outside the vertex set would make
+    // dedupByClusters drop the whole cluster)
+    val vs = Seq(5L, 6L, 7L).toDF("doc_id")
+    val es = Seq((5L, 2L), (2L, 6L), (6L, 7L)).toDF("a", "b")
+    val got = graft.ops.Components.connectedComponents(vs, es)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
+    val docs = vs
+    val survivors = graft.ops.Components.dedupByClusters(docs, "doc_id", es)
+      .as[Long].collect().toSet
+    assert(survivors == Set(5L, 6L))
+  }
+
   test("connectedComponents matches a local union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

@@ -73,10 +73,17 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
+    # queries this Verify run actually attempted: a missing result for an
+    # attempted query is an engine crash (FAIL); only filter-excluded
+    # queries are skipped. Older dumps without the manifest attempt all.
+    attempted = None
+    if os.path.exists(f"{out_dir}/attempted.json"):
+        with open(f"{out_dir}/attempted.json") as f:
+            attempted = set(json.load(f))
+
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        if not os.path.isdir(f"{out_dir}/{name}"):
-            # no dump: a SPARK_GRAFT_ONLY-filtered Verify run skipped it
+        if attempted is not None and name not in attempted:
             n_skip += 1
             continue
         try:
