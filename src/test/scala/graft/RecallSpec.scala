@@ -49,4 +49,34 @@ class RecallSpec extends AnyFunSuite {
     assert(byEf(64) >= 0.9, s"recall@10 at default ef_search=64 was ${byEf(64)}")
     assert(byEf(256) >= 0.97, s"recall@10 at ef_search=256 was ${byEf(256)}")
   }
+
+  /** Filtered-ANN recall in TRUE graph mode: the known weak spot of
+    * post-filter over-fetch is a selective predicate at modest ef. Measures
+    * recall@5 of the over-fetch strategy (fetch m=k·fetchFactor graph
+    * results, keep those passing a ~10% selective predicate) against the
+    * exact filtered top-5. The escalation loop in indexTopKWhere recovers
+    * the rest at exhaustive ef; this records what the FIRST probe delivers
+    * at default ef — the evidence behind the fetchFactor guidance in
+    * README's knob sheet. */
+  test("filtered recall@5 at ef=64: first-probe over-fetch on a 10%-selective predicate") {
+    val n = vectors.length
+    val pass = (id: Long) => id % 10 == 3 // ~10% selectivity
+    val queries = vectors.indices.by(40).map(vectors(_)._2)
+    def recall(fetchFactor: Int): Double = {
+      val scores = queries.map { q =>
+        val exact = index.search(q, n, ef = n + 1).filter(h => pass(h._1))
+          .take(5).map(_._1).toSet
+        val probe = index.search(q, 5 * fetchFactor, ef = 64)
+          .filter(h => pass(h._1)).take(5).map(_._1).toSet
+        if (exact.isEmpty) 1.0 else exact.intersect(probe).size.toDouble / exact.size
+      }
+      scores.sum / scores.length
+    }
+    val r4 = recall(4)
+    val r16 = recall(16)
+    info(f"filtered recall@5 (10%% predicate, ef=64): fetchFactor=4 -> $r4%.3f, fetchFactor=16 -> $r16%.3f")
+    // more over-fetch must not hurt, and 16x should make the probe good
+    assert(r16 >= r4 - 1e-9)
+    assert(r16 >= 0.8, s"fetchFactor=16 first-probe recall was $r16")
+  }
 }
