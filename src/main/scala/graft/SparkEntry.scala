@@ -63,6 +63,40 @@ object SparkEntry {
        |sh AS (SELECT doc_id, $bits AS simhash FROM votes)""".stripMargin
   }
 
+  /** CTE chain `... , clean(doc_id, clean_text, n_tokens, n_removed)`:
+    * the q71 span-removal pipeline replayed in DuckDB. Shared by q71/q72. */
+  private def sqlSpanCleanCtes: String =
+    raw"""base AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tok FROM base),
+         |wins AS (
+         |  SELECT doc_id,
+         |         unnest(range(greatest(len(w) - 8 + 1, 0))) AS start0,
+         |         unnest(list_transform(range(greatest(len(w) - 8 + 1, 0)),
+         |                j -> md5(array_to_string(w[j+1:j+8], ' ')))) AS whash
+         |  FROM base),
+         |hot AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT w2.doc_id, unnest(range(w2.start0, w2.start0 + 8)) AS pos
+         |    FROM wins w2 JOIN hot USING (whash))),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_kept, count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+         |clean AS (
+         |  SELECT d.doc_id,
+         |         coalesce(r.clean_kept, '') AS clean_text,
+         |         coalesce(r.n_kept, 0) + coalesce(m.n_removed, 0) AS n_tokens,
+         |         coalesce(m.n_removed, 0) AS n_removed
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN reb r USING (doc_id) LEFT JOIN rem m USING (doc_id))""".stripMargin
+
   /** Hamming distance between two 64-char bit strings, as a list fold —
     * mirrors Dedup.hammingDist exactly (integer arithmetic only). */
   private def sqlHamming(a: String, b: String): String =
@@ -1034,6 +1068,24 @@ object SparkEntry {
       graft.ops.Dedup.removeDuplicatedSpans(tbl(s, dir, "documents"),
           "doc_id", "text", windowLen = 8, minOccurrences = 2)
         .orderBy(col("doc_id"))
+
+    /** Cleaning pipeline composition: span-dedup REWRITES the corpus, the
+      * mostly-duplicated docs (>50% removed or emptied) drop out, and the
+      * survivors' CLEANED text chunks into training windows — the rewrite
+      * op feeding a downstream stage in one plan. Per-doc chunk rollup. */
+    def q72CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+      val cleaned = graft.ops.Dedup.removeDuplicatedSpans(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          windowLen = 8, minOccurrences = 2)
+        .where(col("clean_text") =!= "" &&
+          col("n_removed") * 2 <= col("n_tokens"))
+      graft.ops.Chunking.chunk(
+          cleaned.select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("chunk_tokens"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1180,6 +1232,7 @@ object SparkEntry {
     "q69_ivf_append" -> (Queries.q69IvfAppend _),
     "q70_mmr_join" -> (Queries.q70MmrJoin _),
     "q71_dedup_spans" -> (Queries.q71DedupSpans _),
+    "q72_clean_pipeline" -> (Queries.q72CleanPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1906,35 +1959,21 @@ object SparkEntry {
     },
 
     "q71_dedup_spans" ->
-      raw"""WITH base AS (
-           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS w
-           |  FROM documents),
-           |toks AS (
-           |  SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS tok FROM base),
-           |wins AS (
-           |  SELECT doc_id,
-           |         unnest(range(greatest(len(w) - 8 + 1, 0))) AS start0,
-           |         unnest(list_transform(range(greatest(len(w) - 8 + 1, 0)),
-           |                j -> md5(array_to_string(w[j+1:j+8], ' ')))) AS whash
-           |  FROM base),
-           |hot AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
-           |cov AS (
-           |  SELECT DISTINCT doc_id, pos FROM (
-           |    SELECT w2.doc_id, unnest(range(w2.start0, w2.start0 + 8)) AS pos
-           |    FROM wins w2 JOIN hot USING (whash))),
-           |kept AS (
-           |  SELECT t.doc_id, t.pos, t.tok FROM toks t
-           |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
-           |reb AS (
-           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_kept, count(*) AS n_kept
-           |  FROM kept GROUP BY doc_id),
-           |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
-           |SELECT d.doc_id,
-           |       coalesce(r.clean_kept, '') AS clean_text,
-           |       coalesce(r.n_kept, 0) + coalesce(m.n_removed, 0) AS n_tokens,
-           |       coalesce(m.n_removed, 0) AS n_removed
-           |FROM (SELECT doc_id FROM documents) d
-           |LEFT JOIN reb r USING (doc_id) LEFT JOIN rem m USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $sqlSpanCleanCtes
+         |SELECT doc_id, clean_text, n_tokens, n_removed FROM clean
+         |ORDER BY doc_id""".stripMargin,
+    "q72_clean_pipeline" ->
+      raw"""WITH SPANCTES,
+           |keep AS (
+           |  SELECT doc_id, clean_text FROM clean
+           |  WHERE clean_text <> '' AND n_removed * 2 <= n_tokens),
+           |toks2 AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(clean_text), '\s+') AS w FROM keep),
+           |n2 AS (SELECT doc_id, w, greatest((len(w) - 8 + 23) // 24, 1) AS nc FROM toks2),
+           |c2 AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM n2)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |       CAST(sum(len(w[chunk_id*24+1 : chunk_id*24+32])) AS BIGINT) AS chunk_tokens
+           |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replace("SPANCTES", sqlSpanCleanCtes),
   )
 }
