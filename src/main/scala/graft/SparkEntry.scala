@@ -1086,6 +1086,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("chunk_tokens"))
         .orderBy(col("doc_id"))
     }
+
+    /** Per-label centroid aggregation under the oracle, via the exact
+      * fixed-point projection (integer sums are order-independent, so the
+      * distributed aggregate replays bit-exactly; VectorStats.centroids is
+      * the full-precision op, spec-compared with tolerance). */
+    def q73LabelCentroids(s: SparkSession, dir: String): DataFrame =
+      graft.ops.VectorStats.centroidSumsFixedPoint(
+          tbl(s, dir, "embeddings"), "label", "embedding")
+        .where(col("dim") < 8) // bounded output: 10 labels x 8 dims
+        .orderBy(col("label"), col("dim"))
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1233,6 +1243,7 @@ object SparkEntry {
     "q70_mmr_join" -> (Queries.q70MmrJoin _),
     "q71_dedup_spans" -> (Queries.q71DedupSpans _),
     "q72_clean_pipeline" -> (Queries.q72CleanPipeline _),
+    "q73_label_centroids" -> (Queries.q73LabelCentroids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1975,5 +1986,15 @@ object SparkEntry {
            |       CAST(sum(len(w[chunk_id*24+1 : chunk_id*24+32])) AS BIGINT) AS chunk_tokens
            |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
         .replace("SPANCTES", sqlSpanCleanCtes),
+    "q73_label_centroids" ->
+      """SELECT label,
+        |       CAST(ord - 1 AS INT) AS dim,
+        |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_fp,
+        |       count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS ord
+        |      FROM embeddings WHERE embedding IS NOT NULL)
+        |WHERE ord - 1 < 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
   )
 }

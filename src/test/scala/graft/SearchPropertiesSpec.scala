@@ -109,6 +109,40 @@ class SearchPropertiesSpec extends GraftSparkSpec {
     assert(wantRows.exists(_._4 > 0))
   }
 
+  test("VectorStats.centroids matches a local reference within float-reorder tolerance") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+    val got = graft.ops.VectorStats.centroids(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0),
+        (r.getSeq[Double](1).toVector, r.getLong(2)))).toMap
+    val local = emb.select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toVector)
+      .groupBy(_._1).map { case (lbl, rows) =>
+        val vecs = rows.map(_._2)
+        val dim = vecs.head.length
+        lbl -> (Vector.tabulate(dim)(d =>
+          vecs.map(_(d).toDouble).sum / vecs.length), vecs.length.toLong)
+      }
+    assert(got.keySet == local.keySet)
+    local.foreach { case (lbl, (want, n)) =>
+      val (gc, gn) = got(lbl)
+      assert(gn == n)
+      want.indices.foreach { d =>
+        assert(math.abs(gc(d) - want(d)) < 1e-9,
+          s"label $lbl dim $d: ${gc(d)} vs ${want(d)}")
+      }
+    }
+    // and the fixed-point projection divides back to the centroid ~1e-6
+    val fp = graft.ops.VectorStats.centroidSumsFixedPoint(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2).toDouble / (1048576.0 * r.getLong(3)))).toMap
+    local.foreach { case (lbl, (want, _)) =>
+      want.indices.take(8).foreach { d =>
+        assert(math.abs(fp((lbl, d)) - want(d)) < 2e-6)
+      }
+    }
+  }
+
   test("simHashNearDupPairs at bands=8 == brute pairs for hamming <= 7 on near-dup docs") {
     // docs that are near-copies (one token flipped) — dense small-hamming pairs
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
