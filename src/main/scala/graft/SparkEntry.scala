@@ -1368,7 +1368,9 @@ object SparkEntry {
         | CAST(n_chars AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_minhash_lsh_pairs" -> {
-      val mins = (0 until 8).map(p => s"min(md5('$p:' || shingle)) AS mh$p").mkString(", ")
+      val mins = (0 until 8).map(p =>
+        s"min(substring(md5('${p / 4}:' || shingle), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
+        .mkString(", ")
       val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH sh AS ($sqlShingles),
@@ -1661,7 +1663,9 @@ object SparkEntry {
       // the q22 LSH pipeline at est_sim >= 0.5, then transitive closure:
       // comp(v) = min id reachable from v (recursive CTE; dedup components
       // are tiny, so the closure's row count stays bounded)
-      val mins = (0 until 8).map(p => s"min(md5('$p:' || shingle)) AS mh$p").mkString(", ")
+      val mins = (0 until 8).map(p =>
+        s"min(substring(md5('${p / 4}:' || shingle), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
+        .mkString(", ")
       val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH RECURSIVE sh AS ($sqlShingles),

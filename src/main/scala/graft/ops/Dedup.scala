@@ -54,8 +54,12 @@ object Dedup {
   /** MinHash signature columns computed in the ARRAY domain — one narrow
     * projection per document (`array_min` over the md5-permuted shingle
     * array), no explode, no shuffle. NULL signature ⇔ the doc has no
-    * shingles: min over shingles of md5('<p>:'||shingle) per permutation p
-    * (lexicographic string min ≡ a random permutation).
+    * shingles: permutation p's value for a shingle is an 8-hex-char slice
+    * of md5('<p/4>:'||shingle) — TWO md5 calls feed four 32-bit
+    * permutations each (hashing dominates signature cost; slicing one
+    * digest into independent 32-bit values is the standard k-from-few
+    * hashing trick), and the signature is the lexicographic min per
+    * permutation (≡ a random permutation).
     *
     * `gramsCol` must reference an ALREADY-MATERIALIZED shingle-array column
     * (see [[shingleArray]]), not the array expression itself: higher-order
@@ -63,7 +67,9 @@ object Dedup {
     * the construction here would recompute it once per permutation. */
   def minHashSignatureCols(gramsCol: Column, numPerms: Int): Seq[Column] =
     (0 until numPerms).map { p =>
-      array_min(transform(gramsCol, x => md5(concat(lit(s"$p:"), x)))).as(s"mh$p")
+      array_min(transform(gramsCol,
+        x => substring(md5(concat(lit(s"${p / 4}:"), x)), (p % 4) * 8 + 1, 8)))
+        .as(s"mh$p")
     }
 
   /** Corpus-duplication (contamination) signal: per document, the fraction
@@ -190,7 +196,8 @@ object Dedup {
     // per-permutation array materializations per doc. Materialize once for
     // the three consumers (band explode + both verify sides).
     val aggs = (0 until numPerms).map { p =>
-      min(md5(concat(lit(s"$p:"), col("shingle")))).as(s"mh$p")
+      min(substring(md5(concat(lit(s"${p / 4}:"), col("shingle"))),
+        (p % 4) * 8 + 1, 8)).as(s"mh$p")
     }
     val sigs = shingles(docs, idCol, textCol, shingleLen)
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
