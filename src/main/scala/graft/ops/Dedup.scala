@@ -72,6 +72,17 @@ object Dedup {
         .as(s"mh$p")
     }
 
+  /** Exploded shingles keyed by 64-bit xxhash instead of the shingle
+    * string: the ops below never OUTPUT shingle text, only counts keyed by
+    * it, so shuffling/joining 8-byte longs instead of 20-30-byte strings
+    * cuts shuffle volume ~3× at identical results (collision odds
+    * ~n²/2⁶⁴ — negligible against any corpus this runs on, same trade
+    * every production hash-based dedup makes). */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+
   /** Corpus-duplication (contamination) signal: per document, the fraction
     * of its DISTINCT word n-gram shingles that also occur in at least one
     * other document — how much of this text is boilerplate the corpus
@@ -87,7 +98,7 @@ object Dedup {
   def corpusDupSignal(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3): DataFrame = {
     // two consumers of the exploded shingle table: materialize it once
-    val sh = shingles(docs, idCol, textCol, shingleLen).localCheckpoint()
+    val sh = hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint()
     val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val uniqPerDoc = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
@@ -169,8 +180,8 @@ object Dedup {
     * the per-doc rollup (map-side combined, keyed by doc id). */
   def decontaminationSignal(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3): DataFrame = {
-    val corpusSh = shingles(docs, idCol, textCol, shingleLen)
-    val benchSh = shingles(benchmark, idCol, textCol, shingleLen)
+    val corpusSh = hashedShingles(docs, idCol, textCol, shingleLen)
+    val benchSh = hashedShingles(benchmark, idCol, textCol, shingleLen)
       .select(col("shingle")).distinct()
       .withColumn("__hit", lit(1))
     corpusSh
@@ -269,7 +280,7 @@ object Dedup {
     // would persist this as a shingle-BUCKETED table so the self-join and
     // shingle-keyed aggregates read it exchange-free (a localCheckpoint
     // cannot carry partitioning through the aliased join branches)
-    val sh0 = shingles(docs, idCol, textCol, shingleLen).localCheckpoint()
+    val sh0 = hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint()
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {
