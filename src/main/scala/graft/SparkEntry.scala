@@ -1096,6 +1096,27 @@ object SparkEntry {
           tbl(s, dir, "embeddings"), "label", "embedding")
         .where(col("dim") < 8) // bounded output: 10 labels x 8 dims
         .orderBy(col("label"), col("dim"))
+
+    /** Radius search through the SHARDED index: every doubling round fans
+      * out one task per shard (searchDistributed) and the driver k-way
+      * merges — the 100 TB radius path under the oracle. */
+    def q74ShardedRadius(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedShardedIndex(s, dir)
+      val qv = embQueryVec(s, table, 7)
+      Graft.indexRadiusSearch(s, index, qv, 1.55)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** Filtered ANN through the SHARDED index: the adaptive over-fetch
+      * loop's probes run as distributed per-shard searches. */
+    def q75ShardedFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedShardedIndex(s, dir)
+      val qv = embQueryVec(s, table, 7)
+      Graft.indexTopKWhere(s, index, qv, 10, col("label") === 4)
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1244,6 +1265,8 @@ object SparkEntry {
     "q71_dedup_spans" -> (Queries.q71DedupSpans _),
     "q72_clean_pipeline" -> (Queries.q72CleanPipeline _),
     "q73_label_centroids" -> (Queries.q73LabelCentroids _),
+    "q74_sharded_radius" -> (Queries.q74ShardedRadius _),
+    "q75_sharded_filtered" -> (Queries.q75ShardedFilteredTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2000,5 +2023,15 @@ object SparkEntry {
         |      FROM embeddings WHERE embedding IS NOT NULL)
         |WHERE ord - 1 < 8
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q74_sharded_radius" ->
+      s"""SELECT e.vec_id, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+         |WHERE ${sqlL2Sq("e.embedding", "q.qv")} <= 1.55
+         |ORDER BY dist, e.vec_id""".stripMargin,
+    "q75_sharded_filtered" ->
+      s"""SELECT e.vec_id, e.label, ${sqlL2Sq("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+         |WHERE e.label = 4
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }
