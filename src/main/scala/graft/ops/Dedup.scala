@@ -72,6 +72,24 @@ object Dedup {
         .as(s"mh$p")
     }
 
+  /** The two-step form of [[minHashSignatureCols]] that actually REALIZES
+    * the 2-digests-feed-8-permutations saving in the array domain: HOF
+    * lambdas are opaque to subexpression elimination, so the one-shot form
+    * above still evaluates md5 once per permutation. Materialize the
+    * digest arrays first ([[minHashDigestCols]] → `__mhd<i>` columns),
+    * then slice signatures out of them. */
+  def minHashDigestCols(gramsCol: Column, numPerms: Int): Seq[Column] =
+    (0 until (numPerms + 3) / 4).map { s =>
+      transform(gramsCol, x => md5(concat(lit(s"$s:"), x))).as(s"__mhd$s")
+    }
+
+  /** Signature columns sliced from materialized `__mhd<i>` digest arrays. */
+  def minHashSignatureColsFromDigests(numPerms: Int): Seq[Column] =
+    (0 until numPerms).map { p =>
+      array_min(transform(col(s"__mhd${p / 4}"),
+        h => substring(h, (p % 4) * 8 + 1, 8))).as(s"mh$p")
+    }
+
   /** Exploded shingles keyed by 64-bit xxhash instead of the shingle
     * string: the ops below never OUTPUT shingle text, only counts keyed by
     * it, so shuffling/joining 8-byte longs instead of 20-30-byte strings

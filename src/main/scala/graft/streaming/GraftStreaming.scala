@@ -131,7 +131,15 @@ object GraftStreaming {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigCols = graft.ops.Dedup.minHashSignatureCols(col("__grams"), numPerms)
+    // two-step digest→slice: materializing the digest arrays first keeps
+    // the md5 cost at 2 digests per shingle (the one-shot signature form
+    // would re-hash per permutation — HOF lambdas don't CSE).
+    // NOTE: signatures are part of this op's STATE format — restarting a
+    // query from a checkpoint written under a different signature
+    // definition silently never matches old buckets; use a fresh
+    // checkpoint dir when the definition changes.
+    val digestCols = graft.ops.Dedup.minHashDigestCols(col("__grams"), numPerms)
+    val sigCols = graft.ops.Dedup.minHashSignatureColsFromDigests(numPerms)
     val numBands = numPerms / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -140,6 +148,7 @@ object GraftStreaming {
     val banded = docs
       .select(col(idCol).cast("long").as("__id"),
         graft.ops.Dedup.shingleArray(col(textCol), shingleLen).as("__grams"))
+      .select(col("__id") +: digestCols: _*)
       .select(col("__id") +: sigCols: _*)
       .where(col("mh0").isNotNull) // shingle-less docs can't near-dup
       .select(col("__id"),

@@ -207,6 +207,26 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got(3) == ((4L, "", 0L, 0L)))
   }
 
+  test("span-dedup -> filter -> chunk composition, hand-checked (q72 shape)") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val tail40 = (1 to 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span $tail40"),   // 8 of 48 removed (<=50%) -> kept, 40 clean tokens
+      (2L, span),               // fully removed -> dropped
+      (3L, s"$span a b")).toDF("doc_id", "text") // 8 of 10 removed (>50%) -> dropped
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      .where(col("clean_text") =!= "" && col("n_removed") * 2 <= col("n_tokens"))
+    val got = graft.ops.Chunking.chunk(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("chunk_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 survives alone: 40 clean tokens -> chunks at stride 24 =
+    // ceil((40-8)/24) = 2 chunks covering 32 + 16 tokens
+    assert(got == Seq((1L, 2L, 48L)))
+  }
+
   test("removeDuplicatedSpans: overlapping hot windows cover the union of positions") {
     // the 9-token run shared by both docs yields two overlapping hot
     // 8-windows in each; all 9 positions must go, not 8

@@ -75,8 +75,9 @@ class RecallSpec extends AnyFunSuite {
     val r4 = recall(4)
     val r16 = recall(16)
     info(f"filtered recall@5 (10%% predicate, ef=64): fetchFactor=4 -> $r4%.3f, fetchFactor=16 -> $r16%.3f")
-    // more over-fetch must not hurt, and 16x should make the probe good
-    assert(r16 >= r4 - 1e-9)
+    // NOT asserted monotone: the wider fetch runs a different beam
+    // (effective ef = max(ef, k·factor)), so superset-ness isn't an HNSW
+    // invariant — only the headline claim, measured with wide margin, is
     assert(r16 >= 0.8, s"fetchFactor=16 first-probe recall was $r16")
   }
 }

@@ -39,16 +39,20 @@ class SearchPropertiesSpec extends GraftSparkSpec {
     val outer = t.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     for (r <- Seq(0.0, 5.0, 50.0, 1000.0)) {
+      // compare full (qid, nid, dist) tuples — distances included, exact
+      // (same sequential-fold kernel on both sides)
       val got = Graft.radiusJoin(spark, outer, "qid", "qvec", index, r,
           initialK = 3)
-        .groupBy(col("qid")).agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"))
-        .orderBy(col("qid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+        .select(col("qid"), col("vec_id"), col("dist"))
+        .orderBy(col("qid"), col("vec_id"), col("dist"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
       val want = outer.crossJoin(t.select(col("vec_id"), col("embedding").as("iv")))
         .withColumn("dist", vector.array_distance_sq(col("qvec"), col("iv")))
         .where(col("dist") <= r)
-        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
-        .orderBy(col("qid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
-      assert(got == want, s"radius $r: got $got want $want")
+        .select(col("qid"), col("vec_id"), col("dist"))
+        .orderBy(col("qid"), col("vec_id"), col("dist"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      assert(got == want, s"radius $r: ${got.size} vs ${want.size} rows")
     }
   }
 
