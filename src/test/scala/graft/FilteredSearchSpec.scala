@@ -178,6 +178,29 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("mmrTopK on a cosine index keeps both score terms in the cosine domain") {
+    if (IndexCatalog.get("fss_cos_idx").isEmpty) {
+      IndexCatalog.createIndex(spark, "fss_cos_idx", table, "embedding",
+        Map("metric" -> "cosine", "ef_search" -> "100000"))
+    }
+    val qv = queryVec(3)
+    val got = Graft.mmrTopK(spark, "fss_cos_idx", qv, k = 3, poolSize = 15)
+      .select(col("vec_id"), col("mmr_rank"), col("dist"))
+      .orderBy(col("mmr_rank")).collect()
+    assert(got.length == 3)
+    // rank 1 = cosine-nearest (self, dist 0); all dists within cosine range
+    assert(got.head.getLong(0) == 3L && math.abs(got.head.getDouble(2)) < 1e-12)
+    assert(got.forall(r => r.getDouble(2) >= -1e-12 && r.getDouble(2) <= 2.0 + 1e-12))
+    // lambda=1 degenerates to cosine top-k, proving qdist drives relevance
+    val topkIds = Graft.mmrTopK(spark, "fss_cos_idx", qv, 3, 15, lambda = 1.0)
+      .select(col("vec_id")).orderBy(col("mmr_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Graft.topK(spark.table(table), "embedding", qv, 3,
+        metric = "cosine", tieBreak = Seq("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(topkIds == want)
+  }
+
   test("mmrTopK with lambda=1 degenerates to plain top-k by distance") {
     val qv = queryVec(3)
     val got = Graft.mmrTopK(spark, index, qv, k = 5, poolSize = 20, lambda = 1.0)
