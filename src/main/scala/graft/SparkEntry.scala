@@ -103,6 +103,40 @@ object SparkEntry {
     s"list_reduce(list_transform(range(1, 65), i -> " +
       s"CASE WHEN substring($a, i, 1) != substring($b, i, 1) THEN 1 ELSE 0 END), (x,y) -> x+y)"
 
+  /** CTE chain `... , comp(doc_id, comp)`: the q22 MinHash-LSH pipeline at
+    * est_sim >= 0.5, closed transitively (comp = min reachable id). Must
+    * follow a WITH RECURSIVE head. Shared by q47/q76. */
+  private def sqlDedupCompCtes: String = {
+    val mins = (0 until 8).map(p =>
+      s"min(substring(md5('${p / 4}:' || shingle), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
+      .mkString(", ")
+    val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""sh AS ($sqlShingles),
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       | SELECT doc_id, 0 AS band_id, mh0||mh1 AS band_val FROM sigs
+       | UNION ALL SELECT doc_id, 1, mh2||mh3 FROM sigs
+       | UNION ALL SELECT doc_id, 2, mh4||mh5 FROM sigs
+       | UNION ALL SELECT doc_id, 3, mh6||mh7 FROM sigs),
+       |cand AS (
+       | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
+       | WHERE l.doc_id < r.doc_id),
+       |pairs AS (
+       | SELECT a, b FROM cand
+       | JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
+       | WHERE CAST($agree AS DOUBLE) / 8.0 >= 0.5),
+       |edges AS (SELECT a AS s, b AS d FROM pairs
+       |          UNION ALL SELECT b, a FROM pairs),
+       |reach(s, d) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (SELECT s AS doc_id, min(d) AS comp FROM reach GROUP BY s)"""
+      .stripMargin
+  }
+
   object Queries {
     // --- relational core -------------------------------------------------
 
@@ -1117,6 +1151,20 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("dist"))
         .orderBy(col("dist"), col("vec_id"))
     }
+
+    /** Leakage-safe train/eval split: near-dup CLUSTERS (LSH pairs at
+      * est_sim >= 0.5 → connected components) move to one side together —
+      * the id-hash split rule applied to the cluster's canonical min id.
+      * A per-doc hash split would scatter paraphrase clusters across the
+      * boundary and leak training text into eval. */
+    def q76ClusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+      val docs = tbl(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .where(col("est_sim") >= 0.5).select(col("a"), col("b"))
+      graft.ops.Sampling.clusterSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1267,6 +1315,7 @@ object SparkEntry {
     "q73_label_centroids" -> (Queries.q73LabelCentroids _),
     "q74_sharded_radius" -> (Queries.q74ShardedRadius _),
     "q75_sharded_filtered" -> (Queries.q75ShardedFilteredTopK _),
+    "q76_cluster_safe_split" -> (Queries.q76ClusterSafeSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1682,39 +1731,12 @@ object SparkEntry {
         | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id,
         | n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
-    "q47_dedup_clusters" -> {
-      // the q22 LSH pipeline at est_sim >= 0.5, then transitive closure:
-      // comp(v) = min id reachable from v (recursive CTE; dedup components
-      // are tiny, so the closure's row count stays bounded)
-      val mins = (0 until 8).map(p =>
-        s"min(substring(md5('${p / 4}:' || shingle), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
-        .mkString(", ")
-      val agree = (0 until 8).map(p => s"CASE WHEN sa.mh$p = sb.mh$p THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH RECURSIVE sh AS ($sqlShingles),
-         |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         | SELECT doc_id, 0 AS band_id, mh0||mh1 AS band_val FROM sigs
-         | UNION ALL SELECT doc_id, 1, mh2||mh3 FROM sigs
-         | UNION ALL SELECT doc_id, 2, mh4||mh5 FROM sigs
-         | UNION ALL SELECT doc_id, 3, mh6||mh7 FROM sigs),
-         |cand AS (
-         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
-         | WHERE l.doc_id < r.doc_id),
-         |pairs AS (
-         | SELECT a, b FROM cand
-         | JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
-         | WHERE CAST($agree AS DOUBLE) / 8.0 >= 0.5),
-         |edges AS (SELECT a AS s, b AS d FROM pairs
-         |          UNION ALL SELECT b, a FROM pairs),
-         |reach(s, d) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-         |SELECT s AS doc_id, min(d) AS comp FROM reach
-         |GROUP BY s ORDER BY doc_id""".stripMargin
-    },
+    // q47/q76 share the LSH→closure construction: the q22 pipeline at
+    // est_sim >= 0.5, then comp(v) = min id reachable (recursive CTE; dedup
+    // components are tiny, so the closure's row count stays bounded)
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlDedupCompCtes
+         |SELECT doc_id, comp FROM comp ORDER BY doc_id""".stripMargin,
     "q48_corpus_stats" ->
       """WITH t AS (
         | SELECT lang,
@@ -2033,5 +2055,16 @@ object SparkEntry {
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
          |WHERE e.label = 4
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "q76_cluster_safe_split" ->
+      s"""WITH RECURSIVE $sqlDedupCompCtes,
+         |b AS (
+         | SELECT doc_id,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1) AS bucket
+         | FROM comp)
+         |SELECT doc_id, CASE WHEN bucket < 205 THEN 'train'
+         |                    WHEN bucket < 230 THEN 'val'
+         |                    ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

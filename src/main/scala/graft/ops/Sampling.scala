@@ -35,6 +35,26 @@ object Sampling {
   def withSplit(df: DataFrame, idCol: String, splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, split(col(idCol)))
 
+  /** Leakage-safe split: near-duplicate documents must land on the SAME
+    * side of a train/eval boundary, or the eval set silently contains
+    * paraphrases of training documents. Per-doc hash splits ([[split]])
+    * leak exactly this way; here the split key is the document's dedup
+    * CLUSTER (connected components over the near-dup pair graph), so a
+    * whole duplicate cluster moves together — the id-hash rule applied to
+    * the cluster's canonical min-id.
+    *
+    * Scale shape: components iterate over edge-touched vertices only
+    * (duplicate-set-sized state); the final assignment is one keyed join
+    * of docs against their cluster label. Isolated docs split by their own
+    * id, identical to [[split]]. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splitCol: String = "split"): DataFrame = {
+    val comps = Components.connectedComponents(docs.select(col(idCol)), pairs)
+    docs.join(comps, Seq(idCol))
+      .withColumn(splitCol, split(col("comp")))
+      .drop("comp")
+  }
+
   /** Deterministic ~`rate` sample: keep rows whose bucket falls under
     * rate×256. A narrow filter — pushes down to the scan when `idCol` is a
     * stored column, and never needs a shuffle or a seed. */

@@ -321,6 +321,31 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(survivors == Set(5L, 6L))
   }
 
+  test("clusterSafeSplit: every near-dup cluster lands on one side of the split") {
+    val docs = spark.range(0, 200).toDF("doc_id")
+    // chains of 3 every 10 ids — clusters that a per-doc hash split
+    // would scatter across train/val/test
+    val pairs = (0L until 200L by 10).flatMap(i => Seq((i, i + 1), (i + 1, i + 2)))
+      .toDF("a", "b")
+    val out = graft.ops.Sampling.clusterSafeSplit(docs, "doc_id", pairs)
+    // (a) deterministic, (b) cluster-coherent: one distinct split per comp
+    val comps = graft.ops.Components.connectedComponents(docs, pairs)
+    val joined = out.join(comps, "doc_id")
+    val incoherent = joined.groupBy($"comp")
+      .agg(countDistinct($"split").as("n"))
+      .where($"n" > 1)
+    assert(incoherent.count() == 0)
+    // isolated docs split exactly like the plain id-hash rule
+    val iso = joined.where($"comp" === $"doc_id" && $"doc_id" % 10 >= 3)
+      .select($"doc_id", $"split")
+    val plain = graft.ops.Sampling.withSplit(
+        iso.select($"doc_id"), "doc_id")
+    assert(iso.join(plain.withColumnRenamed("split", "psplit"), "doc_id")
+      .where($"split" =!= $"psplit").count() == 0)
+    // and the fixture actually exercises multi-doc clusters
+    assert(joined.groupBy($"comp").count().where($"count" === 3).count() == 20)
+  }
+
   test("connectedComponents matches a local union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
