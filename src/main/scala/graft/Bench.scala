@@ -17,17 +17,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit = {
+    def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // drop the finished query's localCheckpoint blocks: each op
-      // materializes its own intermediates per invocation, and letting
-      // ~150 executions' blocks pile up in the block manager degrades
-      // late-running queries (measured: q50 8.4s late-run vs 3.0s
-      // isolated). Session-cached index state is driver/parquet-resident,
-      // never a persisted RDD, so this touches nothing shared.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+
+    // Drop finished queries' localCheckpoint blocks: each op materializes
+    // its own intermediates per invocation, and letting ~150 executions'
+    // blocks pile up in the block manager degrades late-running queries
+    // (measured: q50 8.4s late-run vs 3.0s isolated). Session-cached index
+    // state is driver/parquet-resident, never a persisted RDD, so this
+    // touches nothing shared. BLOCKING, and called OUTSIDE the timed
+    // region, so one query's eviction can't bleed into the next's number.
+    def dropFinishedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     // Warm-up outside timing: JVM, codegen, and parquet-footer costs land
     // here instead of inflating the first measured query. Index builds are
@@ -44,16 +46,19 @@ object Bench {
     // compilation that swamps cross-round comparison. Per-query work that
     // is PART of the operator (shuffles, localCheckpoint materializations)
     // still re-executes inside the measured run.
-    SparkEntry.queries.keys.toSeq.sorted.foreach(run)
-    // settle before measuring: finish warm-up block eviction synchronously
-    // and take the GC hit here, not inside the first measured query
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      run(q); dropFinishedBlocks()
+    }
+    // settle before measuring: take the GC hit here, not inside the first
+    // measured query
     System.gc()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       run(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropFinishedBlocks() // outside the timed region
+      name -> dt
     }
     val qs = (results ++ buildMetrics)
       .map { case (k, v) => s"\"" + k + "\":" + v }

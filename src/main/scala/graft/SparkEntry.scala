@@ -103,6 +103,12 @@ object SparkEntry {
     s"list_reduce(list_transform(range(1, 65), i -> " +
       s"CASE WHEN substring($a, i, 1) != substring($b, i, 1) THEN 1 ELSE 0 END), (x,y) -> x+y)"
 
+  /** 0..255 md5 bucket of `expr` — mirrors Sampling.hashBucket exactly
+    * (strpos/instr both 1-based). Shared by every split/sample oracle. */
+  private def sqlHashBucket(expr: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($expr AS VARCHAR)), 1, 1)) - 1) * 16 " +
+      s"+ (strpos('0123456789abcdef', substr(md5(CAST($expr AS VARCHAR)), 2, 1)) - 1)"
+
   /** CTE chain `... , comp(doc_id, comp)`: the q22 MinHash-LSH pipeline at
     * est_sim >= 0.5, closed transitively (comp = min reachable id). Must
     * follow a WITH RECURSIVE head. Shared by q47/q76. */
@@ -1629,10 +1635,9 @@ object SparkEntry {
         | CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
         |FROM s ORDER BY doc_id""".stripMargin,
     "q38_deterministic_split" ->
-      """WITH b AS (
+      s"""WITH b AS (
         | SELECT *,
-        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  ${sqlHashBucket("doc_id")} AS bucket
         | FROM documents),
         |s AS (
         | SELECT *, CASE WHEN bucket < 205 THEN 'train'
@@ -1755,8 +1760,7 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       s"""WITH b AS (
          | SELECT doc_id, lang,
-         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+         |  ${sqlHashBucket("doc_id")} AS bucket
          | FROM documents),
          |t AS ($tgtRows),
          |n AS (SELECT lang, count(*) AS nl FROM b JOIN t USING (lang) GROUP BY lang),
@@ -1789,8 +1793,7 @@ object SparkEntry {
          | WHERE ov.cf IS NULL OR ov.cf < 0.8),
          |sp AS (
          | SELECT *,
-         |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+         |  ${sqlHashBucket("doc_id")} AS bucket
          | FROM clean),
          |s AS (
          | SELECT *, CASE WHEN bucket < 205 THEN 'train'
@@ -2059,8 +2062,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $sqlDedupCompCtes,
          |b AS (
          | SELECT doc_id,
-         |  (strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16
-         |  + (strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1) AS bucket
+         |  ${sqlHashBucket("comp")} AS bucket
          | FROM comp)
          |SELECT doc_id, CASE WHEN bucket < 205 THEN 'train'
          |                    WHEN bucket < 230 THEN 'val'

@@ -49,10 +49,13 @@ object Sampling {
     * id, identical to [[split]]. */
   def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
       splitCol: String = "split"): DataFrame = {
+    // internal label column renamed before the join: callers may well carry
+    // their own `comp` from an earlier components pass
     val comps = Components.connectedComponents(docs.select(col(idCol)), pairs)
+      .withColumnRenamed("comp", "__css_comp")
     docs.join(comps, Seq(idCol))
-      .withColumn(splitCol, split(col("comp")))
-      .drop("comp")
+      .withColumn(splitCol, split(col("__css_comp")))
+      .drop("__css_comp")
   }
 
   /** Deterministic ~`rate` sample: keep rows whose bucket falls under

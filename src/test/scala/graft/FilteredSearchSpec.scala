@@ -199,6 +199,33 @@ class FilteredSearchSpec extends GraftSparkSpec {
         metric = "cosine", tieBreak = Seq("vec_id"))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     assert(topkIds == want)
+    // and the DIVERSITY term is cosine too: replay the lambda=0.5 greedy
+    // locally with the cosine kernel over the same pool — an l2sq
+    // diversity term would pick a different sequence
+    val pool = Graft.topK(spark.table(table), "embedding", qv, 15,
+        metric = "cosine", tieBreak = Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val cos = graft.index.DistanceKernels.forMetric("cosine")
+    var remaining = pool.sortBy(_._1).toBuffer
+    val minD = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(Double.PositiveInfinity)
+    val localPicks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (localPicks.length < 4 && remaining.nonEmpty) {
+      val pick =
+        if (localPicks.isEmpty) remaining.minBy(p => (p._3, p._1))
+        else remaining.minBy(p => (-(0.5 * minD(p._1) - 0.5 * p._3), p._1))
+      remaining -= pick
+      localPicks += pick._1
+      remaining.foreach { p =>
+        val d = cos(p._2, pick._2)
+        if (d < minD(p._1)) minD(p._1) = d
+      }
+    }
+    val engine = Graft.mmrTopK(spark, "fss_cos_idx", qv, k = 4, poolSize = 15)
+      .select(col("vec_id")).orderBy(col("mmr_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(engine == localPicks.toSeq)
   }
 
   test("mmrTopK with lambda=1 degenerates to plain top-k by distance") {
