@@ -1171,6 +1171,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }
+
+    /** Late-interaction MaxSim scoring (ColBERT-style): vec_id < 5 as the
+      * query's vector set, label groups as candidates — each query vector
+      * takes its best cosine match in the group, matches fold in qid order
+      * (bit-exact; a bare SUM would be partition-order-dependent). */
+    def q77MaxSim(s: SparkSession, dir: String): DataFrame = {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ops.MultiVector.maxSimScores(
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "label", "embedding")
+        .orderBy(col("label"))
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1322,6 +1334,7 @@ object SparkEntry {
     "q74_sharded_radius" -> (Queries.q74ShardedRadius _),
     "q75_sharded_filtered" -> (Queries.q75ShardedFilteredTopK _),
     "q76_cluster_safe_split" -> (Queries.q76ClusterSafeSplit _),
+    "q77_maxsim" -> (Queries.q77MaxSim _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2068,5 +2081,18 @@ object SparkEntry {
          |                    WHEN bucket < 230 THEN 'val'
          |                    ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    "q77_maxsim" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         | WHERE vec_id < 5 AND embedding IS NOT NULL),
+         |s AS (
+         | SELECT e.label, q.qid,
+         |        max(1.0 - ${sqlCosineDist("q.qv", "e.embedding")}) AS best
+         | FROM embeddings e, q WHERE e.embedding IS NOT NULL
+         | GROUP BY e.label, q.qid)
+         |SELECT label,
+         |       list_reduce(list(best ORDER BY qid), (x, y) -> x + y) AS maxsim_score,
+         |       count(*) AS n_query
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
   )
 }

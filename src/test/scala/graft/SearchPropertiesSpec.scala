@@ -147,6 +147,24 @@ class SearchPropertiesSpec extends GraftSparkSpec {
     }
   }
 
+  test("maxSimScores: hand-checked late-interaction scoring on axis vectors") {
+    // unit axis vectors make cosines exact: e_i · e_j = 1 if i == j else 0
+    def axis(i: Int): Array[Float] = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val queries = Seq((0L, axis(0)), (1L, axis(1))).toDF("qid", "qv")
+    val corpus = Seq(
+      // group 10 holds perfect matches for BOTH query vectors -> score 2
+      (10, axis(0)), (10, axis(1)),
+      // group 20 matches only query 0; its other member is orthogonal
+      (20, axis(0)), (20, axis(2)),
+      // group 30 is fully orthogonal -> score 0
+      (30, axis(2)), (30, axis(3))).toDF("grp", "vec")
+    val got = graft.ops.MultiVector.maxSimScores(
+        queries, "qid", "qv", corpus, "grp", "vec")
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((10, 2.0, 2L), (20, 1.0, 2L), (30, 0.0, 2L)))
+  }
+
   test("simHashNearDupPairs at bands=8 == brute pairs for hamming <= 7 on near-dup docs") {
     // docs that are near-copies (one token flipped) — dense small-hamming pairs
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
