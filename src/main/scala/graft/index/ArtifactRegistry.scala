@@ -39,6 +39,10 @@ final class ArtifactRegistry[E](pathOf: E => String) {
   }
 
   def clear(): Unit = entries.keys.foreach(drop)
+
+  /** Forget every entry WITHOUT touching its artifacts — the restart
+    * simulation / ownership-handoff path (drop/clear delete storage). */
+  def forgetAll(): Unit = entries.clear()
 }
 
 object ArtifactRegistry {

@@ -357,6 +357,11 @@ object IndexCatalog {
     * from the previous checkpoint epoch and arms WAL logging for DML that
     * follows (see [[withWal]]). */
   def checkpoint(spark: SparkSession, dir: String): Seq[String] = {
+    // storage-backed families (IVF/PQ/IVF-PQ/SQ/Term) checkpoint their
+    // registry metadata unconditionally — their data is already durable
+    // and the reference's experimental-persistence gate only guards
+    // serializing the in-memory HNSW graph
+    StorageIndexCatalog.checkpoint(dir)
     // no HNSW indexes → nothing vss-gated to persist; DuckDB's core
     // CHECKPOINT succeeds regardless of the extension's gate
     if (list.isEmpty) return Seq.empty
@@ -489,11 +494,18 @@ object IndexCatalog {
     * already be registered (they are storage-backed; see
     * Graft.registerTable). */
   def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
-    val in = new java.io.ObjectInputStream(
-      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+    // a checkpoint taken with no HNSW indexes writes only the
+    // storage-family manifest — restore must not require the HNSW one
+    val hnswManifest = java.nio.file.Paths.get(s"$dir/catalog.manifest")
     val manifest =
-      try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
-      finally in.close()
+      if (!java.nio.file.Files.exists(hnswManifest))
+        Seq.empty[(String, String, String, HnswOptions, String, String)]
+      else {
+        val in = new java.io.ObjectInputStream(
+          java.nio.file.Files.newInputStream(hnswManifest))
+        try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
+        finally in.close()
+      }
     val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
         spark.table(table).queryExecution.withCachedData, rowidCol)
@@ -506,6 +518,7 @@ object IndexCatalog {
       ok
     }
     walDir = Some(dir) // keep logging: the WAL stays the post-checkpoint history
+    StorageIndexCatalog.restore(dir) // live entries win over the manifest
     alive
   }
 

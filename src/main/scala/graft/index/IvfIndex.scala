@@ -41,8 +41,14 @@ object IvfIndex {
   private val registry = new ArtifactRegistry[IvfEntry](_.path)
   def get(name: String): Option[IvfEntry] = registry.get(name)
   def list: Iterable[IvfEntry] = registry.values
+  /** Re-register a checkpointed entry (restart restore path —
+    * artifacts already live on shared storage). */
+  private[index] def restoreEntry(e: IvfEntry): Unit =
+    registry.update(e.name, e)
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
+  /** Forget entries without deleting artifacts (restart simulation). */
+  def clearRegistryOnly(): Unit = registry.forgetAll()
 
   val ListCol = "__ivf_list"
 

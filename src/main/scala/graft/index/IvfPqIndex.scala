@@ -37,8 +37,14 @@ object IvfPqIndex {
   private val registry = new ArtifactRegistry[IvfPqEntry](_.path)
   def get(name: String): Option[IvfPqEntry] = registry.get(name)
   def list: Iterable[IvfPqEntry] = registry.values
+  /** Re-register a checkpointed entry (restart restore path —
+    * artifacts already live on shared storage). */
+  private[index] def restoreEntry(e: IvfPqEntry): Unit =
+    registry.update(e.name, e)
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
+  /** Forget entries without deleting artifacts (restart simulation). */
+  def clearRegistryOnly(): Unit = registry.forgetAll()
 
   val ListCol = "__ivfpq_list"
 

@@ -126,8 +126,14 @@ object PqIndex {
   private val registry = new ArtifactRegistry[PqEntry](_.path)
   def get(name: String): Option[PqEntry] = registry.get(name)
   def list: Iterable[PqEntry] = registry.values
+  /** Re-register a checkpointed entry (restart restore path —
+    * artifacts already live on shared storage). */
+  private[index] def restoreEntry(e: PqEntry): Unit =
+    registry.update(e.name, e)
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
+  /** Forget entries without deleting artifacts (restart simulation). */
+  def clearRegistryOnly(): Unit = registry.forgetAll()
 
   val CodesCol = "__pq_codes"
 

@@ -87,8 +87,14 @@ object SqIndex {
   private val registry = new ArtifactRegistry[SqEntry](_.path)
   def get(name: String): Option[SqEntry] = registry.get(name)
   def list: Iterable[SqEntry] = registry.values
+  /** Re-register a checkpointed entry (restart restore path —
+    * artifacts already live on shared storage). */
+  private[index] def restoreEntry(e: SqEntry): Unit =
+    registry.update(e.name, e)
   def drop(name: String): Boolean = registry.drop(name)
   def clear(): Unit = registry.clear()
+  /** Forget entries without deleting artifacts (restart simulation). */
+  def clearRegistryOnly(): Unit = registry.forgetAll()
 
   val CodesCol = "__sq_codes"
 

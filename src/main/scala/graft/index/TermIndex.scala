@@ -53,12 +53,18 @@ object TermIndex {
     registry.values.find(_.sourceTable == table)
 
   def list: Iterable[TermEntry] = registry.values
+  /** Re-register a checkpointed entry (restart restore path —
+    * artifacts already live on shared storage). */
+  private[index] def restoreEntry(e: TermEntry): Unit =
+    registry.update(e.name, e)
 
   def drop(name: String): Boolean = {
     appliedBatches.remove(name)
     registry.drop(name)
   }
   def clear(): Unit = { appliedBatches.clear(); registry.clear() }
+  /** Forget entries without deleting artifacts (restart simulation). */
+  def clearRegistryOnly(): Unit = { appliedBatches.clear(); registry.forgetAll() }
 
   val BucketCol = "__term_bucket"
 

@@ -164,4 +164,40 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
           s"${IndexCatalog.get("dw_idx").map(_.index.size)} (ckpt was $sizeAtCkpt)")
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
+
+  test("storage-backed families survive restart via the checkpoint manifest") {
+    import graft.index.{IvfIndex, TermIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-storage-ckpt").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("sl_emb")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").createOrReplaceTempView("sl_docs")
+    IvfIndex.drop("sl_ivf"); TermIndex.drop("sl_term")
+    IvfIndex.create(spark, "sl_ivf", "sl_emb", "embedding", nLists = 4)
+    TermIndex.create(spark, "sl_term", "sl_docs", "doc_id", "text", nBuckets = 4)
+    val qv = spark.table("sl_emb").where($"vec_id" === 3)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val ivfBefore = IvfIndex.search(spark, "sl_ivf", qv, 5, nProbe = 4,
+        tieBreak = Seq("vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    val termBefore = TermIndex.search(spark, "sl_term", Seq("the"), 5)
+      .select($"doc_id").as[Long].collect().toSeq
+
+    // storage checkpoint needs NO persistence gate (nothing in-memory to
+    // serialize); it rides the same CHECKPOINT call as HNSW
+    spark.conf.unset(IndexCatalog.PersistenceConfKey)
+    graft.index.StorageIndexCatalog.checkpoint(dir)
+    // simulated restart: driver registries gone, artifacts still on disk
+    IvfIndex.clearRegistryOnly(); TermIndex.clearRegistryOnly()
+    assert(IvfIndex.get("sl_ivf").isEmpty && TermIndex.get("sl_term").isEmpty)
+
+    val n = graft.index.StorageIndexCatalog.restore(dir)
+    assert(n >= 2)
+    val ivfAfter = IvfIndex.search(spark, "sl_ivf", qv, 5, nProbe = 4,
+        tieBreak = Seq("vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    val termAfter = TermIndex.search(spark, "sl_term", Seq("the"), 5)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(ivfAfter == ivfBefore && termAfter == termBefore)
+  }
 }
