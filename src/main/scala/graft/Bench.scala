@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Each query is FULLY materialized through the noop
   * sink — `count()` would let Catalyst prune unreferenced compute-heavy
   * projections and report fantasy numbers. Failures propagate: a broken
-  * query must break the bench, not score as fast. */
+  * query must break the bench, not score as fast.
+  *
+  * Output protocol: the harness that invokes this captures only the LAST
+  * ~2000 characters of stdout, so the final stdout line is a COMPACT JSON
+  * (short `qNN` keys, 3-decimal seconds — ~1.3k chars for 77 queries + 9
+  * builds) that fits the tail window whole. The full-precision,
+  * full-name JSON goes to the file named by BENCH_OUT (default
+  * `BENCH_FULL.json` in the working directory). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,15 +28,26 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Drop finished queries' localCheckpoint blocks: each op materializes
-    // its own intermediates per invocation, and letting ~150 executions'
-    // blocks pile up in the block manager degrades late-running queries
-    // (measured: q50 8.4s late-run vs 3.0s isolated). Session-cached index
-    // state is driver/parquet-resident, never a persisted RDD, so this
-    // touches nothing shared. BLOCKING, and called OUTSIDE the timed
-    // region, so one query's eviction can't bleed into the next's number.
-    def dropFinishedBlocks(): Unit =
+    // Post-query settle, all OUTSIDE the timed region. Two leaks otherwise
+    // degrade late-running queries as the suite grows (suite-interaction,
+    // invisible when a query runs isolated — q45 measured 2.9 s alone vs
+    // 6.4 s late in a 77-query suite):
+    //  - localCheckpoint blocks: each op materializes its own intermediates
+    //    per invocation; ~150 executions' blocks pile up in the block
+    //    manager. Unpersist (blocking) drops them.
+    //  - broadcasts + shuffle files: freed by the ContextCleaner only when
+    //    the JVM garbage-collects the driver-side handles; a 100+ GiB heap
+    //    GCs rarely, so hundreds of executions' broadcast blocks and
+    //    shuffle files accumulate. A periodic System.gc() lets the cleaner
+    //    reclaim them between queries instead of mid-measurement.
+    // Session-cached index state is driver/parquet-resident, never a
+    // persisted RDD, so none of this touches shared state.
+    var sinceGc = 0
+    def settle(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
+    }
 
     // Warm-up outside timing: JVM, codegen, and parquet-footer costs land
     // here instead of inflating the first measured query. Index builds are
@@ -47,7 +65,7 @@ object Bench {
     // is PART of the operator (shuffles, localCheckpoint materializations)
     // still re-executes inside the measured run.
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-      run(q); dropFinishedBlocks()
+      run(q); settle()
     }
     // settle before measuring: take the GC hit here, not inside the first
     // measured query
@@ -57,15 +75,31 @@ object Bench {
       val t0 = System.nanoTime()
       run(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      dropFinishedBlocks() // outside the timed region
+      settle() // outside the timed region
       name -> dt
     }
-    val qs = (results ++ buildMetrics)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val all = results ++ buildMetrics
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision, full-name JSON → file (for STATUS and human diffing).
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_FULL.json")
+    val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+
+    // Compact line LAST on stdout: `q45_decontaminate` → `q45`,
+    // `build_shared_index` → `b_shared_index`, seconds to 3 decimals.
+    def shortKey(k: String): String =
+      if (k.startsWith("build_")) "b_" + k.stripPrefix("build_")
+      else k.takeWhile(_ != '_')
+    val compactQs = all
+      .map { case (k, v) => f"""\"${shortKey(k)}\":$v%.3f""" }
+      .mkString("{", ",", "}")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","detail":"$outPath"}""")
   }
 
   private def runBuilds(run: String => Unit): Seq[(String, Double)] =
