@@ -17,7 +17,13 @@ import graft.index.IndexCatalog
   *
   * Anything else falls through to `spark.sql` with the engine's scalar
   * functions registered, so `ORDER BY array_distance(...) LIMIT k` strings
-  * work — and get index-accelerated when the optimizer rules are installed. */
+  * work — and get index-accelerated when the optimizer rules are installed.
+  *
+  * Every statement first passes [[SqlRewrite.preprocess]], which maps the
+  * reference dialect's spellings onto Spark SQL: the infix distance
+  * operators `<->`/`<=>`/`<#>` (reference README.md, matcher at reference
+  * src/hnsw/hnsw_index.cpp:636-642), `FLOAT[n]` array types, and bracket
+  * array literals — so the reference README's queries run verbatim. */
 object GraftSql {
 
   private val CreateIndexRe =
@@ -63,7 +69,10 @@ object GraftSql {
       parts(0).trim.toLowerCase -> parts(1).trim.stripPrefix("'").stripSuffix("'")
     }.toMap
 
-  def sql(spark: SparkSession, statement: String): DataFrame = statement match {
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    dispatch(spark, SqlRewrite.preprocess(statement))
+
+  private def dispatch(spark: SparkSession, statement: String): DataFrame = statement match {
     case CreateIndexRe(name, table, column, opts) =>
       IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
       spark.emptyDataFrame

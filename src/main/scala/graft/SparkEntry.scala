@@ -1183,6 +1183,19 @@ object SparkEntry {
           emb, "label", "embedding")
         .orderBy(col("label"))
     }
+
+    /** The reference's infix distance-operator spelling (`vec <-> q`,
+      * reference src/hnsw/hnsw_index.cpp:636, README.md) end-to-end
+      * through the GraftSql dialect preprocessor: the q10 exact-KNN shape,
+      * written as the SQL string a pgvector/duckdb-vss user would paste. */
+    def q78InfixKnn(s: SparkSession, dir: String): DataFrame = {
+      tbl(s, dir, "embeddings").createOrReplaceTempView("embeddings_infix")
+      GraftSql.sql(s,
+        """SELECT e.vec_id, e.embedding <-> q.qv AS dist
+          |FROM embeddings_infix e,
+          |     (SELECT embedding AS qv FROM embeddings_infix WHERE vec_id = 0) q
+          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin)
+    }
   }
 
   // ---------------------------------------------------------------- SQL
@@ -1335,6 +1348,7 @@ object SparkEntry {
     "q75_sharded_filtered" -> (Queries.q75ShardedFilteredTopK _),
     "q76_cluster_safe_split" -> (Queries.q76ClusterSafeSplit _),
     "q77_maxsim" -> (Queries.q77MaxSim _),
+    "q78_infix_knn" -> (Queries.q78InfixKnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2094,5 +2108,9 @@ object SparkEntry {
          |       list_reduce(list(best ORDER BY qid), (x, y) -> x + y) AS maxsim_score,
          |       count(*) AS n_query
          |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q78_infix_knn" ->
+      s"""SELECT e.vec_id, sqrt(${sqlL2Sq("e.embedding", "q.qv")}) AS dist
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,264 @@
+package graft
+
+/** Textual SQL preprocessing for [[GraftSql]]: reference-dialect spellings
+  * Spark's parser cannot express, rewritten onto the engine's registered
+  * functions/types before `spark.sql`. All rewrites skip single-quoted
+  * string literals.
+  *
+  *  - Infix distance operators (reference src/hnsw/hnsw_index.cpp:636-642,
+  *    README.md §usage):
+  *    {{{
+  *      a <-> b   =>  array_distance(a, b)
+  *      a <=> b   =>  array_cosine_distance(a, b)
+  *      a <#> b   =>  array_negative_inner_product(a, b)
+  *    }}}
+  *    NOTE: in this dialect `<=>` is cosine distance (the reference's
+  *    spelling), shadowing Spark SQL's null-safe equality — write
+  *    `IS NOT DISTINCT FROM` through GraftSql for the latter.
+  *  - `FLOAT[n]` / `FLOAT[ANY]` array types (casts and DDL column types)
+  *    => `ARRAY<FLOAT>`.
+  *  - Bracket array literals `[1, 2, 3]` => `array(1, 2, 3)` — only where
+  *    a literal can start; `expr[i]` element access (identifier, `)` or
+  *    `]` immediately before the bracket) is left alone.
+  *
+  * Operand extraction for the infix rewrite handles the expression shapes
+  * the reference's docs/tests put around these operators: column refs
+  * (qualified or not), function calls, parenthesized subqueries, bracket
+  * literals, and `::type` casts (including generic `ARRAY<FLOAT>`). It is
+  * deliberately NOT a full expression parser — an operand it cannot
+  * delimit leaves the statement unchanged (and Spark's parser reports the
+  * original text). */
+object SqlRewrite {
+
+  private val infixOps: Seq[(String, String)] = Seq(
+    "<->" -> "array_distance",
+    "<=>" -> "array_cosine_distance",
+    "<#>" -> "array_negative_inner_product")
+
+  def preprocess(stmt: String): String =
+    rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)))
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** End index (exclusive) of the single-quoted literal starting at `i`
+    * ('' is the embedded-quote escape). */
+  private def skipString(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      if (s(j) == '\'') {
+        if (j + 1 < s.length && s(j + 1) == '\'') j += 2 else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
+  /** Index of the close matching the open bracket/paren at `i` (quote-
+    * aware), or -1 if unbalanced. */
+  private def matchForward(s: String, i: Int): Int = {
+    val (open, close) = (s(i), if (s(i) == '(') ')' else ']')
+    var depth = 0
+    var j = i
+    while (j < s.length) {
+      s(j) match {
+        case '\'' => j = skipString(s, j) - 1
+        case c if c == open => depth += 1
+        case c if c == close =>
+          depth -= 1
+          if (depth == 0) return j
+        case _ =>
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** Index of the open matching the close bracket/paren at `i` (quote-blind
+    * backwards scan is acceptable: literals containing unbalanced brackets
+    * AND an infix operand boundary do not occur in this dialect), or -1. */
+  private def matchBackward(s: String, i: Int): Int = {
+    val (close, open) = (s(i), if (s(i) == ')') '(' else '[')
+    var depth = 0
+    var j = i
+    while (j >= 0) {
+      val c = s(j)
+      if (c == close) depth += 1
+      else if (c == open) { depth -= 1; if (depth == 0) return j }
+      j -= 1
+    }
+    -1
+  }
+
+  /** First occurrence of `tok` at or after `from` that is outside any
+    * single-quoted literal, or -1. */
+  private def findOutsideQuotes(s: String, tok: String, from: Int): Int = {
+    var j = 0
+    var next = s.indexOf(tok, from)
+    while (next >= 0 && j < s.length) {
+      if (s(j) == '\'') {
+        val end = skipString(s, j)
+        if (next >= j && next < end) next = s.indexOf(tok, end)
+        j = end
+      } else j += 1
+      if (next >= 0 && j > next) return next
+    }
+    next
+  }
+
+  // ---- FLOAT[n] types ------------------------------------------------
+
+  private val FloatArrayType =
+    """(?i)\bFLOAT\s*\[\s*(?:\d+|ANY)?\s*\]""".r
+
+  private def rewriteFloatArrayTypes(stmt: String): String = {
+    var s = stmt
+    var done = false
+    while (!done) {
+      FloatArrayType.findFirstMatchIn(s) match {
+        case Some(m) if findOutsideQuotes(s, m.matched, 0) == m.start =>
+          s = s.substring(0, m.start) + "ARRAY<FLOAT>" + s.substring(m.end)
+        case _ => done = true
+      }
+    }
+    s
+  }
+
+  // ---- bracket array literals -----------------------------------------
+
+  private def rewriteArrayLiterals(stmt: String): String = {
+    var s = stmt
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val i = findOutsideQuotes(s, "[", from)
+      if (i < 0) return s
+      // element access (`expr[i]`) has an operand char IMMEDIATELY before
+      // `[` (no whitespace); a literal is preceded by start-of-text,
+      // whitespace, an operator, `(` or `,`
+      val isAccess = i > 0 &&
+        (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')
+      // `ARRAY<FLOAT>`-style type suffix `[n]` never reaches here (the type
+      // rewrite above ran first), so anything non-access is a literal
+      if (isAccess) from = i + 1
+      else {
+        val close = matchForward(s, i)
+        if (close < 0) return s // unbalanced: leave for Spark's parser
+        s = s.substring(0, i) + "array(" + s.substring(i + 1, close) + ")" +
+          s.substring(close + 1)
+        from = i + 6 // just past "array(" — inner literals rewrite next
+      }
+    }
+    s
+  }
+
+  // ---- infix operators -------------------------------------------------
+
+  /** Start index of the operand ending just before `p0` (backwards scan),
+    * or -1 when no operand could be delimited. */
+  private def scanOperandLeft(s: String, p0: Int): Int = {
+    var i = p0
+    while (i > 0 && s(i - 1).isWhitespace) i -= 1
+    if (i == 0) return -1
+    val end = i
+    var done = false
+    while (!done && i > 0) {
+      val c = s(i - 1)
+      if (c == ')' || c == ']') {
+        val open = matchBackward(s, i - 1)
+        if (open < 0) return -1
+        i = open
+      } else if (isIdentChar(c)) {
+        while (i > 0 && isIdentChar(s(i - 1))) i -= 1
+      } else if (c == '>') {
+        // generic cast type, e.g. `::ARRAY<FLOAT>`: angle content is type
+        // tokens only
+        val lt = s.lastIndexOf('<', i - 2)
+        val ok = lt > 0 && isIdentChar(s(lt - 1)) &&
+          s.substring(lt + 1, i - 1).forall(ch =>
+            isIdentChar(ch) || ch == ',' || ch == ' ' || ch == '<' || ch == '>')
+        if (!ok) return if (i == end) -1 else i
+        i = lt
+      } else {
+        done = true
+      }
+      if (!done) {
+        // binders gluing this unit to the one before it
+        if (i > 1 && s(i - 1) == ':' && s(i - 2) == ':') i -= 2
+        else if (i > 0 && s(i - 1) == '.') i -= 1
+        else if (i > 0 && s(i) == '(' && isIdentChar(s(i - 1))) () // fn name
+        else done = true
+      }
+    }
+    if (i == end) -1 else i
+  }
+
+  /** End index (exclusive) of the operand starting at/after `q0` (forward
+    * scan), or -1 when no operand could be delimited. */
+  private def scanOperandRight(s: String, q0: Int): Int = {
+    var i = q0
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length) return -1
+    val start = i
+    if (s(i) == '-' || s(i) == '+') i += 1 // unary sign on a literal
+    var done = false
+    while (!done && i < s.length) {
+      val c = s(i)
+      if (c == '(' || c == '[') {
+        val close = matchForward(s, i)
+        if (close < 0) return -1
+        i = close + 1
+      } else if (isIdentChar(c)) {
+        while (i < s.length && isIdentChar(s(i))) i += 1
+      } else {
+        done = true
+      }
+      if (!done) {
+        if (i + 1 < s.length && s(i) == ':' && s(i + 1) == ':') {
+          i += 2 // cast: consume the type — ident, optional <...>, both glued
+          while (i < s.length && isIdentChar(s(i))) i += 1
+          if (i < s.length && s(i) == '<') {
+            var depth = 0
+            var ok = false
+            while (i < s.length && !ok) {
+              if (s(i) == '<') depth += 1
+              else if (s(i) == '>') { depth -= 1; ok = depth == 0 }
+              i += 1
+            }
+            if (!ok) return -1
+          }
+          done = true // a cast ends the operand (no postfix after a type)
+        }
+        else if (i < s.length && s(i) == '.') i += 1
+        else if (i < s.length && (s(i) == '(' || s(i) == '[')) () // call/index
+        else done = true
+      }
+    }
+    if (i == start) -1 else i
+  }
+
+  private def rewriteInfix(stmt: String): String = {
+    var s = stmt
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val hits = infixOps
+        .map { case (op, fn) => (findOutsideQuotes(s, op, from), op, fn) }
+        .filter(_._1 >= 0)
+      if (hits.isEmpty) return s
+      val (pos, op, fn) = hits.minBy(_._1)
+      val li = scanOperandLeft(s, pos)
+      val ri = scanOperandRight(s, pos + op.length)
+      if (li < 0 || ri < 0) from = pos + op.length // can't delimit: skip it
+      else {
+        val left = s.substring(li, pos).trim
+        val right = s.substring(pos + op.length, ri).trim
+        val call = s"$fn($left, $right)"
+        s = s.substring(0, li) + call + s.substring(ri)
+        from = li + call.length
+      }
+    }
+    s
+  }
+}

@@ -302,6 +302,9 @@ object vector {
     r("array_cosine_similarity", es => ArrayCosineSimilarity(es(0), es(1)))
     r("array_cosine_distance", es => ArrayCosineDistance(es(0), es(1)))
     r("l2_normalize", es => ArrayL2Normalize(es(0)))
+    // DuckDB's array constructor (reference README.md INSERT example) —
+    // Spark's CreateArray with the reference's name
+    r("array_value", es => CreateArray(es))
   }
 }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** The reference dialect's SQL spellings through GraftSql: infix distance
+  * operators `<->`/`<=>`/`<#>` (reference src/hnsw/hnsw_index.cpp:636-642),
+  * `FLOAT[n]` types, bracket array literals, and `array_value` — including
+  * the reference README's own queries VERBATIM. */
+class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    Graft.registerFunctions(spark)
+  }
+
+  // ---- pure-text rewrites ------------------------------------------------
+
+  test("infix operators rewrite onto the registered distance functions") {
+    assert(SqlRewrite.preprocess("SELECT a <-> b FROM t") ==
+      "SELECT array_distance(a, b) FROM t")
+    assert(SqlRewrite.preprocess("SELECT t.a <=> u.b FROM t, u") ==
+      "SELECT array_cosine_distance(t.a, u.b) FROM t, u")
+    assert(SqlRewrite.preprocess("SELECT a <#> b FROM t") ==
+      "SELECT array_negative_inner_product(a, b) FROM t")
+  }
+
+  test("operands: function calls, subqueries, literals, casts") {
+    assert(SqlRewrite.preprocess(
+      "ORDER BY l2_normalize(vec) <=> [0.6, 0.8]::FLOAT[2] LIMIT 3") ==
+      "ORDER BY array_cosine_distance(l2_normalize(vec), array(0.6, 0.8)::ARRAY<FLOAT>) LIMIT 3")
+    assert(SqlRewrite.preprocess(
+      "WHERE vec <-> (SELECT v FROM q WHERE id = 1) < 0.5") ==
+      "WHERE array_distance(vec, (SELECT v FROM q WHERE id = 1)) < 0.5")
+    // two independent occurrences in one statement
+    assert(SqlRewrite.preprocess("SELECT a <-> b, c <#> d FROM t") ==
+      "SELECT array_distance(a, b), array_negative_inner_product(c, d) FROM t")
+  }
+
+  test("element access and quoted strings are untouched") {
+    assert(SqlRewrite.preprocess("SELECT arr[0] FROM t") ==
+      "SELECT arr[0] FROM t")
+    assert(SqlRewrite.preprocess("SELECT '<->' AS op, '[1,2]' AS s FROM t") ==
+      "SELECT '<->' AS op, '[1,2]' AS s FROM t")
+    // FLOAT[2] inside a string literal survives
+    assert(SqlRewrite.preprocess("SELECT 'FLOAT[2]' FROM t") ==
+      "SELECT 'FLOAT[2]' FROM t")
+  }
+
+  test("nested bracket literals and DDL types") {
+    assert(SqlRewrite.preprocess("SELECT [[1,2],[3,4]] AS m") ==
+      "SELECT array(array(1,2),array(3,4)) AS m")
+    assert(SqlRewrite.preprocess("CREATE TABLE v (vec FLOAT[3])") ==
+      "CREATE TABLE v (vec ARRAY<FLOAT>)")
+    assert(SqlRewrite.preprocess("CREATE TABLE v (vec FLOAT[ANY])") ==
+      "CREATE TABLE v (vec ARRAY<FLOAT>)")
+  }
+
+  test("an operand the scanner cannot delimit leaves the statement whole") {
+    val odd = "SELECT * <-> FROM t" // nothing resembling a left operand
+    assert(SqlRewrite.preprocess(odd) == odd)
+  }
+
+  // ---- end-to-end through GraftSql ----------------------------------------
+
+  test("reference README flow verbatim: CREATE TABLE, INSERT, query, infix") {
+    spark.sql("DROP TABLE IF EXISTS my_vector_table")
+    // reference README.md creation + load, verbatim (FLOAT[3] type,
+    // array_value constructor, comma-joined range() sources)
+    GraftSql.sql(spark, "CREATE TABLE my_vector_table (vec FLOAT[3])")
+    GraftSql.sql(spark,
+      "INSERT INTO my_vector_table SELECT array_value(a, b, c) FROM range(1, 10) ra(a), range(1, 10) rb(b), range(1, 10) rc(c)")
+    // reference README.md:19 search query, verbatim
+    val top = GraftSql.sql(spark,
+      "SELECT * FROM my_vector_table ORDER BY array_distance(vec, [1,2,3]::FLOAT[3]) LIMIT 3")
+      .collect()
+    assert(top.length == 3)
+    assert(top.head.getSeq[Float](0) == Seq(1f, 2f, 3f))
+    // same query through the infix spelling gives the same answer
+    val infix = GraftSql.sql(spark,
+      "SELECT * FROM my_vector_table ORDER BY vec <-> [1,2,3]::FLOAT[3] LIMIT 3")
+      .collect()
+    assert(infix.map(_.getSeq[Float](0)).toSeq ==
+      top.map(_.getSeq[Float](0)).toSeq)
+    spark.sql("DROP TABLE my_vector_table")
+  }
+
+  test("all three infix metrics agree with the DataFrame kernels") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)), (3L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    df.createOrReplaceTempView("infix_vecs")
+    def viaSql(op: String): Seq[(Long, Double)] =
+      GraftSql.sql(spark,
+        s"SELECT id, vec $op [1.0,0.0]::FLOAT[2] AS d FROM infix_vecs ORDER BY d, id")
+        .as[(Long, Double)].collect().toSeq
+    val q = lit(Array(1f, 0f))
+    def viaDf(k: org.apache.spark.sql.Column): Seq[(Long, Double)] =
+      df.select($"id", k.as("d")).orderBy($"d", $"id")
+        .as[(Long, Double)].collect().toSeq
+    assert(viaSql("<->") == viaDf(functions.vector.array_distance($"vec", q)))
+    assert(viaSql("<=>") == viaDf(functions.vector.array_cosine_distance($"vec", q)))
+    assert(viaSql("<#>") == viaDf(functions.vector.array_negative_inner_product($"vec", q)))
+  }
+}
