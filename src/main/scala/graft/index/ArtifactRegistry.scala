@@ -26,15 +26,24 @@ final class ArtifactRegistry[E](pathOf: E => String) {
       ArtifactRegistry.deleteRecursively(pathOf(entry))
       throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
     }
+    StorageIndexCatalog.rewriteIfArmed()
     entry
   }
 
-  /** Replace an entry's metadata (e.g. folded stats after an append). */
-  def update(name: String, entry: E): Unit = entries.put(name, entry)
+  /** Replace an entry's metadata (e.g. folded stats after an append, a
+    * compaction's path swap). The armed checkpoint manifest is rewritten so
+    * a crash never restores metadata older than the artifact it points at. */
+  def update(name: String, entry: E): Unit = {
+    entries.put(name, entry)
+    StorageIndexCatalog.rewriteIfArmed()
+  }
 
   /** Drop the entry AND its artifact (a dropped index frees its storage). */
   def drop(name: String): Boolean = entries.remove(name) match {
-    case Some(e) => ArtifactRegistry.deleteRecursively(pathOf(e)); true
+    case Some(e) =>
+      ArtifactRegistry.deleteRecursively(pathOf(e))
+      StorageIndexCatalog.rewriteIfArmed()
+      true
     case None => false
   }
 
@@ -46,11 +55,5 @@ final class ArtifactRegistry[E](pathOf: E => String) {
 }
 
 object ArtifactRegistry {
-  def deleteRecursively(p: String): Unit = {
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path)) {
-      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-  }
+  def deleteRecursively(p: String): Unit = ArtifactIO.deleteRecursive(p)
 }

@@ -1,7 +1,6 @@
 package graft.index
 
 import java.io._
-import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 /** Per-level graph statistics, mirroring the reference's
@@ -461,9 +460,9 @@ class HnswIndex(
   // here: one artifact file per index instead of block-manager blocks) ---
 
   def save(path: String): Unit = {
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(p)))
+    // Hadoop FS (not java.nio): artifacts live wherever graft.indexes.dir
+    // points — file:, hdfs://, s3a:// — and parents are created by create()
+    val out = new DataOutputStream(new BufferedOutputStream(ArtifactIO.create(path)))
     try {
       out.writeInt(0x484E5357) // "HNSW"
       out.writeInt(1) // version
@@ -493,7 +492,7 @@ class HnswIndex(
 
 object HnswIndex {
   def load(path: String): HnswIndex = {
-    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(Paths.get(path))))
+    val in = new DataInputStream(new BufferedInputStream(ArtifactIO.open(path)))
     try {
       require(in.readInt() == 0x484E5357, s"$path is not an HNSW index artifact")
       require(in.readInt() == 1, "unsupported index version")

@@ -101,7 +101,10 @@ object IndexCatalog {
 
   def get(name: String): Option[IndexEntry] = entries.get(name)
   def list: Seq[IndexEntry] = entries.values.toSeq.sortBy(_.name)
-  def clear(): Unit = { entries.clear(); walDir = None }
+  def clear(): Unit = {
+    entries.clear(); walDir = None
+    StorageIndexCatalog.disarm() // symmetric: no stale armed manifest dir
+  }
 
   /** Query-time ef: session conf beats the index's build-time default. */
   def effectiveEf(spark: SparkSession, entry: IndexEntry): Int =
@@ -193,7 +196,7 @@ object IndexCatalog {
     * (rowid BIGINT, vec ARRAY<FLOAT>) with NULL vectors already filtered. */
   def buildShardMetas(pairs: DataFrame, shardDir: String,
       opts: HnswOptions): Array[ShardMeta] = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shardDir))
+    ArtifactIO.mkdirs(shardDir)
     pairs.rdd.mapPartitionsWithIndex { (pid, it) =>
       var idx: HnswIndex = null
       it.foreach { row =>
@@ -357,28 +360,33 @@ object IndexCatalog {
     * from the previous checkpoint epoch and arms WAL logging for DML that
     * follows (see [[withWal]]). */
   def checkpoint(spark: SparkSession, dir: String): Seq[String] = {
-    // storage-backed families (IVF/PQ/IVF-PQ/SQ/Term) checkpoint their
-    // registry metadata unconditionally — their data is already durable
-    // and the reference's experimental-persistence gate only guards
-    // serializing the in-memory HNSW graph
-    StorageIndexCatalog.checkpoint(dir)
     // no HNSW indexes → nothing vss-gated to persist; DuckDB's core
-    // CHECKPOINT succeeds regardless of the extension's gate
-    if (list.isEmpty) return Seq.empty
+    // CHECKPOINT succeeds regardless of the extension's gate, and the
+    // storage-backed families (IVF/PQ/IVF-PQ/SQ/Term) checkpoint their
+    // registry metadata ungated — their data is already durable and the
+    // reference's experimental-persistence gate only guards serializing
+    // the in-memory HNSW graph
+    if (list.isEmpty) {
+      StorageIndexCatalog.checkpoint(dir)
+      return Seq.empty
+    }
+    // gate FIRST: a refused CHECKPOINT must leave `dir` untouched — the
+    // storage manifest too, or a later restoreAll would resurrect entries
+    // from a checkpoint the caller was told failed
     if (!persistenceEnabled(spark)) {
       throw new IllegalStateException(
         "HNSW indexes can only be created in in-memory databases, or when the " +
           "configuration option 'hnsw_enable_experimental_persistence' is set to true.")
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    StorageIndexCatalog.checkpoint(dir)
+    ArtifactIO.mkdirs(dir)
     val paths = persistAll(dir)
     val manifest = list.zip(paths).map { case (e, p) =>
       (e.name, e.table, e.column, e.options, e.rowidCol, p)
     }
-    val out = new java.io.ObjectOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+    val out = new java.io.ObjectOutputStream(ArtifactIO.create(s"$dir/catalog.manifest"))
     try out.writeObject(manifest) finally out.close()
-    list.foreach(e => java.nio.file.Files.deleteIfExists(walFile(dir, e.name)))
+    list.foreach(e => ArtifactIO.deleteRecursive(walSegDir(dir, e.name)))
     walDir = Some(dir)
     paths
   }
@@ -387,16 +395,20 @@ object IndexCatalog {
   // The reference persists HNSW indexes at CHECKPOINT and relies on DuckDB's
   // WAL to replay DML that happened after the last checkpoint
   // (reference test/sql/hnsw/hnsw_insert_wal.test). The engine's analog:
-  // once a checkpoint exists, every index DML batch appends records to
-  // `<checkpointDir>/<index>.wal`; `restoreAll` replays the log on top of
-  // the restored artifact, so inserts/deletes between checkpoint and crash
-  // survive a restart. The next checkpoint captures full state and truncates
-  // the logs.
+  // once a checkpoint exists, every index DML batch writes ONE new segment
+  // file under `<checkpointDir>/<index>.wal/`; `restoreAll` replays the
+  // segments in sequence order on top of the restored artifact, so
+  // inserts/deletes between checkpoint and crash survive a restart. The
+  // next checkpoint captures full state and deletes the segment dir.
+  //
+  // Segment-per-batch rather than a single appended file: Hadoop object
+  // stores (and its checksummed LocalFileSystem) have no append, and a
+  // segment is published by a write-then-rename, so a crash mid-batch
+  // leaves only an ignored `.tmp` — no torn records to mis-replay.
 
   @volatile private var walDir: Option[String] = None
 
-  private def walFile(dir: String, name: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, s"$name.wal")
+  private def walSegDir(dir: String, name: String): String = s"$dir/$name.wal"
 
   /** Append-only writer for one index's post-checkpoint DML records. */
   final class WalWriter private[IndexCatalog] (out: java.io.DataOutputStream) {
@@ -423,15 +435,34 @@ object IndexCatalog {
 
   /** Run `body` with a WAL writer for `name` if WAL logging is armed (a
     * checkpoint happened this epoch), else with None. One call = one DML
-    * batch = one open/flush of the log file. */
+    * batch = one SEGMENT file, buffered in memory and published by
+    * write-then-rename only after `body` completes — a failed batch leaves
+    * no partial records behind. */
   def withWal[T](name: String)(body: Option[WalWriter] => T): T = walDir match {
     case Some(dir) if entries.contains(name) =>
-      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        java.nio.file.Files.newOutputStream(walFile(dir, name),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)))
-      try body(Some(new WalWriter(out))) finally out.close()
+      val buf = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(buf)
+      val result = try body(Some(new WalWriter(out))) finally out.close()
+      if (buf.size() > 0) writeSegment(walSegDir(dir, name), buf.toByteArray)
+      result
     case _ => body(None)
+  }
+
+  /** Publish one WAL segment: next sequence number after the existing
+    * segments, written to a temp name and renamed into place. Synchronized:
+    * catalog DML is driver-side, and two concurrent batches must not race
+    * the same sequence number. */
+  private def writeSegment(segDir: String, bytes: Array[Byte]): Unit = synchronized {
+    val next = ArtifactIO.list(segDir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.endsWith(".seg"))
+      .map(_.stripSuffix(".seg").toLong)
+      .foldLeft(0L)(math.max) + 1
+    val tmp = f"$segDir/$next%06d.tmp"
+    val dst = f"$segDir/$next%06d.seg"
+    val out = ArtifactIO.create(tmp)
+    try out.write(bytes) finally out.close()
+    ArtifactIO.rename(tmp, dst)
   }
 
   private def asSharded(idx: VectorIndex): Option[ShardedHnswIndex] = idx match {
@@ -440,15 +471,29 @@ object IndexCatalog {
     case _ => None
   }
 
-  /** Replay one index's WAL records (in order) onto its restored artifact.
-    * Returns false if a drop record was hit: records after it belong to a
-    * later same-name epoch (not in this checkpoint's manifest) and are
-    * parsed but NOT applied, and the caller must discard the entry. */
-  private def replayWal(entry: IndexEntry, path: java.nio.file.Path): Boolean = {
-    if (!java.nio.file.Files.exists(path)) return true
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(path)))
+  /** Replay one index's WAL segments (in sequence order) onto its restored
+    * artifact. Returns false if a drop record was hit: records after it
+    * belong to a later same-name epoch (not in this checkpoint's manifest)
+    * and are parsed but NOT applied, and the caller must discard the
+    * entry. */
+  private def replayWal(entry: IndexEntry, segDir: String): Boolean = {
+    val segments = ArtifactIO.list(segDir).filter(_.endsWith(".seg"))
+      .sortBy(p => p.substring(p.lastIndexOf('/') + 1))
     var dropped = false
+    segments.foreach { seg =>
+      if (!replaySegment(entry, seg, dropped)) dropped = true
+    }
+    !dropped
+  }
+
+  /** Replay one segment; returns false if a drop record was hit. `dropped`
+    * parses-but-skips the records (same contract as before the segment
+    * split). */
+  private def replaySegment(entry: IndexEntry, path: String,
+      alreadyDropped: Boolean): Boolean = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      ArtifactIO.open(path)))
+    var dropped = alreadyDropped
     try {
       var tag = in.read()
       while (tag >= 0) {
@@ -496,13 +541,12 @@ object IndexCatalog {
   def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
     // a checkpoint taken with no HNSW indexes writes only the
     // storage-family manifest — restore must not require the HNSW one
-    val hnswManifest = java.nio.file.Paths.get(s"$dir/catalog.manifest")
+    val hnswManifest = s"$dir/catalog.manifest"
     val manifest =
-      if (!java.nio.file.Files.exists(hnswManifest))
+      if (!ArtifactIO.exists(hnswManifest))
         Seq.empty[(String, String, String, HnswOptions, String, String)]
       else {
-        val in = new java.io.ObjectInputStream(
-          java.nio.file.Files.newInputStream(hnswManifest))
+        val in = new java.io.ObjectInputStream(ArtifactIO.open(hnswManifest))
         try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
         finally in.close()
       }
@@ -513,7 +557,7 @@ object IndexCatalog {
       entry
     }
     val alive = restored.filter { e =>
-      val ok = replayWal(e, walFile(dir, e.name))
+      val ok = replayWal(e, walSegDir(dir, e.name))
       if (!ok) entries.remove(e.name) // dropped after the checkpoint
       ok
     }
@@ -529,7 +573,7 @@ object IndexCatalog {
       rowidCol: String = "__rowid"): IndexEntry = {
     val opts = HnswOptions.fromMap(options)
     val idx: VectorIndex =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
+      if (ArtifactIO.isDirectory(path)) {
         ShardedHnswIndex.load(path)
       } else new SingleHnswIndex(HnswIndex.load(path))
     val entry = IndexEntry(name, table, column, opts, idx,

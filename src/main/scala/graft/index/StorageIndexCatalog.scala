@@ -1,6 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
 
 /** Restart durability for the five STORAGE-BACKED index families
   * (IVF, PQ, IVF-PQ, SQ, Term). Their data artifacts already live on
@@ -13,33 +12,65 @@ import java.nio.file.{Files, Paths}
   * guards serializing its in-memory graph, which has no analog here. */
 object StorageIndexCatalog {
 
-  private def manifestPath(dir: String) = Paths.get(dir, "storage-catalog.manifest")
+  private def manifestPath(dir: String) = s"$dir/storage-catalog.manifest"
+
+  // Once a checkpoint (or restore) has named a directory, every later
+  // registry mutation — create, drop, append's stats fold, compact's path
+  // swap — rewrites the manifest there (entries are tiny). Without this, a
+  // checkpoint → append → crash → restore sequence resurrects PRE-append
+  // metadata: stale IVF covering radii silently drop in-radius rows, and a
+  // compacted entry's manifest path points at deleted storage.
+  @volatile private var armedDir: Option[String] = None
+  @volatile private var inRestore: Boolean = false
+
+  /** Registry mutation hook (called by ArtifactRegistry and the batch
+    * watermark): keep the armed manifest current. No-op during restore —
+    * restoring entries re-registers them one by one, and a partial rewrite
+    * mid-restore could lose entries to a crash. */
+  private[index] def rewriteIfArmed(): Unit =
+    if (!inRestore) armedDir.foreach(d => checkpoint(d))
+
+  /** Forget the armed directory (ownership handoff / test isolation). */
+  def disarm(): Unit = armedDir = None
 
   /** Write all storage-backed registry entries to `dir`. Returns the
     * number of entries persisted. */
   def checkpoint(dir: String): Int = {
-    Files.createDirectories(Paths.get(dir))
     val manifest: Map[String, Seq[Any]] = Map(
       "ivf" -> IvfIndex.list.toSeq,
       "pq" -> PqIndex.list.toSeq,
       "ivfpq" -> IvfPqIndex.list.toSeq,
       "sq" -> SqIndex.list.toSeq,
-      "term" -> TermIndex.list.toSeq)
-    val out = new java.io.ObjectOutputStream(
-      Files.newOutputStream(manifestPath(dir)))
+      "term" -> TermIndex.list.toSeq,
+      // streaming-ingest idempotency watermarks ride the manifest: an
+      // at-least-once foreachBatch replay after a cold restart must see
+      // which batches were already applied (TermIndex.appendBatch)
+      "term_batches" -> TermIndex.batchWatermarks)
+    val out = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath(dir)))
     try out.writeObject(manifest) finally out.close()
-    manifest.valuesIterator.map(_.size).sum
+    armedDir = Some(dir)
+    Seq("ivf", "pq", "ivfpq", "sq", "term").map(manifest(_).size).sum
   }
 
   /** Re-register every entry from `dir`'s manifest whose name is not
     * already live (live entries win — they may have seen post-checkpoint
     * appends). Returns the number restored; 0 when no manifest exists. */
   def restore(dir: String): Int = {
-    if (!Files.exists(manifestPath(dir))) return 0
-    val in = new java.io.ObjectInputStream(Files.newInputStream(manifestPath(dir)))
+    if (!ArtifactIO.exists(manifestPath(dir))) return 0
+    val in = new java.io.ObjectInputStream(ArtifactIO.open(manifestPath(dir)))
     val manifest =
       try in.readObject().asInstanceOf[Map[String, Seq[Any]]]
       finally in.close()
+    val n =
+      try {
+        inRestore = true
+        restoreEntries(manifest)
+      } finally inRestore = false
+    armedDir = Some(dir)
+    n
+  }
+
+  private def restoreEntries(manifest: Map[String, Seq[Any]]): Int = {
     var n = 0
     manifest.getOrElse("ivf", Nil).foreach { e0 =>
       val e = e0.asInstanceOf[IvfIndex.IvfEntry]
@@ -60,6 +91,13 @@ object StorageIndexCatalog {
     manifest.getOrElse("term", Nil).foreach { e0 =>
       val e = e0.asInstanceOf[TermIndex.TermEntry]
       if (TermIndex.get(e.name).isEmpty) { TermIndex.restoreEntry(e); n += 1 }
+    }
+    // idempotency watermarks restore AFTER the entries (a watermark without
+    // its entry is meaningless); live watermarks win for the same reason
+    // live entries do
+    manifest.getOrElse("term_batches", Nil).foreach { w0 =>
+      val (name, batchId) = w0.asInstanceOf[(String, Long)]
+      TermIndex.restoreBatchWatermark(name, batchId)
     }
     n
   }

@@ -130,7 +130,7 @@ object TermIndex {
     * artifact is deleted after. Single-writer, like append. */
   def compact(spark: SparkSession, name: String): TermEntry = {
     val entry = registry.getOrThrow(name, "term")
-    val parent = java.nio.file.Paths.get(entry.path).getParent.toString
+    val parent = new org.apache.hadoop.fs.Path(entry.path).getParent.toString
     val newPath = s"$parent/$name-term-${System.currentTimeMillis()}"
     spark.read.parquet(entry.path)
       .write.partitionBy(BucketCol).parquet(newPath)
@@ -139,21 +139,30 @@ object TermIndex {
     registry.getOrThrow(name, "term")
   }
 
-  /** Watermark of the last applied streaming batch per index (this JVM). */
+  /** Watermark of the last applied streaming batch per index. Checkpointed
+    * with the storage manifest and restored by StorageIndexCatalog, so the
+    * idempotency guarantee survives cold restarts too. */
   private val appliedBatches = TrieMap.empty[String, Long]
+
+  private[index] def batchWatermarks: Seq[(String, Long)] = appliedBatches.toSeq
+  private[index] def restoreBatchWatermark(name: String, batchId: Long): Unit =
+    if (!appliedBatches.contains(name)) appliedBatches.put(name, batchId)
 
   /** Idempotent streaming append: a (name, batchId) pair is applied at
     * most once, so an at-least-once foreachBatch replay of an
     * already-applied micro-batch is a no-op instead of double-counting
-    * postings and stats. Covers in-JVM replays (task retry, query restart
-    * within the session); Structured Streaming's own checkpoint never
-    * re-delivers batches committed before a cold restart. */
+    * postings and stats. Structured Streaming's foreachBatch is
+    * at-least-once ACROSS cold restarts as well (a batch whose append
+    * completed but whose streaming commit did not is re-delivered), so the
+    * watermark advance rewrites the armed checkpoint manifest — restore
+    * sees it and the re-delivery no-ops. */
   def appendBatch(spark: SparkSession, name: String, docs: org.apache.spark.sql.DataFrame,
       batchId: Long): TermEntry = {
     val entry = registry.getOrThrow(name, "term")
     if (appliedBatches.get(name).exists(_ >= batchId)) return entry
     val updated = append(spark, name, docs)
     appliedBatches.put(name, batchId)
+    StorageIndexCatalog.rewriteIfArmed()
     updated
   }
 

@@ -1,7 +1,6 @@
 package graft.index
 
 import java.io.{ObjectInputStream, ObjectOutputStream}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
@@ -371,7 +370,7 @@ class ShardedHnswIndex private (
 
   private def freshCompactDir(): String = {
     val dir = s"${IndexCatalog.indexArtifactDir}/compact-${System.currentTimeMillis()}-${System.nanoTime() % 1000000}"
-    Files.createDirectories(Paths.get(dir))
+    ArtifactIO.mkdirs(dir)
     dir
   }
 
@@ -415,7 +414,7 @@ class ShardedHnswIndex private (
     * one shard, the driver never loads any. */
   def compactedDistributed(sc: org.apache.spark.SparkContext,
       destDir: String): ShardedHnswIndex = synchronized {
-    java.nio.file.Files.createDirectories(Paths.get(destDir))
+    ArtifactIO.mkdirs(destDir)
     val del: Set[Long] = {
       val it = deletedKeys.keySet().iterator()
       val b = Set.newBuilder[Long]
@@ -449,14 +448,13 @@ class ShardedHnswIndex private (
   /** Persist = copy shard artifacts + a manifest (delta, tombstones, stats)
     * under `path`. */
   def save(path: String): Unit = synchronized {
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
+    ArtifactIO.mkdirs(path)
     val copied = shards0.zipWithIndex.map { case (s, i) =>
-      val dest = dir.resolve(s"shard-$i.hnsw")
-      Files.copy(Paths.get(s.path), dest, StandardCopyOption.REPLACE_EXISTING)
-      s.copy(path = dest.toString)
+      val dest = s"$path/shard-$i.hnsw"
+      ArtifactIO.copy(s.path, dest)
+      s.copy(path = dest)
     }
-    val out = new ObjectOutputStream(Files.newOutputStream(dir.resolve("manifest.bin")))
+    val out = new ObjectOutputStream(ArtifactIO.create(s"$path/manifest.bin"))
     try {
       out.writeObject(copied)
       out.writeObject(delta)
@@ -486,7 +484,7 @@ class ShardedHnswIndex private (
   * index (manifest + shard files), a flat file a single graph. */
 class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
   @transient private lazy val underlying: VectorIndex =
-    if (Files.isDirectory(Paths.get(artifactPath))) ShardedHnswIndex.load(artifactPath)
+    if (ArtifactIO.isDirectory(artifactPath)) ShardedHnswIndex.load(artifactPath)
     else new SingleHnswIndex(HnswIndex.load(artifactPath))
 
   /** Force the deferred load and expose the real index (e.g. so compaction
@@ -513,8 +511,7 @@ class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
 object ShardedHnswIndex {
   @SuppressWarnings(Array("unchecked"))
   def load(path: String): ShardedHnswIndex = {
-    val manifest = Paths.get(path).resolve("manifest.bin")
-    val in = new ObjectInputStream(Files.newInputStream(manifest))
+    val in = new ObjectInputStream(ArtifactIO.open(s"$path/manifest.bin"))
     try {
       val shards = in.readObject().asInstanceOf[Array[ShardMeta]]
       val delta = in.readObject().asInstanceOf[HnswIndex]

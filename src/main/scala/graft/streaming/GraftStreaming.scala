@@ -134,10 +134,12 @@ object GraftStreaming {
     // two-step digest→slice: materializing the digest arrays first keeps
     // the md5 cost at 2 digests per shingle (the one-shot signature form
     // would re-hash per permutation — HOF lambdas don't CSE).
-    // NOTE: signatures are part of this op's STATE format — restarting a
-    // query from a checkpoint written under a different signature
-    // definition silently never matches old buckets; use a fresh
-    // checkpoint dir when the definition changes.
+    // Signatures are part of this op's STATE format, so every bucket is
+    // stamped with SigFormatVersion and checked on read: restarting from a
+    // checkpoint written under another signature definition FAILS FAST
+    // instead of silently never matching old buckets (and the state-type
+    // change itself trips Spark's state-schema compatibility check for
+    // pre-version checkpoints).
     val digestCols = graft.ops.Dedup.minHashDigestCols(col("__grams"), numPerms)
     val sigCols = graft.ops.Dedup.minHashSignatureColsFromDigests(numPerms)
     val numBands = numPerms / rowsPerBand
@@ -158,9 +160,17 @@ object GraftStreaming {
     banded
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(Long, Seq[String], String)],
-            state: GroupState[List[(Long, Seq[String])]]) => {
-          var bucket = state.getOption.getOrElse(Nil)
+        (key: String, rows: Iterator[(Long, Seq[String], String)],
+            state: GroupState[BandBucket]) => {
+          val st = state.getOption.getOrElse(BandBucket(SigFormatVersion, Nil))
+          if (st.version != SigFormatVersion) {
+            throw new IllegalStateException(
+              s"nearDupStream state for band bucket '$key' was written under " +
+                s"signature-format v${st.version}; this engine writes " +
+                s"v$SigFormatVersion — old buckets would silently never match. " +
+                "Restart the query from a fresh checkpoint directory.")
+          }
+          var bucket = st.entries
           val out = Seq.newBuilder[(Long, Long, Double)]
           // in-batch arrival order is nondeterministic: process by id so the
           // emitted pair set is reproducible
@@ -174,11 +184,21 @@ object GraftStreaming {
             }
             if (bucket.size < maxBucket) bucket = (id, sig) :: bucket
           }
-          state.update(bucket)
+          state.update(BandBucket(SigFormatVersion, bucket))
           out.result().iterator
         })
       .toDF("a", "b", "est_sim")
   }
+
+  /** MinHash signature-format version stamped into [[nearDupStream]]'s band
+    * buckets. v2 = 8-hex-char digest slices, two md5s per shingle (v1,
+    * round 4, was the full-md5-hex minimum). Bump on ANY change to the
+    * signature definition. */
+  val SigFormatVersion = 2
+
+  /** One band bucket's state: the format version it was written under plus
+    * the (id, signature) entries. */
+  case class BandBucket(version: Int, entries: List[(Long, Seq[String])])
 
   /** Gap-based session windows over event time — the streaming shape of
     * [[graft.ops.Sessionize]] (q40). Declarative `session_window` (not

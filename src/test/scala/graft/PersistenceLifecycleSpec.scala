@@ -28,6 +28,10 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
       IndexCatalog.checkpoint(spark, ckptDir)
     }
     assert(e.getMessage.contains("hnsw_enable_experimental_persistence"))
+    // a refused CHECKPOINT leaves the directory untouched — in particular
+    // no storage-family manifest a later restoreAll could resurrect
+    assert(!graft.index.ArtifactIO.exists(s"$ckptDir/storage-catalog.manifest"))
+    assert(!graft.index.ArtifactIO.exists(s"$ckptDir/catalog.manifest"))
   }
 
   test("checkpoint -> restart -> lazy reload -> insert after restart") {
@@ -199,5 +203,95 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     val termAfter = TermIndex.search(spark, "sl_term", Seq("the"), 5)
       .select($"doc_id").as[Long].collect().toSeq
     assert(ivfAfter == ivfBefore && termAfter == termBefore)
+  }
+
+  test("armed manifest follows post-checkpoint appends, compactions and " +
+      "batch watermarks (checkpoint -> mutate -> crash -> restore is current)") {
+    import graft.index.{IvfIndex, StorageIndexCatalog, TermIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-armed").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.where($"vec_id" % 2 === 0).createOrReplaceTempView("armed_seed")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").createOrReplaceTempView("armed_docs")
+    IvfIndex.drop("armed_ivf"); TermIndex.drop("armed_term")
+    IvfIndex.create(spark, "armed_ivf", "armed_seed", "embedding", nLists = 4)
+    TermIndex.create(spark, "armed_term", "armed_docs", "doc_id", "text",
+      nBuckets = 4)
+    StorageIndexCatalog.checkpoint(dir) // arms the manifest
+
+    // post-checkpoint mutations: an IVF append extends covering radii, a
+    // term compaction swaps the artifact path, a streaming batch advances
+    // the idempotency watermark — all must survive a crash WITHOUT another
+    // explicit checkpoint
+    IvfIndex.append(spark, "armed_ivf", emb.where($"vec_id" % 2 === 1))
+    val radiiLive = IvfIndex.get("armed_ivf").get.listRadii
+    val compacted = TermIndex.compact(spark, "armed_term")
+    TermIndex.appendBatch(spark, "armed_term",
+      spark.table("armed_docs").limit(0), batchId = 7L)
+
+    // crash: registries gone, manifest + artifacts remain
+    IvfIndex.clearRegistryOnly(); TermIndex.clearRegistryOnly()
+    StorageIndexCatalog.restore(dir)
+
+    assert(IvfIndex.get("armed_ivf").get.listRadii == radiiLive,
+      "restored IVF radii must include the append's extension — stale radii " +
+        "silently drop in-radius rows")
+    assert(TermIndex.get("armed_term").get.path == compacted.path,
+      "restored term entry must point at the compacted artifact (the " +
+        "pre-compaction path was deleted)")
+    // the replayed micro-batch no-ops instead of double-applying
+    val statsBefore = TermIndex.get("armed_term").get
+    TermIndex.appendBatch(spark, "armed_term",
+      spark.table("armed_docs").limit(5), batchId = 7L)
+    assert(TermIndex.get("armed_term").get.nDocs == statsBefore.nDocs,
+      "an already-applied batchId replayed after restart must not " +
+        "double-apply postings/stats")
+    StorageIndexCatalog.disarm()
+  }
+
+  test("full lifecycle against an explicit file:-scheme URI " +
+      "(artifacts, checkpoint, WAL all through the Hadoop FileSystem API)") {
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val base = java.nio.file.Files.createTempDirectory("graft-uri").toString
+    val uriCkpt = s"file:$base/ckpt"
+    val oldProp = sys.props.get("graft.indexes.dir")
+    sys.props("graft.indexes.dir") = s"file:$base/artifacts"
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "uri_t", emb)
+      IndexCatalog.dropIndex("uri_idx")
+      IndexCatalog.createIndex(spark, "uri_idx", "uri_t", "embedding",
+        Map("ef_search" -> "2000"), sharded = true, numShards = 2)
+      // executor-built shard artifacts landed under the file: URI
+      val shards = IndexCatalog.get("uri_idx").get.index
+        .asInstanceOf[graft.index.ShardedHnswIndex].shards
+      assert(shards.forall(_.path.startsWith("file:")))
+
+      val q = spark.table("uri_t").filter($"vec_id" === 5)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      val before = Graft.indexTopK(spark, "uri_idx", q, 5)
+        .select($"vec_id").as[Long].collect().toSeq
+
+      IndexCatalog.checkpoint(spark, uriCkpt)
+      // post-checkpoint DML: the WAL segment publishes through the URI too
+      val probe = Array.fill(64)(77f)
+      Graft.insertInto(spark, "uri_t",
+        Seq((909000L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, uriCkpt)
+      val after = Graft.indexTopK(spark, "uri_idx", q, 5)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(after == before)
+      assert(Graft.indexTopK(spark, "uri_idx", probe, 1)
+        .select($"vec_id").as[Long].head() == 909000L)
+    } finally {
+      oldProp match {
+        case Some(v) => sys.props("graft.indexes.dir") = v
+        case None => sys.props.remove("graft.indexes.dir")
+      }
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+    }
   }
 }
