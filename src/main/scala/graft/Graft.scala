@@ -68,13 +68,8 @@ object Graft {
       case None => Some(List(path))
     }
 
-  private def deletePath(p: String): Unit = {
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path)) {
-      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-  }
+  private def deletePath(p: String): Unit =
+    graft.index.ArtifactIO.deleteRecursive(p)
 
   /** Delete storage retired by re-registrations/rematerializations of
     * `name`. Caller asserts no in-flight reader still holds a plan over the
@@ -161,11 +156,16 @@ object Graft {
     val n = entry.index.size
     var m = math.min(math.max(k * fetchFactor, k), math.max(n, 1))
     while (true) {
+      // rowid tie-break: duplicate vectors straddling the k boundary must
+      // resolve deterministically (same contract as topK's tieBreak).
+      // localCheckpoint materializes the k-bounded probe ONCE — the
+      // survivor count and the returned result come from the same
+      // execution of the fetch join, not two
       val fetched = indexTopK(spark, indexName, query, m).where(pred)
-      if (m >= n || fetched.limit(k).count() >= k)
-        // rowid tie-break: duplicate vectors straddling the k boundary must
-        // resolve deterministically (same contract as topK's tieBreak)
-        return fetched.orderBy(col("dist"), col(entry.rowidCol)).limit(k)
+        .orderBy(col("dist"), col(entry.rowidCol)).limit(k)
+        .localCheckpoint()
+      if (m >= n || fetched.count() >= k)
+        return fetched.orderBy(col("dist"), col(entry.rowidCol))
       m = math.min(m * 4, n)
     }
     throw new IllegalStateException("unreachable")
@@ -467,13 +467,26 @@ object Graft {
     // not be recomputed, and a cache would leak one pinned DataFrame per
     // insert on a long-running ingest); the existing side stays as-is
     val deltaPath = s"$defaultTableDir/$table-delta-${System.nanoTime()}"
-    rows.withColumn(RowIdCol, monotonically_increasing_id() + lit(maxId + 1))
-      .write.parquet(deltaPath)
+    val indexes = IndexCatalog.list.filter(_.table == table)
+    // indexable (non-NULL-vector) row counts per indexed column ride the
+    // delta WRITE as observed metrics — the sharded tier decision below
+    // costs no extra scan over the just-written delta
+    val obs = new org.apache.spark.sql.Observation(s"ins-$table-${System.nanoTime()}")
+    val toWrite = rows.withColumn(RowIdCol, monotonically_increasing_id() + lit(maxId + 1))
+    val indexedCols = indexes.map(_.column).distinct
+    val observed =
+      if (indexedCols.isEmpty) toWrite
+      else toWrite.observe(obs,
+        count(col(indexedCols.head)).as(indexedCols.head),
+        indexedCols.tail.map(c => count(col(c)).as(c)): _*)
+    observed.write.parquet(deltaPath)
+    lazy val vecCounts: Map[String, Long] =
+      if (indexedCols.isEmpty) Map.empty
+      else obs.get.map { case (c, v) => c -> v.asInstanceOf[Long] }
     addServing(table, deltaPath)
     val withIds = spark.read.parquet(deltaPath)
     val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
-    val indexes = IndexCatalog.list.filter(_.table == table)
     indexes.foreach { e =>
       val pairs = withIds.select(col(RowIdCol).cast(LongType), col(e.column))
         .where(col(e.column).isNotNull)
@@ -493,7 +506,7 @@ object Graft {
             // threshold + shard sizing count INDEXABLE (non-NULL-vector)
             // rows — a mostly-NULL batch must not mint tiny shard artifacts
             // that permanently inflate per-search fan-out
-            val nVec = pairs.count()
+            val nVec = vecCounts(e.column)
             if (nVec >= shardBatchThreshold) {
               val nShards = math.max(1, math.ceil(nVec.toDouble / ingestRowsPerShard).toInt)
               val metas = IndexCatalog.buildShardMetas(
