@@ -112,7 +112,9 @@ object Bench {
       "q41_pq_topk" -> "build_q41_pq",
       "q43_ivfpq_topk" -> "build_q43_ivfpq",
       "q53_bm25_indexed" -> "build_q53_term",
-      "q55_sq_topk" -> "build_q55_sq").map { case (q, metric) =>
+      "q55_sq_topk" -> "build_q55_sq",
+      "q22_minhash_lsh_pairs" -> "build_dedup_sigs",
+      "q79_graph_topk" -> "build_graph_index").map { case (q, metric) =>
       val t0 = System.nanoTime()
       run(q)
       metric -> (System.nanoTime() - t0) / 1e9

@@ -453,6 +453,48 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
+    /** Read-only TRUE-ANN index shared by the graph-mode bench entries
+      * (q79/q80): built at the reference's DEFAULT ef_search=64, so
+      * searches run the actual HNSW graph descent (ef < N), not the
+      * exhaustive linearScan fast path the oracle-pinned queries use.
+      * Recall at this ef is pinned by RecallSpec; these entries put the
+      * LATENCY of the engine's headline feature on the bench record. */
+    private def sharedGraphIndex(s: SparkSession, dir: String): (String, String) = {
+      graft.plans.GraftExtensions.install(s)
+      val tag = Integer.toHexString(dir.hashCode)
+      val (table, index) = (s"qgraph_emb_$tag", s"qgraph_idx_$tag")
+      if (graft.index.IndexCatalog.get(index).isEmpty) {
+        Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
+        graft.index.IndexCatalog.createIndex(s, index, table, "embedding")
+      }
+      (table, index)
+    }
+
+    /** q16's TopN shape in true graph mode (ef=64). APPROXIMATE by design —
+      * no SQL oracle (rows-only check); RecallSpec pins quality, this
+      * entry pins latency. */
+    def q79GraphTopK(s: SparkSession, dir: String): DataFrame = {
+      val (table, _) = sharedGraphIndex(s, dir)
+      val qv = embQueryVec(s, table, 0)
+      s.table(table)
+        .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+        .orderBy(col("dist").asc_nulls_last).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** q17's KNN-join shape in true graph mode (ef=64): 100 outer rows,
+      * k=3, broadcast index, graph descent per probe. */
+    def q80GraphKnnJoin(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedGraphIndex(s, dir)
+      val outer = s.table(table)
+        .filter(col("vec_id") < 100 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.knnJoin(s, outer, "qvec", index, 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
     /** Grouped lateral-KNN (reference test/sql/hnsw/hnsw_lateral_join_group
       * .test): aggregate over each outer row's k nearest neighbors through
       * the index KNN join. Only order-independent aggregates (count/min/max)
@@ -608,11 +650,28 @@ object SparkEntry {
           col("n_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
         .orderBy(col("doc_id"))
 
+    /** MinHash-signature ARTIFACT shared by q22/q47/q76 — built once per
+      * (session, sf dir), the TermIndex pattern applied to dedup: the
+      * shingle+md5 corpus pass runs once, every pair-mining/clustering/
+      * split pass starts from the materialized signature parquet. Returns
+      * the artifact name. */
+    private def sharedSignatures(s: SparkSession, dir: String): String = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val name = s"qshared_sigs_$tag"
+      if (graft.index.DedupSignatures.get(name).isEmpty) {
+        tbl(s, dir, "documents").createOrReplaceTempView(s"qsig_docs_$tag")
+        graft.index.DedupSignatures.create(s, name, s"qsig_docs_$tag",
+          "doc_id", "text")
+      }
+      name
+    }
+
     /** MinHash + LSH near-dup candidate pairs (bucketed band join, never
-      * all-pairs — the 100TB shape). md5-based permutations make the whole
-      * pipeline replayable in DuckDB. */
+      * all-pairs — the 100TB shape), through the shared signature artifact.
+      * md5-based permutations make the whole pipeline replayable in
+      * DuckDB. */
     def q22MinHashLsh(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.minHashLshPairs(tbl(s, dir, "documents"), "doc_id", "text")
+      graft.index.DedupSignatures.pairs(s, sharedSignatures(s, dir))
         .orderBy(col("a"), col("b"))
 
     /** 64-bit SimHash per document as a '0'/'1' bit string. */
@@ -659,7 +718,7 @@ object SparkEntry {
       * every dedup pipeline actually ships. */
     def q47DedupClusters(s: SparkSession, dir: String): DataFrame = {
       val d = tbl(s, dir, "documents")
-      val pairs = graft.ops.Dedup.minHashLshPairs(d, "doc_id", "text")
+      val pairs = graft.index.DedupSignatures.pairs(s, sharedSignatures(s, dir))
         .where(col("est_sim") >= 0.5).select(col("a"), col("b"))
       graft.ops.Components.connectedComponents(d.select(col("doc_id")), pairs)
         .orderBy(col("doc_id"))
@@ -1165,7 +1224,7 @@ object SparkEntry {
       * boundary and leak training text into eval. */
     def q76ClusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
       val docs = tbl(s, dir, "documents")
-      val pairs = graft.ops.Dedup.minHashLshPairs(docs, "doc_id", "text")
+      val pairs = graft.index.DedupSignatures.pairs(s, sharedSignatures(s, dir))
         .where(col("est_sim") >= 0.5).select(col("a"), col("b"))
       graft.ops.Sampling.clusterSafeSplit(docs, "doc_id", pairs)
         .select(col("doc_id"), col("split"))
@@ -1349,6 +1408,10 @@ object SparkEntry {
     "q76_cluster_safe_split" -> (Queries.q76ClusterSafeSplit _),
     "q77_maxsim" -> (Queries.q77MaxSim _),
     "q78_infix_knn" -> (Queries.q78InfixKnn _),
+    // q79/q80: true-ANN graph mode (default ef=64) — approximate by design,
+    // so no SQL oracle (driver rows-only check); RecallSpec pins quality
+    "q79_graph_topk" -> (Queries.q79GraphTopK _),
+    "q80_graph_knn_join" -> (Queries.q80GraphKnnJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

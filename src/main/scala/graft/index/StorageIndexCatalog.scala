@@ -1,8 +1,8 @@
 package graft.index
 
 
-/** Restart durability for the five STORAGE-BACKED index families
-  * (IVF, PQ, IVF-PQ, SQ, Term). Their data artifacts already live on
+/** Restart durability for the STORAGE-BACKED index families
+  * (IVF, PQ, IVF-PQ, SQ, Term, DedupSignatures). Their data artifacts already live on
   * shared storage (parquet lists / codes / postings) — the only
   * driver-resident state is each registry's entry metadata (paths,
   * centroids/codebooks/ranges, corpus stats), so checkpointing them is a
@@ -42,6 +42,7 @@ object StorageIndexCatalog {
       "ivfpq" -> IvfPqIndex.list.toSeq,
       "sq" -> SqIndex.list.toSeq,
       "term" -> TermIndex.list.toSeq,
+      "dedupsig" -> DedupSignatures.list.toSeq,
       // streaming-ingest idempotency watermarks ride the manifest: an
       // at-least-once foreachBatch replay after a cold restart must see
       // which batches were already applied (TermIndex.appendBatch)
@@ -49,7 +50,7 @@ object StorageIndexCatalog {
     val out = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath(dir)))
     try out.writeObject(manifest) finally out.close()
     armedDir = Some(dir)
-    Seq("ivf", "pq", "ivfpq", "sq", "term").map(manifest(_).size).sum
+    Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig").map(manifest(_).size).sum
   }
 
   /** Re-register every entry from `dir`'s manifest whose name is not
@@ -91,6 +92,10 @@ object StorageIndexCatalog {
     manifest.getOrElse("term", Nil).foreach { e0 =>
       val e = e0.asInstanceOf[TermIndex.TermEntry]
       if (TermIndex.get(e.name).isEmpty) { TermIndex.restoreEntry(e); n += 1 }
+    }
+    manifest.getOrElse("dedupsig", Nil).foreach { e0 =>
+      val e = e0.asInstanceOf[DedupSignatures.SigEntry]
+      if (DedupSignatures.get(e.name).isEmpty) { DedupSignatures.restoreEntry(e); n += 1 }
     }
     // idempotency watermarks restore AFTER the entries (a watermark without
     // its entry is meaningless); live watermarks win for the same reason

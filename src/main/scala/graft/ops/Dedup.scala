@@ -213,24 +213,34 @@ object Dedup {
           .as("contam_frac"))
   }
 
-  /** LSH candidate pairs: docs sharing any band (bands of `rowsPerBand`
-    * signature rows), with the MinHash similarity estimate
-    * (#agreeing perms / perms). Returns (a, b, est_sim), a < b. */
-  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
-    // signatures via explode + map-side-combined min aggregate: measured
-    // FASTER than the shuffle-free array-domain form (minHashSignatureCols)
-    // at sf0.1 — 8 md5s per exploded row inside one codegen stage beat 8
-    // per-permutation array materializations per doc. Materialize once for
-    // the three consumers (band explode + both verify sides).
+  /** The MinHash signature table (idCol, mh0..mh{numPerms-1}) of a corpus —
+    * signatures via explode + map-side-combined min aggregate: measured
+    * FASTER than the shuffle-free array-domain form (minHashSignatureCols)
+    * at sf0.1 — 8 md5s per exploded row inside one codegen stage beat 8
+    * per-permutation array materializations per doc. This is the
+    * compute-heavy half of the LSH pipeline; persist it once per corpus
+    * (graft.index.DedupSignatures) and every downstream pair mining /
+    * clustering / split pass reuses it. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 8): DataFrame = {
     val aggs = (0 until numPerms).map { p =>
       min(substring(md5(concat(lit(s"${p / 4}:"), col("shingle"))),
         (p % 4) * 8 + 1, 8)).as(s"mh$p")
     }
-    val sigs = shingles(docs, idCol, textCol, shingleLen)
+    shingles(docs, idCol, textCol, shingleLen)
       .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
+  }
+
+  /** LSH candidate pairs from an ALREADY-MATERIALIZED signature table
+    * ([[minHashSignatures]] — a parquet artifact or a checkpointed frame;
+    * the three consumers here re-scan it, so passing the raw signature
+    * expression would recompute the md5 pipeline per consumer). Docs
+    * sharing any band (bands of `rowsPerBand` signature rows) pair up,
+    * verified with the MinHash similarity estimate (#agreeing perms /
+    * perms). Returns (a, b, est_sim), a < b. */
+  def lshPairsFromSignatures(sigs: DataFrame, idCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val numBands = numPerms / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -250,6 +260,22 @@ object Dedup {
     cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"),
         (agree.cast(DoubleType) / lit(numPerms.toDouble)).as("est_sim"))
+  }
+
+  /** LSH candidate pairs end-to-end: docs sharing any band (bands of
+    * `rowsPerBand` signature rows), with the MinHash similarity estimate
+    * (#agreeing perms / perms). Returns (a, b, est_sim), a < b. One-shot
+    * form — signatures are computed inline and localCheckpoint'ed for the
+    * three consumers (band explode + both verify sides). Pipelines that
+    * mine pairs more than once per corpus should build the signature
+    * ARTIFACT instead (graft.index.DedupSignatures) and call
+    * [[lshPairsFromSignatures]]. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleLen, numPerms)
+      .localCheckpoint()
+    lshPairsFromSignatures(sigs, idCol, numPerms, rowsPerBand)
   }
 
   /** 64-bit SimHash over whitespace tokens, returned as a 16-hex-char-derived
