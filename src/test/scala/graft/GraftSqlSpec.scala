@@ -90,7 +90,11 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
   }
 
   test("every SparkEntry query has a matching oracle entry") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    // q79/q80 are the true-ANN graph-mode bench entries: approximate by
+    // design, so deliberately oracle-less (driver rows-only check)
+    val oracleLess = Set("q79_graph_topk", "q80_graph_knn_join")
+    assert(SparkEntry.queries.keySet -- oracleLess == SparkEntry.oracleSql.keySet)
+    assert(oracleLess.subsetOf(SparkEntry.queries.keySet))
   }
 
   test("DROP INDEX removes the entry; dropping twice errors") {
