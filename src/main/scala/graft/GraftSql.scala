@@ -35,6 +35,12 @@ object GraftSql {
     """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
+  // the reference's query-time ef knob (`SET hnsw_ef_search = N`, read at
+  // scan init — reference src/hnsw/hnsw_index.cpp:285-299); RESET restores
+  // the index's build-time default
+  private val SetEfSearchRe =
+    """(?is)\s*SET\s+hnsw_ef_search\s*=\s*(\d+)\s*;?\s*""".r
+  private val ResetEfSearchRe = """(?is)\s*RESET\s+hnsw_ef_search\s*;?\s*""".r
   // the reference's vss_join table macro in its canonical invocation form
   // (reference src/hnsw/hnsw_index_macros.cpp:107-110)
   private val VssJoinRe =
@@ -92,6 +98,12 @@ object GraftSql {
       spark.emptyDataFrame
     case CheckpointBareRe() => // DuckDB's argument-less CHECKPOINT form
       IndexCatalog.checkpoint(spark, s"${IndexCatalog.indexArtifactDir}/checkpoint")
+      spark.emptyDataFrame
+    case SetEfSearchRe(n) =>
+      spark.conf.set(IndexCatalog.EfSearchConfKey, n.toInt.toString)
+      spark.emptyDataFrame
+    case ResetEfSearchRe() =>
+      spark.conf.unset(IndexCatalog.EfSearchConfKey)
       spark.emptyDataFrame
     case Bm25TopKRe(table, idCol, textCol, termsStr, k) =>
       // order-preserving dedupe: a repeated query term must not trip the

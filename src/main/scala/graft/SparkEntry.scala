@@ -679,17 +679,33 @@ object SparkEntry {
       graft.ops.Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
 
+    /** Hashed-shingle ARTIFACT shared by q24/q44/q45 — the shingle explode
+      * over corpus text runs once, persisted bucketed-by-shingle so the
+      * Jaccard self-join and by-shingle aggregates read it exchange-free.
+      * Returns the artifact's shingle DataFrame. */
+    private def sharedShingles(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val name = s"qshared_sh_$tag"
+      if (graft.index.ShingleIndex.get(name).isEmpty) {
+        tbl(s, dir, "documents").createOrReplaceTempView(s"qsh_docs_$tag")
+        graft.index.ShingleIndex.create(s, name, s"qsh_docs_$tag",
+          "doc_id", "text")
+      }
+      graft.index.ShingleIndex.shingles(s, name)
+    }
+
     /** Exact n-gram Jaccard over LSH-free shingle join, with the
-      * document-frequency skew cap on shingles. */
+      * document-frequency skew cap on shingles — through the bucketed
+      * shingle artifact (the self-join runs exchange-free). */
     def q24JaccardPairs(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 3, minJaccard = 0.05, maxShingleDocFreq = 100)
+      graft.ops.Dedup.ngramJaccardPairsFromShingles(sharedShingles(s, dir),
+        "doc_id", minJaccard = 0.05, maxShingleDocFreq = 100)
         .orderBy(col("a"), col("b"))
 
     /** Per-document corpus-duplication fraction: how many of the doc's
       * distinct 3-gram shingles occur in other documents too. */
     def q44CorpusDup(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.corpusDupSignal(tbl(s, dir, "documents"), "doc_id", "text")
+      graft.ops.Dedup.corpusDupSignalFromShingles(sharedShingles(s, dir), "doc_id")
         .orderBy(col("doc_id"))
 
     /** Benchmark decontamination: per corpus doc, shingle overlap against a
@@ -697,10 +713,12 @@ object SparkEntry {
       * The benchmark shingle set is broadcast — the corpus side never
       * shuffles until the per-doc rollup. */
     def q45Decontaminate(s: SparkSession, dir: String): DataFrame = {
-      val d = tbl(s, dir, "documents")
-      graft.ops.Dedup.decontaminationSignal(
-        d.where(col("doc_id") % 41 =!= 0), d.where(col("doc_id") % 41 === 0),
-        "doc_id", "text")
+      // shingles are per-document: one full-corpus artifact filtered by the
+      // id predicate yields exactly each side's shingles
+      val sh = sharedShingles(s, dir)
+      graft.ops.Dedup.decontaminationSignalFromShingles(
+        sh.where(col("doc_id") % 41 =!= 0), sh.where(col("doc_id") % 41 === 0),
+        "doc_id")
         .orderBy(col("doc_id"))
     }
 

@@ -43,6 +43,7 @@ object StorageIndexCatalog {
       "sq" -> SqIndex.list.toSeq,
       "term" -> TermIndex.list.toSeq,
       "dedupsig" -> DedupSignatures.list.toSeq,
+      "shingle" -> ShingleIndex.list.toSeq,
       // streaming-ingest idempotency watermarks ride the manifest: an
       // at-least-once foreachBatch replay after a cold restart must see
       // which batches were already applied (TermIndex.appendBatch)
@@ -50,7 +51,8 @@ object StorageIndexCatalog {
     val out = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath(dir)))
     try out.writeObject(manifest) finally out.close()
     armedDir = Some(dir)
-    Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig").map(manifest(_).size).sum
+    Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig", "shingle")
+      .map(manifest(_).size).sum
   }
 
   /** Re-register every entry from `dir`'s manifest whose name is not
@@ -96,6 +98,10 @@ object StorageIndexCatalog {
     manifest.getOrElse("dedupsig", Nil).foreach { e0 =>
       val e = e0.asInstanceOf[DedupSignatures.SigEntry]
       if (DedupSignatures.get(e.name).isEmpty) { DedupSignatures.restoreEntry(e); n += 1 }
+    }
+    manifest.getOrElse("shingle", Nil).foreach { e0 =>
+      val e = e0.asInstanceOf[ShingleIndex.ShingleEntry]
+      if (ShingleIndex.get(e.name).isEmpty) { ShingleIndex.restoreEntry(e); n += 1 }
     }
     // idempotency watermarks restore AFTER the entries (a watermark without
     // its entry is meaningless); live watermarks win for the same reason

@@ -95,8 +95,12 @@ object Dedup {
     * it, so shuffling/joining 8-byte longs instead of 20-30-byte strings
     * cuts shuffle volume ~3× at identical results (collision odds
     * ~n²/2⁶⁴ — negligible against any corpus this runs on, same trade
-    * every production hash-based dedup makes). */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+    * every production hash-based dedup makes). This is the build
+    * expression of the shingle ARTIFACT (graft.index.ShingleIndex): the
+    * explode + hash pass over corpus text is the dominant cost of every
+    * op below, so persist it once — bucketed by shingle — and the
+    * `…FromShingles` variants run off the bucketed scan. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     shingles(df, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
@@ -114,9 +118,16 @@ object Dedup {
     * sort over the full exploded shingle table, no self-join, no pair
     * explosion; hot shingles cost their row count, never df². */
   def corpusDupSignal(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3): DataFrame = {
+      shingleLen: Int = 3): DataFrame =
     // two consumers of the exploded shingle table: materialize it once
-    val sh = hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint()
+    corpusDupSignalFromShingles(
+      hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint(), idCol)
+
+  /** [[corpusDupSignal]] from an ALREADY-MATERIALIZED hashed-shingle table
+    * (a ShingleIndex artifact or a checkpointed frame — both consumers
+    * re-scan it). A shingle-bucketed artifact makes the by-shingle
+    * aggregate exchange-free. */
+  def corpusDupSignalFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val uniqPerDoc = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
@@ -197,9 +208,18 @@ object Dedup {
     * table joins partition-locally with no shuffle, and the only shuffle is
     * the per-doc rollup (map-side combined, keyed by doc id). */
   def decontaminationSignal(docs: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, shingleLen: Int = 3): DataFrame = {
-    val corpusSh = hashedShingles(docs, idCol, textCol, shingleLen)
-    val benchSh = hashedShingles(benchmark, idCol, textCol, shingleLen)
+      textCol: String, shingleLen: Int = 3): DataFrame =
+    decontaminationSignalFromShingles(
+      hashedShingles(docs, idCol, textCol, shingleLen),
+      hashedShingles(benchmark, idCol, textCol, shingleLen), idCol)
+
+  /** [[decontaminationSignal]] from already-exploded hashed-shingle tables
+    * (e.g. one ShingleIndex artifact filtered into corpus/benchmark sides —
+    * shingles are per-document, so an id-predicate filter over the full
+    * artifact yields exactly the subset's shingles). */
+  def decontaminationSignalFromShingles(corpusSh: DataFrame, benchSh0: DataFrame,
+      idCol: String): DataFrame = {
+    val benchSh = benchSh0
       .select(col("shingle")).distinct()
       .withColumn("__hit", lit(1))
     corpusSh
@@ -317,14 +337,23 @@ object Dedup {
     * consistent similarity over the retained (rare) shingle space. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.0,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame =
     // the exploded shingle table feeds the hot-list aggregate, the cap
     // anti-join, the per-doc set sizes, and both sides of the pair join —
-    // materialize the (CPU-heavy) explode exactly once; the 100TB pipeline
-    // would persist this as a shingle-BUCKETED table so the self-join and
-    // shingle-keyed aggregates read it exchange-free (a localCheckpoint
-    // cannot carry partitioning through the aliased join branches)
-    val sh0 = hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint()
+    // materialize the (CPU-heavy) explode exactly once. The persistent
+    // form of that materialization is graft.index.ShingleIndex: a
+    // shingle-BUCKETED table the self-join and shingle-keyed aggregates
+    // read exchange-free (a localCheckpoint cannot carry partitioning
+    // through the aliased join branches).
+    ngramJaccardPairsFromShingles(
+      hashedShingles(docs, idCol, textCol, shingleLen).localCheckpoint(),
+      idCol, minJaccard, maxShingleDocFreq)
+
+  /** [[ngramJaccardPairs]] from an already-materialized hashed-shingle
+    * table. */
+  def ngramJaccardPairsFromShingles(sh0: DataFrame, idCol: String,
+      minJaccard: Double = 0.0,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {

@@ -89,6 +89,16 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(cos.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6)) // self-similarity
   }
 
+  test("SET / RESET hnsw_ef_search maps onto the session ef knob " +
+      "(reference hnsw_index.cpp:285-299)") {
+    GraftSql.sql(spark, "SET hnsw_ef_search = 123")
+    assert(spark.conf.get(IndexCatalog.EfSearchConfKey) == "123")
+    val entry = IndexCatalog.list.headOption
+    entry.foreach(e => assert(IndexCatalog.effectiveEf(spark, e) == 123))
+    GraftSql.sql(spark, "RESET hnsw_ef_search")
+    assert(spark.conf.getOption(IndexCatalog.EfSearchConfKey).isEmpty)
+  }
+
   test("every SparkEntry query has a matching oracle entry") {
     // q79/q80 are the true-ANN graph-mode bench entries: approximate by
     // design, so deliberately oracle-less (driver rows-only check)
