@@ -782,7 +782,14 @@ object SparkEntry {
       val surv = graft.ops.Dedup.exact(d, "doc_id", Seq(md5(col("text"))))
       val corpus = surv.where(col("doc_id") % 41 =!= 0)
       val bench = d.where(col("doc_id") % 41 === 0)
-      val contam = graft.ops.Dedup.decontaminationSignal(corpus, bench, "doc_id", "text")
+      // the shared shingle artifact serves the derived corpus too: shingles
+      // are per-document, so a semi-join on the survivor ids selects exactly
+      // the corpus side's shingles without re-exploding the text (the id
+      // set is small relative to the shingle table — AQE broadcasts it)
+      val sh = sharedShingles(s, dir)
+      val contam = graft.ops.Dedup.decontaminationSignalFromShingles(
+        sh.join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        sh.where(col("doc_id") % 41 === 0), "doc_id")
       // LEFT join: a doc too short to shingle has no contamination signal —
       // that means nothing overlapped, not that the doc should be dropped
       val clean = corpus
@@ -942,7 +949,9 @@ object SparkEntry {
       * reads only the query terms' posting partitions (PartitionFilters,
       * pinned by TextSearchSpec); result is bit-identical to q52, so the
       * two share the oracle. */
-    def q53Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    /** Term index over the documents table shared by q53/q56 — built once
+      * per (session, sf dir). Returns the index name. */
+    private def sharedTermIndex(s: SparkSession, dir: String): String = {
       val tag = Integer.toHexString(dir.hashCode)
       val (tname, iname) = (s"q53_docs_$tag", s"q53_term_$tag")
       tbl(s, dir, "documents").createOrReplaceTempView(tname)
@@ -950,8 +959,11 @@ object SparkEntry {
         graft.index.TermIndex.create(s, iname, tname, "doc_id", "text",
           nBuckets = 8)
       }
-      graft.index.TermIndex.search(s, iname, bm25Terms, 20)
+      iname
     }
+
+    def q53Bm25Indexed(s: SparkSession, dir: String): DataFrame =
+      graft.index.TermIndex.search(s, sharedTermIndex(s, dir), bm25Terms, 20)
 
     /** Hybrid search: BM25 keyword top-20 fused with exact vector top-20
       * (documents and embeddings share the id space) by reciprocal-rank
@@ -986,7 +998,10 @@ object SparkEntry {
       val queries = d.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           slice(graft.ops.TextSearch.tokens(col("text")), 1, 3).as("terms"))
-      graft.ops.TextSearch.bm25JoinTopK(d, "doc_id", "text",
+      // through the shared term index: bit-identical to the brute-force
+      // bm25JoinTopK over the table (differential spec), but the corpus
+      // tokenize pass is replaced by a bucket-pruned posting read
+      graft.index.TermIndex.searchJoin(s, sharedTermIndex(s, dir),
           queries, "qid", "terms", 3)
         .orderBy(col("qid"), col("rank"))
     }

@@ -224,6 +224,39 @@ object TermIndex {
 
   /** All matching docs with scores (the un-limited form; search adds the
     * top-k). Split out so specs can compare full score sets. */
+  /** Batch multi-query BM25 through the index — the keyword KNN-join
+    * (TextSearch.bm25JoinTopK) without the corpus tokenize pass: the
+    * queries' DISTINCT bucket VALUES (≤ nBuckets longs — never the terms)
+    * come to the driver for partition pruning, the pruned postings
+    * semi-join the term set (df from the full per-term lists stays GLOBAL
+    * — bucket-completeness, same argument as [[search]]), and corpus
+    * stats come from entry metadata. Results are bit-identical to the
+    * brute-force join over the source table (spec-pinned). At 100 TB the
+    * read is |query-term buckets| / nBuckets of the postings; documents
+    * are never scanned. */
+  def searchJoin(spark: SparkSession, name: String, queries: DataFrame,
+      qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val entry = registry.getOrThrow(name, "term")
+    // three consumers (bucket collect, semi-join, score join): materialize
+    // the exploded query-term table once
+    val qterms = queries
+      .select(col(qidCol), explode(col(termsCol)).as("term"))
+      .distinct()
+      .localCheckpoint()
+    val buckets = qterms
+      .select(bucketExpr(col("term"), entry.nBuckets).as("__b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(entry.path)
+      .where(col(BucketCol).isin(buckets: _*)) // partition pruning
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+    val stats = spark.range(1)
+      .select(lit(entry.nDocs).as("n"), lit(entry.avgDl).as("avgdl"))
+    TextSearch.bm25JoinScored(postings, stats, qterms, entry.idCol, qidCol,
+      k, k1, b)
+  }
+
   def scoredPostings(spark: SparkSession, entry: TermEntry, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val buckets = bucketsOf(spark, terms, entry.nBuckets)

@@ -192,12 +192,24 @@ object TextSearch {
   def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qterms = queries
       .select(col(qidCol), explode(col(termsCol)).as("term"))
       .distinct()
     val postings = postingsForTerms(docs, idCol, textCol, qterms)
-    val contrib = withContrib(postings, corpusStats(docs, textCol), k1, b, "c")
+    bm25JoinScored(postings, corpusStats(docs, textCol), qterms,
+      idCol, qidCol, k, k1, b)
+  }
+
+  /** The scoring tail of [[bm25JoinTopK]] from prepared inputs: postings
+    * covering every occurrence of each retained term (df is computed from
+    * them), one-row corpus stats, and the exploded (qid, term) table.
+    * Shared by the brute-force path above and the term-index batch join
+    * (TermIndex.searchJoin), so both score with the one formula. */
+  private[graft] def bm25JoinScored(postings: DataFrame, stats: DataFrame,
+      qterms: DataFrame, idCol: String, qidCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contrib = withContrib(postings, stats, k1, b, "c")
     val scored = contrib
       .join(qterms, "term")
       .groupBy(col(qidCol), col(idCol))

@@ -243,6 +243,32 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally TermIndex.drop("ts_ph")
   }
 
+  test("TermIndex.searchJoin is bit-identical to the brute bm25JoinTopK") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.createOrReplaceTempView("ts_sj_docs")
+    TermIndex.drop("ts_sj")
+    TermIndex.create(spark, "ts_sj", "ts_sj_docs", "doc_id", "text", nBuckets = 4)
+    try {
+      val queries = docs.where($"doc_id" % 37 === 0)
+        .select($"doc_id".as("qid"),
+          slice(TextSearch.tokens($"text"), 1, 3).as("terms"))
+      val brute = TextSearch.bm25JoinTopK(docs, "doc_id", "text",
+          queries, "qid", "terms", 3)
+        .orderBy($"qid", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val indexed = TermIndex.searchJoin(spark, "ts_sj", queries, "qid", "terms", 3)
+        .select($"qid", $"doc_id", $"score", $"rank")
+        .orderBy($"qid", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(indexed == brute && indexed.nonEmpty)
+      // the posting read is partition-pruned to the query terms' buckets
+      val plan = TermIndex.searchJoin(spark, "ts_sj", queries, "qid", "terms", 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains(TermIndex.BucketCol))
+    } finally TermIndex.drop("ts_sj")
+  }
+
   test("rrfFuse: overlap sums both lists, one-sided ids keep one term") {
     val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
