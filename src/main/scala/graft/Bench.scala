@@ -115,6 +115,7 @@ object Bench {
       "q55_sq_topk" -> "build_q55_sq",
       "q22_minhash_lsh_pairs" -> "build_dedup_sigs",
       "q24_jaccard_pairs" -> "build_shingle_index",
+      "q23_simhash" -> "build_simhash_index",
       "q79_graph_topk" -> "build_graph_index").map { case (q, metric) =>
       val t0 = System.nanoTime()
       run(q)

@@ -674,9 +674,11 @@ object SparkEntry {
       graft.index.DedupSignatures.pairs(s, sharedSignatures(s, dir))
         .orderBy(col("a"), col("b"))
 
-    /** 64-bit SimHash per document as a '0'/'1' bit string. */
+    /** 64-bit SimHash per document as a '0'/'1' bit string — read from the
+      * shared fingerprint artifact. */
     def q23SimHash(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.simHash(tbl(s, dir, "documents"), "doc_id", "text")
+      sharedSimHashes(s, dir)
+        .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
 
     /** Hashed-shingle ARTIFACT shared by q24/q44/q45 — the shingle explode
@@ -1088,9 +1090,23 @@ object SparkEntry {
     /** SimHash near-dup lookup: the 10 documents whose 64-bit fingerprint
       * is Hamming-nearest to doc 42's. (hamming, doc_id) is a total order,
       * so top-k ties are pinned. */
+    /** SimHash-fingerprint ARTIFACT shared by q23/q63/q64 — the 64-vote
+      * fingerprint aggregation runs once per (session, sf dir). Returns
+      * the packed fingerprint DataFrame. */
+    private def sharedSimHashes(s: SparkSession, dir: String): DataFrame = {
+      val tag = Integer.toHexString(dir.hashCode)
+      val name = s"qshared_simhash_$tag"
+      if (graft.index.SimHashIndex.get(name).isEmpty) {
+        tbl(s, dir, "documents").createOrReplaceTempView(s"qsim_docs_$tag")
+        graft.index.SimHashIndex.create(s, name, s"qsim_docs_$tag",
+          "doc_id", "text")
+      }
+      graft.index.SimHashIndex.fingerprints(s, name)
+    }
+
     def q63SimHashTopK(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.simHashTopK(tbl(s, dir, "documents"), "doc_id", "text",
-          lit(42L), 10)
+      graft.ops.Dedup.simHashTopKFromFingerprints(sharedSimHashes(s, dir),
+          "doc_id", lit(42L), 10)
         .orderBy(col("hamming"), col("doc_id"))
 
     /** SimHash banded near-dup pairs: all pairs within 3 bit flips via
@@ -1098,8 +1114,8 @@ object SparkEntry {
       * n² oracle self-join certifies completeness, the engine never runs
       * it. */
     def q64SimHashPairs(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id",
-          "text", maxHamming = 3, bands = 4)
+      graft.ops.Dedup.simHashNearDupPairsFromFingerprints(
+          sharedSimHashes(s, dir), "doc_id", maxHamming = 3, bands = 4)
         .orderBy(col("a"), col("b"))
 
     /** Embedding-space outlier detection: top-20 rows by distance to their

@@ -44,6 +44,7 @@ object StorageIndexCatalog {
       "term" -> TermIndex.list.toSeq,
       "dedupsig" -> DedupSignatures.list.toSeq,
       "shingle" -> ShingleIndex.list.toSeq,
+      "simhash" -> SimHashIndex.list.toSeq,
       // streaming-ingest idempotency watermarks ride the manifest: an
       // at-least-once foreachBatch replay after a cold restart must see
       // which batches were already applied (TermIndex.appendBatch)
@@ -51,7 +52,7 @@ object StorageIndexCatalog {
     val out = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath(dir)))
     try out.writeObject(manifest) finally out.close()
     armedDir = Some(dir)
-    Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig", "shingle")
+    Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig", "shingle", "simhash")
       .map(manifest(_).size).sum
   }
 
@@ -102,6 +103,10 @@ object StorageIndexCatalog {
     manifest.getOrElse("shingle", Nil).foreach { e0 =>
       val e = e0.asInstanceOf[ShingleIndex.ShingleEntry]
       if (ShingleIndex.get(e.name).isEmpty) { ShingleIndex.restoreEntry(e); n += 1 }
+    }
+    manifest.getOrElse("simhash", Nil).foreach { e0 =>
+      val e = e0.asInstanceOf[SimHashIndex.SimHashEntry]
+      if (SimHashIndex.get(e.name).isEmpty) { SimHashIndex.restoreEntry(e); n += 1 }
     }
     // idempotency watermarks restore AFTER the entries (a watermark without
     // its entry is meaningless); live watermarks win for the same reason

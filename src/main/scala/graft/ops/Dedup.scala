@@ -523,16 +523,32 @@ object Dedup {
         i => when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
 
+  /** [[simHash]] plus the fingerprint packed into two 64-bit words —
+    * the column layout the banded pair join and its codegen'd
+    * xor+bit_count verify need, and the build expression of the SimHash
+    * ARTIFACT (graft.index.SimHashIndex). */
+  def simHashPacked(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast(LongType).as("__h1"))
+
   /** Near-dup lookup by document: the k fingerprints nearest to `queryId`'s
     * SimHash by Hamming distance. The query row's 64-char hash is a 1-row
     * broadcast; scoring is a narrow pass over the fingerprint table and the
     * top-k is a TakeOrderedAndProject — no shuffle of the corpus. Ranks
     * deterministically by (hamming, id). */
   def simHashTopK(docs: DataFrame, idCol: String, textCol: String,
-      queryId: Column, k: Int): DataFrame = {
+      queryId: Column, k: Int): DataFrame =
     // materialize the fingerprints once: the query-hash branch and the
     // scoring pass would otherwise each re-run the 64-vote aggregation
-    val hashes = simHash(docs, idCol, textCol).localCheckpoint()
+    simHashTopKFromFingerprints(
+      simHash(docs, idCol, textCol).localCheckpoint(), idCol, queryId, k)
+
+  /** [[simHashTopK]] from an already-materialized fingerprint table (a
+    * SimHashIndex artifact or a checkpointed frame). */
+  def simHashTopKFromFingerprints(hashes: DataFrame, idCol: String,
+      queryId: Column, k: Int): DataFrame = {
     val q = hashes.where(col(idCol) === queryId)
       .select(col("simhash").as("__qhash"))
     hashes.crossJoin(broadcast(q))
@@ -551,25 +567,28 @@ object Dedup {
     * per-doc fingerprint aggregation and the band equi-join, whose fan-out
     * is the collision set, never n². Returns (a, b, hamming), a < b. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    // one fingerprint pass feeds both join sides and the verify — without
+    // this the self-join recomputes the 64-vote aggregation per branch;
+    // the persistent form is the SimHashIndex artifact
+    simHashNearDupPairsFromFingerprints(
+      simHashPacked(docs, idCol, textCol).localCheckpoint(),
+      idCol, maxHamming, bands)
+
+  /** [[simHashNearDupPairs]] from an already-materialized PACKED
+    * fingerprint table ([[simHashPacked]] — id, simhash, __h0, __h1). The
+    * packing matters because boilerplate text makes band buckets SKEWED
+    * (one hot band value can carry hundreds of docs → candidate pairs in
+    * the hundreds of thousands), and the verify must stay codegen'd
+    * integer algebra — xor+bit_count — rather than an interpreted 64-slot
+    * string fold (HOF lambdas don't codegen). */
+  def simHashNearDupPairsFromFingerprints(hashes: DataFrame, idCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming <= bands - 1,
       s"banded blocking is only complete for maxHamming <= bands-1 " +
         s"(got maxHamming=$maxHamming, bands=$bands): raise bands")
     val w = 64 / bands
-    // one fingerprint pass feeds both join sides and the verify — without
-    // this the self-join recomputes the 64-vote aggregation per branch (at
-    // 100 TB: persist the fingerprint table instead of localCheckpoint).
-    // The bit string is also packed into two 32-bit words here: boilerplate
-    // text makes band buckets SKEWED (one hot band value can carry hundreds
-    // of docs → candidate pairs in the hundreds of thousands), and the
-    // verify must stay codegen'd integer algebra — xor+bit_count — rather
-    // than an interpreted 64-slot string fold (HOF lambdas don't codegen).
-    val hashes = simHash(docs, idCol, textCol)
-      .select(col(idCol), col("simhash"),
-        conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
-        conv(substring(col("simhash"), 33, 32), 2, 10).cast(LongType).as("__h1"))
-      .localCheckpoint()
     val banded = hashes.select(col(idCol), col("__h0"), col("__h1"),
       posexplode(array((0 until bands).map(b =>
         substring(col("simhash"), b * w + 1, w)): _*)).as(Seq("band", "bandval")))
