@@ -116,6 +116,7 @@ object Bench {
       "q22_minhash_lsh_pairs" -> "build_dedup_sigs",
       "q24_jaccard_pairs" -> "build_shingle_index",
       "q23_simhash" -> "build_simhash_index",
+      "q71_dedup_spans" -> "build_clean_corpus",
       "q79_graph_topk" -> "build_graph_index").map { case (q, metric) =>
       val t0 = System.nanoTime()
       run(q)
