@@ -224,14 +224,16 @@ object Graft {
     * table within metric distance `r` — the unbounded-fanout sibling of the
     * KNN join and the primitive behind threshold near-dup mining.
     *
-    * Shape: iterative frontier doubling over the broadcast index join.
+    * Shape: iterative frontier escalation over the broadcast index join.
     * Round i KNN-joins the still-open outer rows at k_i; a row is CLOSED
     * when its k_i-th candidate lies beyond `r` (its within-r set is then
     * provably complete under exhaustive ef) or the index is exhausted.
-    * Open rows re-join at 2·k_i. Rows with typical fan-out close in round
-    * one; only genuinely dense query points escalate, so total work is at
-    * most ~2× the final fan-out, distributed end to end (the driver only
-    * counts open rows). log₂(maxFanout/initialK) rounds worst-case.
+    * Open rows re-join at `growth`·k_i (default ×4: each round is a full
+    * Spark job chain, so fewer rounds amortize job-launch latency better;
+    * the over-fetch bound is growth/(growth−1) ≈ 1.33× the final fan-out,
+    * cheaper than doubling's 2×). Rows with typical fan-out close in
+    * round one; only genuinely dense query points escalate.
+    * log_growth(maxFanout/initialK) rounds worst-case.
     *
     * Closed matches are localCheckpoint'd per round (result-sized) so the
     * returned union doesn't re-execute every round's join on consumption,
@@ -241,13 +243,17 @@ object Graft {
     * tracked by it). Output = outer row + matched inner row + `dist`. */
   def radiusJoin(spark: SparkSession, outer: DataFrame, idCol: String,
       outerVecCol: String, indexName: String, r: Double,
-      initialK: Int = 16): DataFrame = {
+      initialK: Int = 16, growth: Int = 4): DataFrame = {
+    require(growth >= 2, "growth must be at least 2")
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val n = math.max(entry.index.size, 1)
     var k = math.min(math.max(initialK, 1), n)
     var pending = outer.localCheckpoint()
-    var acc: Option[DataFrame] = None
+    // each round's closed matches are checkpointed ONCE and unioned lazily
+    // at the end — re-checkpointing a growing accumulator every round would
+    // re-materialize all earlier rounds' rows each round (O(rounds²) IO)
+    var closedRounds: List[DataFrame] = Nil
     var openCount = pending.count()
     while (openCount > 0) {
       // checkpoint the round's join: BOTH the open-row classification and
@@ -267,14 +273,13 @@ object Graft {
       val closed = joined
         .join(broadcast(openIds), Seq(idCol), "left_anti")
         .where(col("dist") <= r)
-      acc = Some(acc.map(_.unionByName(closed)).getOrElse(closed)
-        .localCheckpoint())
+      closedRounds = closed.localCheckpoint() :: closedRounds
       pending = pending.join(broadcast(openIds), Seq(idCol), "left_semi")
         .localCheckpoint()
       openCount = pending.count()
-      k = math.min(k * 2, n)
+      k = math.min(k * growth, n)
     }
-    acc.getOrElse(
+    closedRounds.reduceOption(_.unionByName(_)).getOrElse(
       knnJoin(spark, outer.limit(0), outerVecCol, indexName, 1).drop("rank"))
   }
 
