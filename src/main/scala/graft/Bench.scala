@@ -95,11 +95,16 @@ object Bench {
     def shortKey(k: String): String =
       if (k.startsWith("build_")) "b_" + k.stripPrefix("build_")
       else k.takeWhile(_ != '_')
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would make this (the harness's only parsed
+    // line) invalid JSON
+    def sec3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val compactQs = all
-      .map { case (k, v) => f"""\"${shortKey(k)}\":$v%.3f""" }
+      .map { case (k, v) => s"""\"${shortKey(k)}\":${sec3(v)}""" }
       .mkString("{", ",", "}")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir","detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir","detail":"$outPath"}""")
   }
 
   private def runBuilds(run: String => Unit): Seq[(String, Double)] =

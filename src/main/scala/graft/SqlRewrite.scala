@@ -110,15 +110,31 @@ object SqlRewrite {
   private val FloatArrayType =
     """(?i)\bFLOAT\s*\[\s*(?:\d+|ANY)?\s*\]""".r
 
+  /** Is `pos` inside a single-quoted literal? */
+  private def insideQuotes(s: String, pos: Int): Boolean = {
+    var j = 0
+    while (j <= pos && j < s.length) {
+      if (s(j) == '\'') {
+        val end = skipString(s, j)
+        if (pos >= j && pos < end) return true
+        j = end
+      } else j += 1
+    }
+    false
+  }
+
   private def rewriteFloatArrayTypes(stmt: String): String = {
     var s = stmt
-    var done = false
-    while (!done) {
-      FloatArrayType.findFirstMatchIn(s) match {
-        case Some(m) if findOutsideQuotes(s, m.matched, 0) == m.start =>
+    var changed = true
+    while (changed) {
+      changed = false
+      // first match OUTSIDE quotes — a quoted 'FLOAT[2]' earlier in the
+      // statement must be skipped, not terminate the rewrite
+      FloatArrayType.findAllMatchIn(s).find(m => !insideQuotes(s, m.start))
+        .foreach { m =>
           s = s.substring(0, m.start) + "ARRAY<FLOAT>" + s.substring(m.end)
-        case _ => done = true
-      }
+          changed = true
+        }
     }
     s
   }
@@ -179,6 +195,9 @@ object SqlRewrite {
             isIdentChar(ch) || ch == ',' || ch == ' ' || ch == '<' || ch == '>')
         if (!ok) return if (i == end) -1 else i
         i = lt
+        // glue the type identifier before the `<` (`ARRAY` in
+        // `ARRAY<FLOAT>`) so the `::` binder check below sees the cast
+        while (i > 0 && isIdentChar(s(i - 1))) i -= 1
       } else {
         done = true
       }

@@ -14,10 +14,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * own reads/writes.
   *
   * The Configuration comes from the active SparkSession when one exists on
-  * this JVM (driver: session Hadoop options apply) and otherwise from
-  * classpath defaults (executor: core-site.xml etc.) — the same resolution
-  * chain Spark data IO uses. It is cached per JVM, which also keeps
-  * `FileSystem.get`'s instance cache effective.
+  * this JVM (driver: session Hadoop options apply); on an executor JVM —
+  * where there is no SparkSession — it is rebuilt from `SparkEnv`'s
+  * SparkConf by applying the `spark.hadoop.*` entries over the classpath
+  * defaults, the same projection Spark's own data IO ships to executors.
+  * So `--conf spark.hadoop.fs.s3a.access.key=…` reaches executor-side
+  * shard reads/writes too, not just the driver. The result is cached per
+  * JVM (which also keeps `FileSystem.get`'s instance cache effective);
+  * a bare-JVM fallback to classpath defaults is NOT cached, so an early
+  * call before session startup cannot poison the JVM's cache.
   *
   * There is deliberately NO `append`: object stores and Hadoop's
   * checksummed LocalFileSystem don't support it. Incremental durability is
@@ -30,14 +35,27 @@ object ArtifactIO {
     val c = cachedConf
     if (c != null) c
     else {
-      val fresh = org.apache.spark.sql.SparkSession.getActiveSession
+      val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      cachedConf = fresh
-      fresh
+      val fresh = fromSession.orElse(fromSparkEnv)
+      fresh.foreach(cachedConf = _)
+      fresh.getOrElse(new Configuration()) // bare JVM: defaults, uncached
     }
   }
+
+  /** Executor-side Configuration: classpath defaults + the driver's
+    * `spark.hadoop.*` entries, which Spark ships to every executor in the
+    * SparkConf. */
+  private def fromSparkEnv: Option[Configuration] =
+    Option(org.apache.spark.SparkEnv.get).map { env =>
+      val hc = new Configuration()
+      env.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.hadoop."))
+          hc.set(k.stripPrefix("spark.hadoop."), v)
+      }
+      hc
+    }
 
   private def resolve(path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -91,8 +109,12 @@ object ArtifactIO {
     * degrade to copy — still single-object visibility). */
   def rename(src: String, dst: String): Unit = {
     val (fs, s) = resolve(src)
-    fs.rename(s, new Path(dst))
-    ()
+    // Hadoop rename reports most failures (dst exists, src missing, store
+    // refusals) via `false`, not an exception — a silently-failed publish
+    // would strand a WAL segment in its ignored .tmp name and lose the
+    // batch's DML on restore.
+    if (!fs.rename(s, new Path(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
 
   /** Child paths of `dir` (non-recursive, full URI strings); empty when the

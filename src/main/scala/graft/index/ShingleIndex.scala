@@ -70,8 +70,12 @@ object ShingleIndex {
     val e = registry.getOrThrow(name, "shingle")
     val ct = catalogTable(name)
     if (!spark.catalog.tableExists(ct)) {
+      // the id column keeps the SOURCE table's type (string ids are as
+      // legal as longs) — read it off the parquet footer instead of
+      // assuming BIGINT, or every post-restore read fails on conversion
+      val idType = spark.read.parquet(e.path).schema(e.idCol).dataType.sql
       spark.sql(
-        s"""CREATE TABLE $ct (`${e.idCol}` BIGINT, shingle BIGINT)
+        s"""CREATE TABLE $ct (`${e.idCol}` $idType, shingle BIGINT)
            |USING PARQUET
            |CLUSTERED BY (shingle) SORTED BY (shingle) INTO ${e.nBuckets} BUCKETS
            |LOCATION '${e.path}'""".stripMargin)

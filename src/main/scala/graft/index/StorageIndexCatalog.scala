@@ -23,19 +23,59 @@ object StorageIndexCatalog {
   @volatile private var armedDir: Option[String] = None
   @volatile private var inRestore: Boolean = false
 
+  // Per-thread coalescing scope: a multi-mutation operation (e.g. a
+  // streaming appendBatch = postings append + stats fold + watermark
+  // advance) wraps itself in [[coalescingRewrites]] so the armed manifest
+  // is written once at the end instead of once per mutation. Thread-local:
+  // other threads' mutations keep their immediate-write durability.
+  private val deferDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private val deferPending = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
   /** Registry mutation hook (called by ArtifactRegistry and the batch
     * watermark): keep the armed manifest current. No-op during restore —
     * restoring entries re-registers them one by one, and a partial rewrite
     * mid-restore could lose entries to a crash. */
   private[index] def rewriteIfArmed(): Unit =
-    if (!inRestore) armedDir.foreach(d => checkpoint(d))
+    if (!inRestore) {
+      if (deferDepth.get > 0) deferPending.set(true)
+      else armedDir.foreach(d => checkpoint(d))
+    }
+
+  /** Run `body`, collapsing this thread's armed-manifest rewrites inside
+    * it into at most one write at the end. The manifest snapshots ALL
+    * registries, so the single write captures every mutation `body`
+    * made. */
+  private[index] def coalescingRewrites[T](body: => T): T = {
+    deferDepth.set(deferDepth.get + 1)
+    try body
+    finally {
+      deferDepth.set(deferDepth.get - 1)
+      if (deferDepth.get == 0 && deferPending.get) {
+        deferPending.set(false)
+        if (!inRestore) armedDir.foreach(d => checkpoint(d))
+      }
+    }
+  }
 
   /** Forget the armed directory (ownership handoff / test isolation). */
   def disarm(): Unit = armedDir = None
 
   /** Write all storage-backed registry entries to `dir`. Returns the
-    * number of entries persisted. */
-  def checkpoint(dir: String): Int = {
+    * number of entries persisted.
+    *
+    * `synchronized` + write-tmp-then-publish: the armed manifest is
+    * rewritten on EVERY registry mutation (including per-micro-batch
+    * streaming appends), so concurrent mutators must not interleave
+    * writes, and a crash mid-write must not leave a torn manifest that
+    * makes every storage entry unrestorable. Crash windows: a torn
+    * `.tmp` leaves the previous manifest intact; between the delete and
+    * the rename the fully-written `.tmp` exists and [[restore]] falls
+    * back to it. */
+  def checkpoint(dir: String): Int = synchronized {
     val manifest: Map[String, Seq[Any]] = Map(
       "ivf" -> IvfIndex.list.toSeq,
       "pq" -> PqIndex.list.toSeq,
@@ -49,8 +89,14 @@ object StorageIndexCatalog {
       // at-least-once foreachBatch replay after a cold restart must see
       // which batches were already applied (TermIndex.appendBatch)
       "term_batches" -> TermIndex.batchWatermarks)
-    val out = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath(dir)))
+    val dst = manifestPath(dir)
+    val tmp = dst + ".tmp"
+    val out = new java.io.ObjectOutputStream(ArtifactIO.create(tmp))
     try out.writeObject(manifest) finally out.close()
+    // Hadoop rename refuses an existing destination — drop the old
+    // manifest first, then publish the complete one
+    ArtifactIO.deleteIfExists(dst)
+    ArtifactIO.rename(tmp, dst)
     armedDir = Some(dir)
     Seq("ivf", "pq", "ivfpq", "sq", "term", "dedupsig", "shingle", "simhash")
       .map(manifest(_).size).sum
@@ -60,8 +106,12 @@ object StorageIndexCatalog {
     * already live (live entries win — they may have seen post-checkpoint
     * appends). Returns the number restored; 0 when no manifest exists. */
   def restore(dir: String): Int = {
-    if (!ArtifactIO.exists(manifestPath(dir))) return 0
-    val in = new java.io.ObjectInputStream(ArtifactIO.open(manifestPath(dir)))
+    // the published manifest, or the complete .tmp a crash left between
+    // checkpoint's delete and rename
+    val path = Seq(manifestPath(dir), manifestPath(dir) + ".tmp")
+      .find(ArtifactIO.exists)
+      .getOrElse(return 0)
+    val in = new java.io.ObjectInputStream(ArtifactIO.open(path))
     val manifest =
       try in.readObject().asInstanceOf[Map[String, Seq[Any]]]
       finally in.close()

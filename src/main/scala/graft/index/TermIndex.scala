@@ -160,10 +160,14 @@ object TermIndex {
       batchId: Long): TermEntry = {
     val entry = registry.getOrThrow(name, "term")
     if (appliedBatches.get(name).exists(_ >= batchId)) return entry
-    val updated = append(spark, name, docs)
-    appliedBatches.put(name, batchId)
-    StorageIndexCatalog.rewriteIfArmed()
-    updated
+    // one manifest write for the whole batch (append's stats fold would
+    // otherwise rewrite it a second time on this hot path)
+    StorageIndexCatalog.coalescingRewrites {
+      val updated = append(spark, name, docs)
+      appliedBatches.put(name, batchId)
+      StorageIndexCatalog.rewriteIfArmed()
+      updated
+    }
   }
 
   /** The query terms' partition buckets, computed with the SAME hash

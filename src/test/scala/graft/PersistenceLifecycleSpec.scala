@@ -249,6 +249,27 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     StorageIndexCatalog.disarm()
   }
 
+  test("manifest publish is crash-safe: a complete .tmp left between " +
+      "delete and rename still restores") {
+    import graft.index.{IvfIndex, StorageIndexCatalog}
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("torn_emb")
+    IvfIndex.drop("torn_ivf")
+    IvfIndex.create(spark, "torn_ivf", "torn_emb", "embedding", nLists = 4)
+    StorageIndexCatalog.checkpoint(dir)
+    StorageIndexCatalog.disarm()
+    // crash window: the old manifest was deleted, the fully-written .tmp
+    // was not yet renamed into place
+    graft.index.ArtifactIO.rename(s"$dir/storage-catalog.manifest",
+      s"$dir/storage-catalog.manifest.tmp")
+    IvfIndex.clearRegistryOnly()
+    assert(StorageIndexCatalog.restore(dir) >= 1)
+    assert(IvfIndex.get("torn_ivf").isDefined)
+    StorageIndexCatalog.disarm()
+    IvfIndex.drop("torn_ivf")
+  }
+
   test("full lifecycle against an explicit file:-scheme URI " +
       "(artifacts, checkpoint, WAL all through the Hadoop FileSystem API)") {
     spark.conf.set(IndexCatalog.PersistenceConfKey, "true")

@@ -61,6 +61,23 @@ class ShingleIndexSpec extends GraftSparkSpec with BeforeAndAfterAll {
       s"expected a bucketed scan in:\n${plan.take(4000)}")
   }
 
+  test("restart DDL keeps a non-BIGINT id column's type") {
+    ShingleIndex.drop("sh_str")
+    docs.select(concat(lit("d"), $"doc_id").as("doc_id"), $"text")
+      .createOrReplaceTempView("sh_docs_str")
+    ShingleIndex.create(spark, "sh_str", "sh_docs_str", "doc_id", "text",
+      nBuckets = 4)
+    val before = ShingleIndex.shingles(spark, "sh_str").count()
+    // restart: catalog table gone, entry survives — the re-issued DDL must
+    // carry the STRING id type read off the parquet, not assume BIGINT
+    spark.sql("DROP TABLE IF EXISTS __graft_shingles_sh_str")
+    val restored = ShingleIndex.shingles(spark, "sh_str")
+    assert(restored.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(restored.count() == before && before > 0)
+    ShingleIndex.drop("sh_str")
+  }
+
   test("artifact survives restart: bucket DDL re-registered over parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sh-ckpt").toString
     StorageIndexCatalog.checkpoint(dir)

@@ -61,6 +61,21 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(SqlRewrite.preprocess(odd) == odd)
   }
 
+  test("generic cast on the LEFT operand is delimited whole") {
+    assert(SqlRewrite.preprocess(
+      "SELECT vec::FLOAT[2] <-> [1.0,0.0]::FLOAT[2] AS d FROM t") ==
+      "SELECT array_distance(vec::ARRAY<FLOAT>, array(1.0,0.0)::ARRAY<FLOAT>) AS d FROM t")
+    assert(SqlRewrite.preprocess(
+      "SELECT t.vec::ARRAY<FLOAT> <=> q FROM t") ==
+      "SELECT array_cosine_distance(t.vec::ARRAY<FLOAT>, q) FROM t")
+  }
+
+  test("a quoted FLOAT[n] earlier in the statement does not mask later real ones") {
+    assert(SqlRewrite.preprocess(
+      "SELECT 'FLOAT[2]' AS tag, CAST(v AS FLOAT[2]) FROM t") ==
+      "SELECT 'FLOAT[2]' AS tag, CAST(v AS ARRAY<FLOAT>) FROM t")
+  }
+
   // ---- end-to-end through GraftSql ----------------------------------------
 
   test("reference README flow verbatim: CREATE TABLE, INSERT, query, infix") {
