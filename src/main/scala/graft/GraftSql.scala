@@ -41,6 +41,14 @@ object GraftSql {
   private val SetEfSearchRe =
     """(?is)\s*SET\s+hnsw_ef_search\s*=\s*(\d+)\s*;?\s*""".r
   private val ResetEfSearchRe = """(?is)\s*RESET\s+hnsw_ef_search\s*;?\s*""".r
+  // the reference's persistence gate, in its own spelling (every reference
+  // persistence test opens with `SET hnsw_enable_experimental_persistence
+  // = true`) — aliased onto the engine's gate conf key; a plain Spark SET
+  // would set an unrelated key and leave the gate closed
+  private val SetPersistenceRe =
+    """(?is)\s*SET\s+hnsw_enable_experimental_persistence\s*=\s*(true|false)\s*;?\s*""".r
+  private val ResetPersistenceRe =
+    """(?is)\s*RESET\s+hnsw_enable_experimental_persistence\s*;?\s*""".r
   // the reference's vss_join table macro in its canonical invocation form
   // (reference src/hnsw/hnsw_index_macros.cpp:107-110)
   private val VssJoinRe =
@@ -104,6 +112,12 @@ object GraftSql {
       spark.emptyDataFrame
     case ResetEfSearchRe() =>
       spark.conf.unset(IndexCatalog.EfSearchConfKey)
+      spark.emptyDataFrame
+    case SetPersistenceRe(v) =>
+      spark.conf.set(IndexCatalog.PersistenceConfKey, v.toLowerCase)
+      spark.emptyDataFrame
+    case ResetPersistenceRe() =>
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
       spark.emptyDataFrame
     case Bm25TopKRe(table, idCol, textCol, termsStr, k) =>
       // order-preserving dedupe: a repeated query term must not trip the

@@ -138,6 +138,27 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
 
+  test("the reference's own SET hnsw_enable_experimental_persistence " +
+      "spelling opens and closes the gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refgate").toString
+    GraftSql.sql(spark, "CREATE INDEX sql_idx3 ON sql_emb USING HNSW (embedding)")
+    try {
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      intercept[IllegalStateException](GraftSql.sql(spark, s"CHECKPOINT '$dir'"))
+      // reference test files open with exactly this statement
+      GraftSql.sql(spark, "SET hnsw_enable_experimental_persistence = true;")
+      GraftSql.sql(spark, s"CHECKPOINT '$dir'")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/catalog.manifest")))
+      GraftSql.sql(spark, "RESET hnsw_enable_experimental_persistence")
+      intercept[IllegalStateException](GraftSql.sql(spark, s"CHECKPOINT '$dir'"))
+    } finally {
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      GraftSql.sql(spark, "DROP INDEX sql_idx3")
+      ()
+    }
+  }
+
   test("vss_match rewrite keeps the statement's alias and left-table qualifiers resolvable") {
     spark.table("sql_emb").filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("s_vec"))
