@@ -71,6 +71,9 @@ object Graft {
   private def deletePath(p: String): Unit =
     graft.index.ArtifactIO.deleteRecursive(p)
 
+  /** Is `name` a Graft-managed registration (rowid-bearing, DML-capable)? */
+  def isRegisteredTable(name: String): Boolean = serving.contains(name)
+
   /** Delete storage retired by re-registrations/rematerializations of
     * `name`. Caller asserts no in-flight reader still holds a plan over the
     * old paths (a long-running session calls this between batches — the

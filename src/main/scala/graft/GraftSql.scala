@@ -45,6 +45,14 @@ object GraftSql {
   // persistence test opens with `SET hnsw_enable_experimental_persistence
   // = true`) — aliased onto the engine's gate conf key; a plain Spark SET
   // would set an unrelated key and leave the gate closed
+  // DML in the reference's spelling (hnsw_crud.test): routed onto the
+  // engine's index-maintaining insert/delete when the target is an
+  // engine-managed (or indexed) table — Spark SQL itself cannot DELETE
+  // from (or index-maintain INSERT into) a parquet-backed table
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+((?:VALUES|SELECT)\b.*?);?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?;?\s*""".r
   private val SetPersistenceRe =
     """(?is)\s*SET\s+hnsw_enable_experimental_persistence\s*=\s*(true|false)\s*;?\s*""".r
   private val ResetPersistenceRe =
@@ -86,9 +94,69 @@ object GraftSql {
   def sql(spark: SparkSession, statement: String): DataFrame =
     dispatch(spark, SqlRewrite.preprocess(statement))
 
+  /** Tables whose DML must flow through the engine (index maintenance,
+    * rowid continuity): Graft registrations and any table serving an HNSW
+    * index. */
+  private def engineManaged(table: String): Boolean =
+    Graft.isRegisteredTable(table) || IndexCatalog.list.exists(_.table == table)
+
+  /** DELETE predicate with the reference's element-coercing array
+    * comparison: `vec = array[1.0, 2.0, 3.0]` against a FLOAT[n] column
+    * compares after casting the literal side to the column's type — both
+    * ANSI and legacy Spark coercion refuse ARRAY<FLOAT> = ARRAY<DECIMAL>
+    * outright (neither recurses into array elements for comparisons). */
+  private def deleteCond(spark: SparkSession, table: String,
+      cond: Option[String]): org.apache.spark.sql.Column = cond match {
+    case None => org.apache.spark.sql.functions.lit(true)
+    case Some(s0) =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression}
+      import org.apache.spark.sql.types.ArrayType
+      val schema = spark.table(table).schema
+      def arrayColType(e: Expression): Option[ArrayType] = e match {
+        case a: UnresolvedAttribute if a.nameParts.sizeIs == 1 =>
+          schema.find(_.name.equalsIgnoreCase(a.nameParts.head))
+            .map(_.dataType).collect { case t: ArrayType => t }
+        case _ => None
+      }
+      val coerced = spark.sessionState.sqlParser.parseExpression(s0)
+        .transformUp {
+          case EqualTo(l, r) if arrayColType(l).isDefined =>
+            EqualTo(l, Cast(r, arrayColType(l).get))
+          case EqualTo(l, r) if arrayColType(r).isDefined =>
+            EqualTo(Cast(l, arrayColType(r).get), r)
+        }
+      org.apache.spark.sql.graft.GraftSqlBridge.column(coerced)
+  }
+
   private def dispatch(spark: SparkSession, statement: String): DataFrame = statement match {
     case CreateIndexRe(name, table, column, opts) =>
+      // a plain catalog/temp table lacks the engine's materialized rowid
+      // (the reference indexes over DuckDB's implicit rowid) — snapshot it
+      // into a Graft registration first, so the index build and all later
+      // DML have stable ids; the registration's view shadows the original
+      if (!spark.table(table).columns.contains(Graft.RowIdCol))
+        Graft.registerTable(spark, table, spark.table(table))
       IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
+      spark.emptyDataFrame
+    case InsertRe(table, body) if engineManaged(table) =>
+      Graft.registerFunctions(spark)
+      val b = body.trim
+      val src =
+        if (b.regionMatches(true, 0, "VALUES", 0, 6)) spark.sql(s"SELECT * FROM $b")
+        else spark.sql(b)
+      // positional assignment with store-cast, like SQL INSERT ... SELECT
+      val target = spark.table(table).schema.filterNot(_.name == Graft.RowIdCol)
+      require(src.schema.length == target.length,
+        s"INSERT has ${src.schema.length} columns; table $table expects ${target.length}")
+      val aligned = src.toDF(target.map(_.name): _*)
+        .select(target.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      Graft.insertInto(spark, table, aligned)
+      spark.emptyDataFrame
+    case DeleteRe(table, cond) if engineManaged(table) =>
+      Graft.registerFunctions(spark)
+      Graft.deleteFrom(spark, table, deleteCond(spark, table, Option(cond)))
       spark.emptyDataFrame
     case DropIndexRe(name) =>
       if (!IndexCatalog.dropIndex(name)) {
@@ -153,6 +221,11 @@ object GraftSql {
       spark.sql(stmt.substring(0, m.start) + s"FROM $view AS $alias" + stmt.substring(m.end))
     case other =>
       Graft.registerFunctions(spark)
-      spark.sql(other)
+      val out = spark.sql(other)
+      // DuckDB keeps rowid out of star expansion but addressable by name;
+      // mirror that for the engine's materialized __rowid
+      if (out.columns.contains(Graft.RowIdCol) &&
+          !other.toLowerCase.contains(Graft.RowIdCol)) out.drop(Graft.RowIdCol)
+      else out
   }
 }

@@ -149,14 +149,31 @@ object SqlRewrite {
       guard += 1
       val i = findOutsideQuotes(s, "[", from)
       if (i < 0) return s
+      // DuckDB's prefix-constructor spelling `array[1.0, 2.0]` (reference
+      // hnsw_crud.test) — the bare keyword immediately before `[` is the
+      // constructor, not element access on a column (a qualified
+      // `t.array[i]` stays access)
+      val identStart = {
+        var j = i; while (j > 0 && isIdentChar(s(j - 1))) j -= 1; j
+      }
+      val isArrayKw = identStart < i &&
+        s.substring(identStart, i).equalsIgnoreCase("array") &&
+        (identStart == 0 || (s(identStart - 1) != '.' && s(identStart - 1) != ':'))
       // element access (`expr[i]`) has an operand char IMMEDIATELY before
       // `[` (no whitespace); a literal is preceded by start-of-text,
       // whitespace, an operator, `(` or `,`
-      val isAccess = i > 0 &&
+      val isAccess = !isArrayKw && i > 0 &&
         (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')
       // `ARRAY<FLOAT>`-style type suffix `[n]` never reaches here (the type
       // rewrite above ran first), so anything non-access is a literal
       if (isAccess) from = i + 1
+      else if (isArrayKw) {
+        val close = matchForward(s, i)
+        if (close < 0) return s
+        s = s.substring(0, identStart) + "array(" +
+          s.substring(i + 1, close) + ")" + s.substring(close + 1)
+        from = identStart + 6
+      }
       else {
         val close = matchForward(s, i)
         if (close < 0) return s // unbalanced: leave for Spark's parser

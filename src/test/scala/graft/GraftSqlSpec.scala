@@ -159,6 +159,45 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("reference hnsw_crud.test statement flow runs verbatim " +
+      "(CREATE TABLE / INSERT / CREATE INDEX / CHECKPOINT / INSERT / DELETE)") {
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft-crud").toString
+    sys.props("graft.indexes.dir") = freshRoot
+    try {
+      spark.sql("DROP TABLE IF EXISTS t1")
+      // reference test/sql/hnsw/hnsw_crud.test, statement for statement
+      GraftSql.sql(spark, "SET hnsw_enable_experimental_persistence = true;")
+      GraftSql.sql(spark, "CREATE TABLE t1 (vec FLOAT[3]);")
+      GraftSql.sql(spark, "INSERT INTO t1 VALUES (array[1.0, 2.0, 3.0]);")
+      GraftSql.sql(spark, "CREATE INDEX my_idx ON t1 USING HNSW (vec);")
+      GraftSql.sql(spark, "CHECKPOINT;")
+      GraftSql.sql(spark, "INSERT INTO t1 VALUES (array[5.0, 5.0, 5.0]);")
+      GraftSql.sql(spark, "DELETE FROM t1 WHERE vec = array[1.0, 2.0, 3.0];")
+      val rows = GraftSql.sql(spark, "SELECT * FROM t1;").collect()
+      assert(rows.map(_.getSeq[Float](0)).toSeq == Seq(Seq(5f, 5f, 5f)),
+        "post-DML table must hold exactly the surviving row")
+      assert(rows.head.length == 1,
+        "star expansion must hide the engine's materialized rowid")
+      val knn = GraftSql.sql(spark,
+        "SELECT * FROM t1 ORDER BY array_distance(vec, [1,2,3]::FLOAT[3]) LIMIT 3;")
+        .collect()
+      assert(knn.map(_.getSeq[Float](0)).toSeq == Seq(Seq(5f, 5f, 5f)),
+        "KNN over the index must see the insert and not the deleted row")
+      GraftSql.sql(spark, "PRAGMA hnsw_compact_index('my_idx');")
+      val after = GraftSql.sql(spark,
+        "SELECT * FROM t1 ORDER BY array_distance(vec, [1,2,3]::FLOAT[3]) LIMIT 3;")
+        .collect()
+      assert(after.map(_.getSeq[Float](0)).toSeq == Seq(Seq(5f, 5f, 5f)))
+    } finally {
+      sys.props.remove("graft.indexes.dir")
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      IndexCatalog.dropIndex("my_idx")
+      Graft.dropTable(spark, "t1")
+      spark.sql("DROP TABLE IF EXISTS t1")
+      ()
+    }
+  }
+
   test("vss_match rewrite keeps the statement's alias and left-table qualifiers resolvable") {
     spark.table("sql_emb").filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("s_vec"))
