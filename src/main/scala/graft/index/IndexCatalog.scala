@@ -384,8 +384,13 @@ object IndexCatalog {
     val manifest = list.zip(paths).map { case (e, p) =>
       (e.name, e.table, e.column, e.options, e.rowidCol, p)
     }
-    val out = new java.io.ObjectOutputStream(ArtifactIO.create(s"$dir/catalog.manifest"))
+    // write-tmp-then-rename, like the storage manifest: a crash mid-write
+    // must leave the previous checkpoint readable, not a torn manifest
+    val dst = s"$dir/catalog.manifest"
+    val out = new java.io.ObjectOutputStream(ArtifactIO.create(dst + ".tmp"))
     try out.writeObject(manifest) finally out.close()
+    ArtifactIO.deleteIfExists(dst)
+    ArtifactIO.rename(dst + ".tmp", dst)
     list.foreach(e => ArtifactIO.deleteRecursive(walSegDir(dir, e.name)))
     walDir = Some(dir)
     paths
@@ -540,15 +545,18 @@ object IndexCatalog {
     * Graft.registerTable). */
   def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
     // a checkpoint taken with no HNSW indexes writes only the
-    // storage-family manifest — restore must not require the HNSW one
-    val hnswManifest = s"$dir/catalog.manifest"
+    // storage-family manifest — restore must not require the HNSW one.
+    // The .tmp fallback covers a crash between checkpoint's delete and
+    // rename (the .tmp is complete by then).
     val manifest =
-      if (!ArtifactIO.exists(hnswManifest))
-        Seq.empty[(String, String, String, HnswOptions, String, String)]
-      else {
-        val in = new java.io.ObjectInputStream(ArtifactIO.open(hnswManifest))
-        try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
-        finally in.close()
+      Seq(s"$dir/catalog.manifest", s"$dir/catalog.manifest.tmp")
+        .find(ArtifactIO.exists) match {
+        case None =>
+          Seq.empty[(String, String, String, HnswOptions, String, String)]
+        case Some(p) =>
+          val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
+          try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
+          finally in.close()
       }
     val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
