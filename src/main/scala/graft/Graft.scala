@@ -74,6 +74,9 @@ object Graft {
   /** Is `name` a Graft-managed registration (rowid-bearing, DML-capable)? */
   def isRegisteredTable(name: String): Boolean = serving.contains(name)
 
+  /** Names of all Graft-managed registrations (canonical case). */
+  def registeredTables: Iterable[String] = serving.keys
+
   /** Delete storage retired by re-registrations/rematerializations of
     * `name`. Caller asserts no in-flight reader still holds a plan over the
     * old paths (a long-running session calls this between batches — the

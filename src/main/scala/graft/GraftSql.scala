@@ -96,9 +96,15 @@ object GraftSql {
 
   /** Tables whose DML must flow through the engine (index maintenance,
     * rowid continuity): Graft registrations and any table serving an HNSW
-    * index. */
-  private def engineManaged(table: String): Boolean =
-    Graft.isRegisteredTable(table) || IndexCatalog.list.exists(_.table == table)
+    * index over the engine's materialized `__rowid` (an index built over a
+    * caller-supplied rowid column keeps its own DML path — insertInto/
+    * deleteFrom hardcode `__rowid`). Returns the CANONICAL registered name
+    * (SQL identifiers are case-insensitive; Graft's registries are not). */
+  private def managedTarget(table: String): Option[String] =
+    Graft.registeredTables.find(_.equalsIgnoreCase(table))
+      .orElse(IndexCatalog.list
+        .filter(_.rowidCol == Graft.RowIdCol)
+        .map(_.table).find(_.equalsIgnoreCase(table)))
 
   /** DELETE predicate with the reference's element-coercing array
     * comparison: `vec = array[1.0, 2.0, 3.0]` against a FLOAT[n] column
@@ -114,8 +120,12 @@ object GraftSql {
       import org.apache.spark.sql.types.ArrayType
       val schema = spark.table(table).schema
       def arrayColType(e: Expression): Option[ArrayType] = e match {
-        case a: UnresolvedAttribute if a.nameParts.sizeIs == 1 =>
-          schema.find(_.name.equalsIgnoreCase(a.nameParts.head))
+        // bare `vec` or table-qualified `t1.vec` — both name this table's
+        // column in a single-table DELETE predicate
+        case a: UnresolvedAttribute
+            if a.nameParts.sizeIs == 1 ||
+              (a.nameParts.sizeIs == 2 && a.nameParts.head.equalsIgnoreCase(table)) =>
+          schema.find(_.name.equalsIgnoreCase(a.nameParts.last))
             .map(_.dataType).collect { case t: ArrayType => t }
         case _ => None
       }
@@ -139,12 +149,21 @@ object GraftSql {
         Graft.registerTable(spark, table, spark.table(table))
       IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
       spark.emptyDataFrame
-    case InsertRe(table, body) if engineManaged(table) =>
+    case InsertRe(table0, body) if managedTarget(table0).isDefined =>
+      val table = managedTarget(table0).get
       Graft.registerFunctions(spark)
       val b = body.trim
-      val src =
+      val src0 =
         if (b.regionMatches(true, 0, "VALUES", 0, 6)) spark.sql(s"SELECT * FROM $b")
         else spark.sql(b)
+      // an INSERT ... SELECT * from another registered table star-expands
+      // its hidden rowid — strip it like the read path does, unless the
+      // source addressed it by name
+      val src =
+        if (src0.columns.contains(Graft.RowIdCol) &&
+            !SqlRewrite.containsOutsideQuotes(b.toLowerCase, Graft.RowIdCol))
+          src0.drop(Graft.RowIdCol)
+        else src0
       // positional assignment with store-cast, like SQL INSERT ... SELECT
       val target = spark.table(table).schema.filterNot(_.name == Graft.RowIdCol)
       require(src.schema.length == target.length,
@@ -154,7 +173,8 @@ object GraftSql {
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
       Graft.insertInto(spark, table, aligned)
       spark.emptyDataFrame
-    case DeleteRe(table, cond) if engineManaged(table) =>
+    case DeleteRe(table0, cond) if managedTarget(table0).isDefined =>
+      val table = managedTarget(table0).get
       Graft.registerFunctions(spark)
       Graft.deleteFrom(spark, table, deleteCond(spark, table, Option(cond)))
       spark.emptyDataFrame
@@ -223,9 +243,11 @@ object GraftSql {
       Graft.registerFunctions(spark)
       val out = spark.sql(other)
       // DuckDB keeps rowid out of star expansion but addressable by name;
-      // mirror that for the engine's materialized __rowid
+      // mirror that for the engine's materialized __rowid (quote-aware: a
+      // '__rowid' string LITERAL is not an address)
       if (out.columns.contains(Graft.RowIdCol) &&
-          !other.toLowerCase.contains(Graft.RowIdCol)) out.drop(Graft.RowIdCol)
+          !SqlRewrite.containsOutsideQuotes(other.toLowerCase, Graft.RowIdCol))
+        out.drop(Graft.RowIdCol)
       else out
   }
 }

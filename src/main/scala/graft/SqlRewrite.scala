@@ -110,6 +110,10 @@ object SqlRewrite {
   private val FloatArrayType =
     """(?i)\bFLOAT\s*\[\s*(?:\d+|ANY)?\s*\]""".r
 
+  /** Does `tok` occur in `stmt` outside single-quoted literals? */
+  private[graft] def containsOutsideQuotes(stmt: String, tok: String): Boolean =
+    findOutsideQuotes(stmt, tok, 0) >= 0
+
   /** Is `pos` inside a single-quoted literal? */
   private def insideQuotes(s: String, pos: Int): Boolean = {
     var j = 0
@@ -150,14 +154,18 @@ object SqlRewrite {
       val i = findOutsideQuotes(s, "[", from)
       if (i < 0) return s
       // DuckDB's prefix-constructor spelling `array[1.0, 2.0]` (reference
-      // hnsw_crud.test) — the bare keyword immediately before `[` is the
-      // constructor, not element access on a column (a qualified
+      // hnsw_crud.test) — the bare keyword before `[`, whitespace allowed
+      // (`ARRAY [1, 2]` is the same constructor in DuckDB/Postgres), is
+      // the constructor, not element access on a column (a qualified
       // `t.array[i]` stays access)
-      val identStart = {
-        var j = i; while (j > 0 && isIdentChar(s(j - 1))) j -= 1; j
+      val kwEnd = {
+        var j = i; while (j > 0 && s(j - 1).isWhitespace) j -= 1; j
       }
-      val isArrayKw = identStart < i &&
-        s.substring(identStart, i).equalsIgnoreCase("array") &&
+      val identStart = {
+        var j = kwEnd; while (j > 0 && isIdentChar(s(j - 1))) j -= 1; j
+      }
+      val isArrayKw = identStart < kwEnd &&
+        s.substring(identStart, kwEnd).equalsIgnoreCase("array") &&
         (identStart == 0 || (s(identStart - 1) != '.' && s(identStart - 1) != ':'))
       // element access (`expr[i]`) has an operand char IMMEDIATELY before
       // `[` (no whitespace); a literal is preceded by start-of-text,

@@ -385,14 +385,22 @@ object IndexCatalog {
       (e.name, e.table, e.column, e.options, e.rowidCol, p)
     }
     // write-tmp-then-rename, like the storage manifest: a crash mid-write
-    // must leave the previous checkpoint readable, not a torn manifest
+    // must leave the previous checkpoint readable, not a torn manifest.
+    // The manifest carries this checkpoint's WAL EPOCH: replay applies only
+    // segments of the restored manifest's epoch, so a crash anywhere
+    // between the manifest publish and the stale-segment deletion below
+    // can never re-apply pre-checkpoint DML onto artifacts that already
+    // contain it (shard-append replay is not idempotent; insert replay
+    // would crash on duplicate keys).
+    val epoch = System.currentTimeMillis()
     val dst = s"$dir/catalog.manifest"
     val out = new java.io.ObjectOutputStream(ArtifactIO.create(dst + ".tmp"))
-    try out.writeObject(manifest) finally out.close()
+    try out.writeObject((epoch, manifest)) finally out.close()
     ArtifactIO.deleteIfExists(dst)
     ArtifactIO.rename(dst + ".tmp", dst)
-    list.foreach(e => ArtifactIO.deleteRecursive(walSegDir(dir, e.name)))
+    list.foreach(e => ArtifactIO.deleteRecursive(s"$dir/${e.name}.wal"))
     walDir = Some(dir)
+    walEpoch = epoch
     paths
   }
 
@@ -412,8 +420,13 @@ object IndexCatalog {
   // leaves only an ignored `.tmp` — no torn records to mis-replay.
 
   @volatile private var walDir: Option[String] = None
+  @volatile private var walEpoch: Long = 0L
 
-  private def walSegDir(dir: String, name: String): String = s"$dir/$name.wal"
+  /** Segments live in a PER-EPOCH subdirectory: restore filters to the
+    * manifest's epoch, so stale segments from before the latest checkpoint
+    * (left by a crash window) are inert rather than double-replayed. */
+  private def walSegDir(dir: String, name: String, epoch: Long): String =
+    s"$dir/$name.wal/e$epoch"
 
   /** Append-only writer for one index's post-checkpoint DML records. */
   final class WalWriter private[IndexCatalog] (out: java.io.DataOutputStream) {
@@ -448,7 +461,8 @@ object IndexCatalog {
       val buf = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(buf)
       val result = try body(Some(new WalWriter(out))) finally out.close()
-      if (buf.size() > 0) writeSegment(walSegDir(dir, name), buf.toByteArray)
+      if (buf.size() > 0)
+        writeSegment(walSegDir(dir, name, walEpoch), buf.toByteArray)
       result
     case _ => body(None)
   }
@@ -547,17 +561,22 @@ object IndexCatalog {
     // a checkpoint taken with no HNSW indexes writes only the
     // storage-family manifest — restore must not require the HNSW one.
     // The .tmp fallback covers a crash between checkpoint's delete and
-    // rename (the .tmp is complete by then).
-    val manifest =
-      Seq(s"$dir/catalog.manifest", s"$dir/catalog.manifest.tmp")
-        .find(ArtifactIO.exists) match {
-        case None =>
-          Seq.empty[(String, String, String, HnswOptions, String, String)]
-        case Some(p) =>
-          val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
-          try in.readObject().asInstanceOf[Seq[(String, String, String, HnswOptions, String, String)]]
-          finally in.close()
-      }
+    // rename (the .tmp is complete by then); a TORN .tmp (crash mid-write
+    // on a first-ever checkpoint, no published manifest yet) is treated as
+    // absent rather than poisoning the whole restore.
+    type Manifest = (Long, Seq[(String, String, String, HnswOptions, String, String)])
+    def readManifest(p: String): Manifest = {
+      val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
+      try in.readObject().asInstanceOf[Manifest] finally in.close()
+    }
+    val dst = s"$dir/catalog.manifest"
+    val tmp = dst + ".tmp"
+    val (epoch, manifest) =
+      if (ArtifactIO.exists(dst)) readManifest(dst) // published = complete;
+      // a parse failure here is real corruption and must surface
+      else if (ArtifactIO.exists(tmp))
+        scala.util.Try(readManifest(tmp)).getOrElse((0L, Seq.empty))
+      else (0L, Seq.empty)
     val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
         spark.table(table).queryExecution.withCachedData, rowidCol)
@@ -565,11 +584,12 @@ object IndexCatalog {
       entry
     }
     val alive = restored.filter { e =>
-      val ok = replayWal(e, walSegDir(dir, e.name))
+      val ok = replayWal(e, walSegDir(dir, e.name, epoch))
       if (!ok) entries.remove(e.name) // dropped after the checkpoint
       ok
     }
     walDir = Some(dir) // keep logging: the WAL stays the post-checkpoint history
+    walEpoch = epoch
     StorageIndexCatalog.restore(dir) // live entries win over the manifest
     alive
   }

@@ -107,14 +107,19 @@ object StorageIndexCatalog {
     * appends). Returns the number restored; 0 when no manifest exists. */
   def restore(dir: String): Int = {
     // the published manifest, or the complete .tmp a crash left between
-    // checkpoint's delete and rename
-    val path = Seq(manifestPath(dir), manifestPath(dir) + ".tmp")
-      .find(ArtifactIO.exists)
-      .getOrElse(return 0)
-    val in = new java.io.ObjectInputStream(ArtifactIO.open(path))
+    // checkpoint's delete and rename. A TORN .tmp (crash mid-write on a
+    // first-ever checkpoint) reads best-effort and falls back to absent; a
+    // published manifest is rename-complete, so its parse errors surface.
+    def read(p: String): Map[String, Seq[Any]] = {
+      val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
+      try in.readObject().asInstanceOf[Map[String, Seq[Any]]] finally in.close()
+    }
+    val dst = manifestPath(dir)
     val manifest =
-      try in.readObject().asInstanceOf[Map[String, Seq[Any]]]
-      finally in.close()
+      if (ArtifactIO.exists(dst)) read(dst)
+      else if (ArtifactIO.exists(dst + ".tmp"))
+        scala.util.Try(read(dst + ".tmp")).getOrElse(return 0)
+      else return 0
     val n =
       try {
         inRestore = true

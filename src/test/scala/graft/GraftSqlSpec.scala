@@ -198,6 +198,38 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("DML routing: case-insensitive names, qualified DELETE predicates, " +
+      "INSERT SELECT * over the hidden rowid") {
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft-crud2").toString
+    sys.props("graft.indexes.dir") = freshRoot
+    try {
+      spark.sql("DROP TABLE IF EXISTS t2")
+      GraftSql.sql(spark, "CREATE TABLE t2 (vec FLOAT[3]);")
+      GraftSql.sql(spark, "INSERT INTO t2 VALUES (array[1.0, 2.0, 3.0]);")
+      GraftSql.sql(spark, "CREATE INDEX t2_idx ON t2 USING HNSW (vec);")
+      // INSERT ... SELECT * from the registered table itself: star
+      // expansion includes the hidden rowid, which must be stripped before
+      // positional assignment — and T2 routes case-insensitively
+      GraftSql.sql(spark, "INSERT INTO T2 SELECT * FROM t2;")
+      assert(GraftSql.sql(spark, "SELECT * FROM t2").count() == 2)
+      // table-qualified predicate, case-insensitive target
+      GraftSql.sql(spark, "DELETE FROM T2 WHERE t2.vec = array[1.0, 2.0, 3.0];")
+      assert(GraftSql.sql(spark, "SELECT * FROM t2").count() == 0)
+      // a '__rowid' string LITERAL is not an address — rowid stays hidden;
+      // addressing it by name still works
+      val lit = GraftSql.sql(spark, "SELECT * FROM t2 WHERE 'x' <> '__rowid'")
+      assert(!lit.columns.contains(Graft.RowIdCol))
+      assert(GraftSql.sql(spark, s"SELECT ${Graft.RowIdCol} FROM t2")
+        .columns.contains(Graft.RowIdCol))
+    } finally {
+      sys.props.remove("graft.indexes.dir")
+      IndexCatalog.dropIndex("t2_idx")
+      Graft.dropTable(spark, "t2")
+      spark.sql("DROP TABLE IF EXISTS t2")
+      ()
+    }
+  }
+
   test("vss_match rewrite keeps the statement's alias and left-table qualifiers resolvable") {
     spark.table("sql_emb").filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("s_vec"))

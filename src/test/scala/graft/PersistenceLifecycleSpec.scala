@@ -249,6 +249,46 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     StorageIndexCatalog.disarm()
   }
 
+  test("stale pre-checkpoint WAL epochs are inert on restore " +
+      "(crash between manifest publish and segment cleanup)") {
+    import graft.index.ArtifactIO
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "ep_t", emb)
+      IndexCatalog.dropIndex("ep_idx")
+      IndexCatalog.createIndex(spark, "ep_idx", "ep_t", "embedding",
+        Map("ef_search" -> "600"))
+      IndexCatalog.checkpoint(spark, dir)
+      val probe = Array.fill(64)(44f)
+      Graft.insertInto(spark, "ep_t",
+        Seq((666000L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      // stash the current epoch's segments before the next checkpoint
+      // deletes them
+      val oldEpochDir = ArtifactIO.list(s"$dir/ep_idx.wal").head
+      val segs = ArtifactIO.list(oldEpochDir)
+      val stashDir = java.nio.file.Files.createTempDirectory("graft-epoch-stash").toString
+      def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      segs.foreach(f => ArtifactIO.copy(f, s"$stashDir/${base(f)}"))
+      // the second checkpoint captures the insert in the artifact; putting
+      // the old segments back simulates a crash after the manifest rename
+      // but before the segment cleanup
+      IndexCatalog.checkpoint(spark, dir)
+      val sizeAtCkpt = IndexCatalog.get("ep_idx").get.index.size
+      segs.foreach(f => ArtifactIO.copy(s"$stashDir/${base(f)}", f))
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, dir)
+      val restored = IndexCatalog.get("ep_idx").get.index
+      assert(restored.size == sizeAtCkpt,
+        "a stale epoch's insert must not re-apply onto an artifact that " +
+          "already contains it")
+      assert(Graft.indexTopK(spark, "ep_idx", probe, 1)
+        .select($"vec_id").as[Long].head() == 666000L)
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
+
   test("manifest publish is crash-safe: a complete .tmp left between " +
       "delete and rename still restores") {
     import graft.index.{IvfIndex, StorageIndexCatalog}

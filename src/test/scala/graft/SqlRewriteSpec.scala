@@ -61,6 +61,17 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(SqlRewrite.preprocess(odd) == odd)
   }
 
+  test("DuckDB's array[...] prefix constructor rewrites; access forms stay") {
+    assert(SqlRewrite.preprocess("INSERT INTO t1 VALUES (array[1.0, 2.0, 3.0])") ==
+      "INSERT INTO t1 VALUES (array(1.0, 2.0, 3.0))")
+    assert(SqlRewrite.preprocess("SELECT ARRAY [1, 2] AS a") ==
+      "SELECT array(1, 2) AS a") // whitespace form, same constructor
+    assert(SqlRewrite.preprocess("SELECT t.array[0] FROM t") ==
+      "SELECT t.array[0] FROM t") // qualified column named array: access
+    assert(SqlRewrite.preprocess("SELECT myarray[0] FROM t") ==
+      "SELECT myarray[0] FROM t")
+  }
+
   test("generic cast on the LEFT operand is delimited whole") {
     assert(SqlRewrite.preprocess(
       "SELECT vec::FLOAT[2] <-> [1.0,0.0]::FLOAT[2] AS d FROM t") ==
