@@ -55,6 +55,11 @@ object ShingleIndex {
     val path = s"$baseDir/$name-shingles-${System.currentTimeMillis()}"
     spark.sql(s"DROP TABLE IF EXISTS ${catalogTable(name)}")
     graft.ops.Dedup.hashedShingles(spark.table(table), idCol, textCol, shingleLen)
+      // align write partitions to the bucket function (same murmur3+pmod):
+      // each task then writes exactly ONE bucket file instead of one file
+      // per (task × bucket) — tasks×buckets small files is the classic
+      // bucketed-write problem, and every downstream bucketed read pays it
+      .repartition(nBuckets, org.apache.spark.sql.functions.col("shingle"))
       .write
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
       .option("path", path)
