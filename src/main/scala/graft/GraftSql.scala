@@ -106,6 +106,11 @@ object GraftSql {
         .filter(_.rowidCol == Graft.RowIdCol)
         .map(_.table).find(_.equalsIgnoreCase(table)))
 
+  /** Pattern that binds the canonical managed name in one lookup. */
+  private object Managed {
+    def unapply(table: String): Option[String] = managedTarget(table)
+  }
+
   /** DELETE predicate with the reference's element-coercing array
     * comparison: `vec = array[1.0, 2.0, 3.0]` against a FLOAT[n] column
     * compares after casting the literal side to the column's type — both
@@ -149,8 +154,7 @@ object GraftSql {
         Graft.registerTable(spark, table, spark.table(table))
       IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
       spark.emptyDataFrame
-    case InsertRe(table0, body) if managedTarget(table0).isDefined =>
-      val table = managedTarget(table0).get
+    case InsertRe(Managed(table), body) =>
       Graft.registerFunctions(spark)
       val b = body.trim
       val src0 =
@@ -158,10 +162,11 @@ object GraftSql {
         else spark.sql(b)
       // an INSERT ... SELECT * from another registered table star-expands
       // its hidden rowid — strip it like the read path does, unless the
-      // source addressed it by name
+      // source addressed it by name (whole-identifier match: a column
+      // merely CONTAINING '__rowid' must not suppress the strip)
       val src =
         if (src0.columns.contains(Graft.RowIdCol) &&
-            !SqlRewrite.containsOutsideQuotes(b.toLowerCase, Graft.RowIdCol))
+            !SqlRewrite.mentionsIdentifier(b.toLowerCase, Graft.RowIdCol))
           src0.drop(Graft.RowIdCol)
         else src0
       // positional assignment with store-cast, like SQL INSERT ... SELECT
@@ -173,8 +178,7 @@ object GraftSql {
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
       Graft.insertInto(spark, table, aligned)
       spark.emptyDataFrame
-    case DeleteRe(table0, cond) if managedTarget(table0).isDefined =>
-      val table = managedTarget(table0).get
+    case DeleteRe(Managed(table), cond) =>
       Graft.registerFunctions(spark)
       Graft.deleteFrom(spark, table, deleteCond(spark, table, Option(cond)))
       spark.emptyDataFrame
@@ -243,10 +247,11 @@ object GraftSql {
       Graft.registerFunctions(spark)
       val out = spark.sql(other)
       // DuckDB keeps rowid out of star expansion but addressable by name;
-      // mirror that for the engine's materialized __rowid (quote-aware: a
-      // '__rowid' string LITERAL is not an address)
+      // mirror that for the engine's materialized __rowid (whole-identifier
+      // match: neither a '__rowid' string literal nor a column merely
+      // containing the substring is an address)
       if (out.columns.contains(Graft.RowIdCol) &&
-          !SqlRewrite.containsOutsideQuotes(other.toLowerCase, Graft.RowIdCol))
+          !SqlRewrite.mentionsIdentifier(other.toLowerCase, Graft.RowIdCol))
         out.drop(Graft.RowIdCol)
       else out
   }

@@ -114,6 +114,20 @@ object SqlRewrite {
   private[graft] def containsOutsideQuotes(stmt: String, tok: String): Boolean =
     findOutsideQuotes(stmt, tok, 0) >= 0
 
+  /** Does `ident` occur in `stmt` as a whole identifier (not a substring of
+    * a longer one, not inside a string literal)? */
+  private[graft] def mentionsIdentifier(stmt: String, ident: String): Boolean = {
+    var i = findOutsideQuotes(stmt, ident, 0)
+    while (i >= 0) {
+      val freeBefore = i == 0 || !isIdentChar(stmt(i - 1))
+      val end = i + ident.length
+      val freeAfter = end >= stmt.length || !isIdentChar(stmt(end))
+      if (freeBefore && freeAfter) return true
+      i = findOutsideQuotes(stmt, ident, i + 1)
+    }
+    false
+  }
+
   /** Is `pos` inside a single-quoted literal? */
   private def insideQuotes(s: String, pos: Int): Boolean = {
     var j = 0

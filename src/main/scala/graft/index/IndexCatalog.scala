@@ -334,13 +334,23 @@ object IndexCatalog {
 
   /** CHECKPOINT analog: persist every index artifact under `dir`
     * (reference PersistToDisk at checkpoint, src/hnsw/hnsw_index.cpp:510-532). */
+  /** Persist every index artifact under `dir` at its STABLE path, each
+    * published by save-to-tmp-then-swap: a crash mid-save leaves the
+    * previous checkpoint's artifact intact (a torn in-place overwrite
+    * would strand the still-published manifest pointing at garbage), and
+    * the delete-to-rename window is repaired at load time
+    * (LazyLoadedIndex falls back to a complete `.tmp`). */
   def persistAll(dir: String): Seq[String] = list.map { e =>
     val path = e.index match {
       case _: ShardedHnswIndex => s"$dir/${e.name}"
       case _: LazyLoadedIndex => s"$dir/${e.name}"
       case _ => s"$dir/${e.name}.hnsw"
     }
-    e.index.save(path)
+    val tmp = path + ".tmp"
+    ArtifactIO.deleteRecursive(tmp) // stale tmp from an earlier crash
+    e.index.save(tmp)
+    ArtifactIO.deleteRecursive(path)
+    ArtifactIO.rename(tmp, path)
     path
   }
 
@@ -378,30 +388,38 @@ object IndexCatalog {
         "HNSW indexes can only be created in in-memory databases, or when the " +
           "configuration option 'hnsw_enable_experimental_persistence' is set to true.")
     }
-    StorageIndexCatalog.checkpoint(dir)
-    ArtifactIO.mkdirs(dir)
-    val paths = persistAll(dir)
-    val manifest = list.zip(paths).map { case (e, p) =>
-      (e.name, e.table, e.column, e.options, e.rowidCol, p)
-    }
-    // write-tmp-then-rename, like the storage manifest: a crash mid-write
-    // must leave the previous checkpoint readable, not a torn manifest.
-    // The manifest carries this checkpoint's WAL EPOCH: replay applies only
-    // segments of the restored manifest's epoch, so a crash anywhere
-    // between the manifest publish and the stale-segment deletion below
-    // can never re-apply pre-checkpoint DML onto artifacts that already
-    // contain it (shard-append replay is not idempotent; insert replay
-    // would crash on duplicate keys).
-    val epoch = System.currentTimeMillis()
-    val dst = s"$dir/catalog.manifest"
-    val out = new java.io.ObjectOutputStream(ArtifactIO.create(dst + ".tmp"))
-    try out.writeObject((epoch, manifest)) finally out.close()
-    ArtifactIO.deleteIfExists(dst)
-    ArtifactIO.rename(dst + ".tmp", dst)
-    list.foreach(e => ArtifactIO.deleteRecursive(s"$dir/${e.name}.wal"))
-    walDir = Some(dir)
-    walEpoch = epoch
-    paths
+    // DML batches hold the read lock for their whole batch (withWal), so a
+    // checkpoint can never interleave with a half-applied batch: the
+    // artifact snapshot and the WAL segment set are batch-consistent
+    val wl = dmlLock.writeLock()
+    wl.lock()
+    try {
+      StorageIndexCatalog.checkpoint(dir)
+      ArtifactIO.mkdirs(dir)
+      val paths = persistAll(dir)
+      val manifest = list.zip(paths).map { case (e, p) =>
+        (e.name, e.table, e.column, e.options, e.rowidCol, p)
+      }
+      // write-tmp-then-rename, like the storage manifest: a crash mid-write
+      // must leave the previous checkpoint readable, not a torn manifest.
+      // The manifest carries this checkpoint's WAL EPOCH: replay applies
+      // only segments of the restored manifest's epoch, so a crash between
+      // the manifest publish and the stale-segment deletion below never
+      // re-applies pre-checkpoint DML (and replay itself is idempotent as a
+      // second layer — see replaySegment). Strictly above the previous
+      // epoch even under clock regression: an epoch collision would make
+      // stale segments indistinguishable from live ones.
+      val epoch = math.max(walEpoch + 1, System.currentTimeMillis())
+      val dst = s"$dir/catalog.manifest"
+      val out = new java.io.ObjectOutputStream(ArtifactIO.create(dst + ".tmp"))
+      try out.writeObject((epoch, manifest)) finally out.close()
+      ArtifactIO.deleteIfExists(dst)
+      ArtifactIO.rename(dst + ".tmp", dst)
+      list.foreach(e => ArtifactIO.deleteRecursive(s"$dir/${e.name}.wal"))
+      walDir = Some(dir)
+      walEpoch = epoch
+      paths
+    } finally wl.unlock()
   }
 
   // --- WAL-analog incremental persistence --------------------------------
@@ -422,11 +440,21 @@ object IndexCatalog {
   @volatile private var walDir: Option[String] = None
   @volatile private var walEpoch: Long = 0L
 
+  // DML-batch vs checkpoint mutual exclusion: a batch (withWal body) holds
+  // the READ lock end-to-end, checkpoint/restoreAll take the WRITE lock —
+  // a checkpoint mid-batch would otherwise snapshot half the batch into
+  // the artifact while the full batch lands in a WAL segment whose epoch
+  // is ambiguous. Searches take no lock (they never touch WAL state).
+  private val dmlLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   /** Segments live in a PER-EPOCH subdirectory: restore filters to the
     * manifest's epoch, so stale segments from before the latest checkpoint
-    * (left by a crash window) are inert rather than double-replayed. */
+    * (left by a crash window) are inert rather than double-replayed.
+    * Epoch 0 = a restored pre-epoch checkpoint, whose segments live at the
+    * wal root — writes and replay after such a restore stay in that
+    * layout until the next checkpoint mints a real epoch. */
   private def walSegDir(dir: String, name: String, epoch: Long): String =
-    s"$dir/$name.wal/e$epoch"
+    if (epoch == 0L) s"$dir/$name.wal" else s"$dir/$name.wal/e$epoch"
 
   /** Append-only writer for one index's post-checkpoint DML records. */
   final class WalWriter private[IndexCatalog] (out: java.io.DataOutputStream) {
@@ -456,15 +484,19 @@ object IndexCatalog {
     * batch = one SEGMENT file, buffered in memory and published by
     * write-then-rename only after `body` completes — a failed batch leaves
     * no partial records behind. */
-  def withWal[T](name: String)(body: Option[WalWriter] => T): T = walDir match {
-    case Some(dir) if entries.contains(name) =>
-      val buf = new java.io.ByteArrayOutputStream()
-      val out = new java.io.DataOutputStream(buf)
-      val result = try body(Some(new WalWriter(out))) finally out.close()
-      if (buf.size() > 0)
-        writeSegment(walSegDir(dir, name, walEpoch), buf.toByteArray)
-      result
-    case _ => body(None)
+  def withWal[T](name: String)(body: Option[WalWriter] => T): T = {
+    val rl = dmlLock.readLock()
+    rl.lock()
+    try walDir match {
+      case Some(dir) if entries.contains(name) =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(buf)
+        val result = try body(Some(new WalWriter(out))) finally out.close()
+        if (buf.size() > 0)
+          writeSegment(walSegDir(dir, name, walEpoch), buf.toByteArray)
+        result
+      case _ => body(None)
+    } finally rl.unlock()
   }
 
   /** Publish one WAL segment: next sequence number after the existing
@@ -517,12 +549,20 @@ object IndexCatalog {
       var tag = in.read()
       while (tag >= 0) {
         tag match {
+          // Replay is IDEMPOTENT: a crash between an artifact swap and the
+          // manifest publish restores an artifact NEWER than the manifest,
+          // so records already reflected in it must no-op (re-inserting an
+          // existing key throws; re-attaching a shard doubles the index).
+          // Replaying a history prefix onto its own final state converges:
+          // inserts skip when the key is present, deletes are naturally
+          // idempotent, and a delete-then-reinsert re-applies the full
+          // vector carried by the insert record in order.
           case 0 =>
             val key = in.readLong()
             val vec = new Array[Float](in.readInt())
             var i = 0
             while (i < vec.length) { vec(i) = in.readFloat(); i += 1 }
-            if (!dropped) entry.index.insert(key, vec)
+            if (!dropped && !entry.index.contains(key)) entry.index.insert(key, vec)
           case 1 =>
             val key = in.readLong()
             if (!dropped) entry.index.delete(key)
@@ -533,9 +573,11 @@ object IndexCatalog {
               val metas = new java.io.ObjectInputStream(
                 new java.io.ByteArrayInputStream(bytes)).readObject()
                 .asInstanceOf[Array[ShardMeta]]
-              asSharded(entry.index).getOrElse(throw new IllegalStateException(
+              val sh = asSharded(entry.index).getOrElse(throw new IllegalStateException(
                 s"WAL shard-append record for non-sharded index ${entry.name}"))
-                .appendShards(metas)
+              val attached = sh.shards.map(_.path).toSet
+              val fresh = metas.filterNot(m => attached(m.path))
+              if (fresh.nonEmpty) sh.appendShards(fresh)
             }
           case 3 =>
             dropped = true
@@ -558,16 +600,31 @@ object IndexCatalog {
     * already be registered (they are storage-backed; see
     * Graft.registerTable). */
   def restoreAll(spark: SparkSession, dir: String): Seq[IndexEntry] = {
+    val wl = dmlLock.writeLock()
+    wl.lock()
+    try restoreAllLocked(spark, dir) finally wl.unlock()
+  }
+
+  private def restoreAllLocked(spark: SparkSession, dir: String): Seq[IndexEntry] = {
     // a checkpoint taken with no HNSW indexes writes only the
     // storage-family manifest — restore must not require the HNSW one.
     // The .tmp fallback covers a crash between checkpoint's delete and
     // rename (the .tmp is complete by then); a TORN .tmp (crash mid-write
     // on a first-ever checkpoint, no published manifest yet) is treated as
-    // absent rather than poisoning the whole restore.
-    type Manifest = (Long, Seq[(String, String, String, HnswOptions, String, String)])
-    def readManifest(p: String): Manifest = {
-      val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
-      try in.readObject().asInstanceOf[Manifest] finally in.close()
+    // absent rather than poisoning the whole restore. A successfully-read
+    // .tmp is REPUBLISHED as the manifest so the next checkpoint's
+    // tmp-overwrite can't destroy the only surviving copy.
+    type Entries = Seq[(String, String, String, HnswOptions, String, String)]
+    def readManifest(p: String): (Long, Entries) = {
+      val raw = ArtifactIO.open(p) // close the raw stream even when the
+      try { // ObjectInputStream header parse itself throws on a torn file
+        new java.io.ObjectInputStream(raw).readObject() match {
+          case (e: Long, entries: Seq[_]) => (e, entries.asInstanceOf[Entries])
+          // pre-epoch manifests were the bare entry Seq, with WAL segments
+          // directly under <name>.wal/ — epoch 0 routes replay there
+          case legacy: Seq[_] => (0L, legacy.asInstanceOf[Entries])
+        }
+      } finally raw.close()
     }
     val dst = s"$dir/catalog.manifest"
     val tmp = dst + ".tmp"
@@ -575,8 +632,11 @@ object IndexCatalog {
       if (ArtifactIO.exists(dst)) readManifest(dst) // published = complete;
       // a parse failure here is real corruption and must surface
       else if (ArtifactIO.exists(tmp))
-        scala.util.Try(readManifest(tmp)).getOrElse((0L, Seq.empty))
-      else (0L, Seq.empty)
+        scala.util.Try(readManifest(tmp)) match {
+          case scala.util.Success(m) => ArtifactIO.rename(tmp, dst); m
+          case scala.util.Failure(_) => (0L, Seq.empty: Entries)
+        }
+      else (0L, Seq.empty: Entries)
     val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
         spark.table(table).queryExecution.withCachedData, rowidCol)

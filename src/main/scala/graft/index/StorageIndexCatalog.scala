@@ -110,15 +110,23 @@ object StorageIndexCatalog {
     // checkpoint's delete and rename. A TORN .tmp (crash mid-write on a
     // first-ever checkpoint) reads best-effort and falls back to absent; a
     // published manifest is rename-complete, so its parse errors surface.
+    // A successfully-read .tmp is republished so the next armed rewrite's
+    // tmp-overwrite can't destroy the only surviving copy.
     def read(p: String): Map[String, Seq[Any]] = {
-      val in = new java.io.ObjectInputStream(ArtifactIO.open(p))
-      try in.readObject().asInstanceOf[Map[String, Seq[Any]]] finally in.close()
+      val raw = ArtifactIO.open(p) // close raw even when the
+      try // ObjectInputStream header parse throws on a torn file
+        new java.io.ObjectInputStream(raw).readObject()
+          .asInstanceOf[Map[String, Seq[Any]]]
+      finally raw.close()
     }
     val dst = manifestPath(dir)
     val manifest =
       if (ArtifactIO.exists(dst)) read(dst)
       else if (ArtifactIO.exists(dst + ".tmp"))
-        scala.util.Try(read(dst + ".tmp")).getOrElse(return 0)
+        scala.util.Try(read(dst + ".tmp")) match {
+          case scala.util.Success(m) => ArtifactIO.rename(dst + ".tmp", dst); m
+          case scala.util.Failure(_) => return 0
+        }
       else return 0
     val n =
       try {

@@ -449,10 +449,13 @@ class ShardedHnswIndex private (
     * under `path`. */
   def save(path: String): Unit = synchronized {
     ArtifactIO.mkdirs(path)
+    // shard paths are recorded RELATIVE to the artifact dir: the dir may
+    // be renamed after save (checkpoint publishes via save-tmp-then-swap),
+    // and an absolute path would keep pointing at the pre-rename name
     val copied = shards0.zipWithIndex.map { case (s, i) =>
-      val dest = s"$path/shard-$i.hnsw"
-      ArtifactIO.copy(s.path, dest)
-      s.copy(path = dest)
+      val base = s"shard-$i.hnsw"
+      ArtifactIO.copy(s.path, s"$path/$base")
+      s.copy(path = base)
     }
     val out = new ObjectOutputStream(ArtifactIO.create(s"$path/manifest.bin"))
     try {
@@ -483,9 +486,16 @@ class ShardedHnswIndex private (
   * src/hnsw/hnsw_index.cpp:193-206). A directory artifact is a sharded
   * index (manifest + shard files), a flat file a single graph. */
 class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
-  @transient private lazy val underlying: VectorIndex =
+  @transient private lazy val underlying: VectorIndex = {
+    // crash-window repair: a checkpoint that died between its
+    // delete-old-artifact and rename-tmp-into-place steps leaves only the
+    // complete `.tmp` (IndexCatalog.persistAll publishes save-tmp-swap)
+    if (!ArtifactIO.exists(artifactPath) &&
+        ArtifactIO.exists(artifactPath + ".tmp"))
+      ArtifactIO.rename(artifactPath + ".tmp", artifactPath)
     if (ArtifactIO.isDirectory(artifactPath)) ShardedHnswIndex.load(artifactPath)
     else new SingleHnswIndex(HnswIndex.load(artifactPath))
+  }
 
   /** Force the deferred load and expose the real index (e.g. so compaction
     * can pick the distributed path for a sharded artifact). */
@@ -514,6 +524,9 @@ object ShardedHnswIndex {
     val in = new ObjectInputStream(ArtifactIO.open(s"$path/manifest.bin"))
     try {
       val shards = in.readObject().asInstanceOf[Array[ShardMeta]]
+        // relative paths (post-rename-safe) resolve against the artifact
+        // dir; absolute paths (pre-change manifests) load unchanged
+        .map(s => if (s.path.contains("/")) s else s.copy(path = s"$path/${s.path}"))
       val delta = in.readObject().asInstanceOf[HnswIndex]
       val deleted = in.readObject()
         .asInstanceOf[java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]]
