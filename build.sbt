@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's stdout instead of through sbt's
+// logger. With the default LoggedOutput every line the benchmark prints is
+// re-emitted as "[info] <line>" — the round driver json-parses the final
+// stdout line of `sbt "runMain graft.Bench"`, and that prefix (plus the
+// logger's buffering of a ~2k-char line) is what kept BENCH_r*.json's
+// `parsed` field null for six rounds.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time: ..." trailer after it: the benchmark's
+// JSON must be the LAST stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
