@@ -471,9 +471,20 @@ object SparkEntry {
     }
 
     /** q16's TopN shape in true graph mode (ef=64). APPROXIMATE by design —
-      * no SQL oracle (rows-only check); RecallSpec pins quality, this
-      * entry pins latency. */
+      * no SQL oracle (rows-only check); instead `assertGraphRecall` gates
+      * every driver run: the executed answers are compared against the
+      * exact top-k and the query FAILS under the recall threshold, the
+      * reference's own strategy for index-mode tests
+      * (reference test/sql/hnsw/hnsw_lateral_join.test:36-43 labeled
+      * with/without-index differential, hnsw_basic.test:26-31
+      * distance-bound assertions). */
     def q79GraphTopK(s: SparkSession, dir: String): DataFrame = {
+      val df = q79Plan(s, dir)
+      assertGraphRecall(s, dir)
+      df
+    }
+
+    private def q79Plan(s: SparkSession, dir: String): DataFrame = {
       val (table, _) = sharedGraphIndex(s, dir)
       val qv = embQueryVec(s, table, 0)
       s.table(table)
@@ -484,8 +495,15 @@ object SparkEntry {
     }
 
     /** q17's KNN-join shape in true graph mode (ef=64): 100 outer rows,
-      * k=3, broadcast index, graph descent per probe. */
+      * k=3, broadcast index, graph descent per probe. Recall-gated per
+      * driver run like q79. */
     def q80GraphKnnJoin(s: SparkSession, dir: String): DataFrame = {
+      val df = q80Plan(s, dir)
+      assertGraphRecall(s, dir)
+      df
+    }
+
+    private def q80Plan(s: SparkSession, dir: String): DataFrame = {
       val (table, index) = sharedGraphIndex(s, dir)
       val outer = s.table(table)
         .filter(col("vec_id") < 100 && col("embedding").isNotNull)
@@ -494,6 +512,63 @@ object SparkEntry {
         .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
         .orderBy(col("qid"), col("rank"))
     }
+
+    /** Per-run correctness gate for the oracle-less graph-mode entries:
+      * collect what the REAL q79/q80 plans (index rewrite, broadcast
+      * descent, join plumbing — the executed path, not a shadow of it)
+      * actually answer, and compare against the exact top-k computed
+      * driver-side through the same index's exhaustive linear-scan path
+      * (ef > N — the equivalence every oracle-pinned index query relies
+      * on). Comparison is BY DISTANCE, not by id, so equidistant
+      * neighbors can't fail the gate spuriously: an approximate hit
+      * counts iff its distance is within the exact k-th distance.
+      * Throws (failing the driver's query run) below threshold: ≥0.9 for
+      * q79's single probe (one miss in ten), ≥0.95 across q80's 300
+      * (probe, neighbor) pairs. Checked once per (session, sf dir) — i.e.
+      * once per driver Verify/Bench run — so the bench's steady-state
+      * q79/q80 timings still measure graph-descent latency, with the gate
+      * cost landing in the `build_graph_index` warm-up metric. */
+    private val graphRecallChecked =
+      scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+    private def assertGraphRecall(s: SparkSession, dir: String): Unit =
+      graphRecallChecked.getOrElseUpdate(dir, {
+        val (table, index) = sharedGraphIndex(s, dir)
+        val idx = graft.index.IndexCatalog.get(index).get.index
+        val exhaustiveEf = idx.size + 1
+        // tie-robust hit test: within the exact k-th distance (+ float slack)
+        def hits(approx: Seq[Double], exactKth: Double): Int =
+          approx.count(_ <= exactKth * (1 + 1e-9) + 1e-12)
+
+        // q79: one probe, k=10
+        val qv79 = embQueryVec(s, table, 0)
+        val exact79 = idx.search(qv79, 10, exhaustiveEf)
+        val approx79 = q79Plan(s, dir).collect().map(_.getDouble(1)).toSeq
+        val recall79 = hits(approx79, exact79.last._2) / 10.0
+
+        // q80: 100 probes, k=3 — exact k-th distance per probe
+        val probes = s.table(table)
+          .filter(col("vec_id") < 100 && col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val exactKth80 = probes.map { case (qid, v) =>
+          qid -> idx.search(v, 3, exhaustiveEf).last._2
+        }
+        val approx80 = q80Plan(s, dir).collect()
+          .map(r => (r.getLong(0), r.getDouble(3)))
+        val hit80 = approx80.count { case (qid, d) =>
+          d <= exactKth80(qid) * (1 + 1e-9) + 1e-12
+        }
+        val recall80 = hit80.toDouble / (probes.size * 3)
+
+        if (recall79 < 0.9 - 1e-9 || recall80 < 0.95 - 1e-9)
+          throw new IllegalStateException(
+            f"graph-mode recall gate failed: q79 recall@10=$recall79%.3f " +
+              f"(need >=0.9), q80 recall@3=$recall80%.3f (need >=0.95) " +
+              s"at ef=${graft.index.IndexCatalog.effectiveEf(s,
+                graft.index.IndexCatalog.get(index).get)}")
+        ()
+      })
 
     /** Grouped lateral-KNN (reference test/sql/hnsw/hnsw_lateral_join_group
       * .test): aggregate over each outer row's k nearest neighbors through
@@ -974,14 +1049,22 @@ object SparkEntry {
       * is integer-derived IEEE division, bit-exact cross-engine. */
     def q54HybridRrf(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val kw = q52Bm25TopK(s, dir)
+      // Both retrieval legs run through their shared indexes — the hybrid
+      // query costs |query-term buckets|/nBuckets of the postings plus one
+      // k-bounded index probe, NOT a corpus re-tokenize plus a full vector
+      // scan. Results are pinned bit-identical to the brute-force legs:
+      // TermIndex.search ≡ bm25TopK (TextSearchSpec), and sharedIndex's
+      // exhaustive ef_search makes the index probe equal brute force (the
+      // q16 oracle pins the same equivalence), so the q52-shaped oracle
+      // is unchanged.
+      val kw = graft.index.TermIndex.search(s, sharedTermIndex(s, dir),
+          bm25Terms, 20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"))
-      val emb = tbl(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 7)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      val vec = Graft.topK(emb, "embedding", qv, 20, "l2sq", Seq("vec_id"))
+      val (table, index) = sharedIndex(s, dir)
+      val qv = embQueryVec(s, table, 7)
+      val vec = Graft.indexTopK(s, index, qv, 20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
         .select(col("vec_id").as("doc_id"), col("rank"))

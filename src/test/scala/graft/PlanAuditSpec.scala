@@ -143,4 +143,16 @@ class PlanAuditSpec extends GraftSparkSpec {
     // aggregate (partial map-side agg → one final row)
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
   }
+
+  test("q54: hybrid RRF reads bucket-pruned postings, never re-tokenizes " +
+      "the corpus") {
+    val p = plan("q54_hybrid_rrf")
+    // BM25 leg through the term index: the posting scan is partition-pruned
+    // to the query terms' buckets (same pin as q53/q56)
+    assert(p.contains("PartitionFilters") &&
+      p.contains(graft.index.TermIndex.BucketCol), p)
+    // no tokenizer in the plan — the corpus text column is never read
+    assert(!p.toLowerCase.contains("regexp"), p)
+    assert(!p.contains("\"text\""), p)
+  }
 }
