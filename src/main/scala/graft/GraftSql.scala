@@ -91,8 +91,16 @@ object GraftSql {
       parts(0).trim.toLowerCase -> parts(1).trim.stripPrefix("'").stripSuffix("'")
     }.toMap
 
-  def sql(spark: SparkSession, statement: String): DataFrame =
-    dispatch(spark, SqlRewrite.preprocess(statement))
+  /** `SET graft.sql.cosineInfix=false` keeps Spark's null-safe-equality
+    * `<=>` instead of the reference dialect's cosine-distance spelling
+    * (the `<->`/`<#>` rewrites are unambiguous and always on). */
+  val CosineInfixConfKey = "graft.sql.cosineInfix"
+
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    val cosine = spark.conf.getOption(CosineInfixConfKey)
+      .forall(_.trim.equalsIgnoreCase("true"))
+    dispatch(spark, SqlRewrite.preprocess(statement, cosine))
+  }
 
   /** Tables whose DML must flow through the engine (index maintenance,
     * rowid continuity): Graft registrations and any table serving an HNSW

@@ -14,7 +14,13 @@ package graft
   *    }}}
   *    NOTE: in this dialect `<=>` is cosine distance (the reference's
   *    spelling), shadowing Spark SQL's null-safe equality — write
-  *    `IS NOT DISTINCT FROM` through GraftSql for the latter.
+  *    `IS NOT DISTINCT FROM` through GraftSql for the latter, or turn the
+  *    spelling off per session (`SET graft.sql.cosineInfix=false`, read by
+  *    GraftSql) to keep Spark's operator.
+  *
+  * All rewrites also skip `--` line comments and `/* */` block comments:
+  * a commented-out `<=>` (or an apostrophe in a comment, which would
+  * desynchronize a quotes-only tracker) must not change the statement.
   *  - `FLOAT[n]` / `FLOAT[ANY]` array types (casts and DDL column types)
   *    => `ARRAY<FLOAT>`.
   *  - Bracket array literals `[1, 2, 3]` => `array(1, 2, 3)` — only where
@@ -35,8 +41,12 @@ object SqlRewrite {
     "<=>" -> "array_cosine_distance",
     "<#>" -> "array_negative_inner_product")
 
-  def preprocess(stmt: String): String =
-    rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)))
+  def preprocess(stmt: String): String = preprocess(stmt, cosineInfix = true)
+
+  /** `cosineInfix=false` leaves `<=>` alone (Spark's null-safe equality)
+    * while keeping the unambiguous `<->`/`<#>` spellings. */
+  def preprocess(stmt: String, cosineInfix: Boolean): String =
+    rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)), cosineInfix)
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
@@ -53,22 +63,39 @@ object SqlRewrite {
     j
   }
 
-  /** Index of the close matching the open bracket/paren at `i` (quote-
-    * aware), or -1 if unbalanced. */
+  /** End index (exclusive) of the NON-CODE span starting at `i` — a
+    * single-quoted literal, a `--` line comment, or a `/∗ ∗/` block
+    * comment — or -1 when `i` doesn't start one. Every scanner routes
+    * through this: an apostrophe inside a comment must not flip the quote
+    * tracker, and no rewrite may touch commented-out text. */
+  private def nonCodeEnd(s: String, i: Int): Int =
+    if (s(i) == '\'') skipString(s, i)
+    else if (s(i) == '-' && i + 1 < s.length && s(i + 1) == '-') {
+      val nl = s.indexOf('\n', i + 2)
+      if (nl < 0) s.length else nl + 1
+    } else if (s(i) == '/' && i + 1 < s.length && s(i + 1) == '*') {
+      val end = s.indexOf("*/", i + 2)
+      if (end < 0) s.length else end + 2
+    } else -1
+
+  /** Index of the close matching the open bracket/paren at `i` (quote- and
+    * comment-aware), or -1 if unbalanced. */
   private def matchForward(s: String, i: Int): Int = {
     val (open, close) = (s(i), if (s(i) == '(') ')' else ']')
     var depth = 0
     var j = i
     while (j < s.length) {
-      s(j) match {
-        case '\'' => j = skipString(s, j) - 1
-        case c if c == open => depth += 1
-        case c if c == close =>
+      val skip = if (j > i) nonCodeEnd(s, j) else -1
+      if (skip >= 0) j = skip
+      else {
+        val c = s(j)
+        if (c == open) depth += 1
+        else if (c == close) {
           depth -= 1
           if (depth == 0) return j
-        case _ =>
+        }
+        j += 1
       }
-      j += 1
     }
     -1
   }
@@ -90,13 +117,13 @@ object SqlRewrite {
   }
 
   /** First occurrence of `tok` at or after `from` that is outside any
-    * single-quoted literal, or -1. */
+    * single-quoted literal or comment, or -1. */
   private def findOutsideQuotes(s: String, tok: String, from: Int): Int = {
     var j = 0
     var next = s.indexOf(tok, from)
     while (next >= 0 && j < s.length) {
-      if (s(j) == '\'') {
-        val end = skipString(s, j)
+      val end = nonCodeEnd(s, j)
+      if (end >= 0) {
         if (next >= j && next < end) next = s.indexOf(tok, end)
         j = end
       } else j += 1
@@ -128,12 +155,12 @@ object SqlRewrite {
     false
   }
 
-  /** Is `pos` inside a single-quoted literal? */
+  /** Is `pos` inside a single-quoted literal or a comment? */
   private def insideQuotes(s: String, pos: Int): Boolean = {
     var j = 0
     while (j <= pos && j < s.length) {
-      if (s(j) == '\'') {
-        val end = skipString(s, j)
+      val end = nonCodeEnd(s, j)
+      if (end >= 0) {
         if (pos >= j && pos < end) return true
         j = end
       } else j += 1
@@ -159,6 +186,16 @@ object SqlRewrite {
 
   // ---- bracket array literals -----------------------------------------
 
+  /** SQL keywords after which a `[...]` can only be a literal, never
+    * element access on the keyword itself. Anything NOT here that parses
+    * as an identifier is assumed to be an expression (column/alias), so
+    * `arr [0]` stays element access. */
+  private val literalCanFollowKw: Set[String] = Set(
+    "select", "where", "and", "or", "not", "when", "then", "else", "in",
+    "values", "on", "having", "by", "all", "distinct", "union", "except",
+    "intersect", "between", "like", "is", "returning", "set", "case",
+    "limit", "offset", "as")
+
   private def rewriteArrayLiterals(stmt: String): String = {
     var s = stmt
     var from = 0
@@ -181,11 +218,19 @@ object SqlRewrite {
       val isArrayKw = identStart < kwEnd &&
         s.substring(identStart, kwEnd).equalsIgnoreCase("array") &&
         (identStart == 0 || (s(identStart - 1) != '.' && s(identStart - 1) != ':'))
-      // element access (`expr[i]`) has an operand char IMMEDIATELY before
-      // `[` (no whitespace); a literal is preceded by start-of-text,
-      // whitespace, an operator, `(` or `,`
-      val isAccess = !isArrayKw && i > 0 &&
-        (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')
+      // element access (`expr[i]`, whitespace before the bracket allowed:
+      // `arr [0]`, `map(...) ['k']`): the last non-space char before `[`
+      // is an expression terminator — `)`/`]`, or an identifier that
+      // isn't a keyword a literal can follow (`SELECT [1,2]`,
+      // `WHEN [..] THEN` are literals). A literal is otherwise preceded
+      // by start-of-text, an operator, `(` or `,`
+      val isAccess = !isArrayKw && kwEnd > 0 && {
+        val c = s(kwEnd - 1)
+        if (c == ')' || c == ']') true
+        else if (isIdentChar(c))
+          !literalCanFollowKw(s.substring(identStart, kwEnd).toLowerCase)
+        else false
+      }
       // `ARRAY<FLOAT>`-style type suffix `[n]` never reaches here (the type
       // rewrite above ran first), so anything non-access is a literal
       if (isAccess) from = i + 1
@@ -295,13 +340,14 @@ object SqlRewrite {
     if (i == start) -1 else i
   }
 
-  private def rewriteInfix(stmt: String): String = {
+  private def rewriteInfix(stmt: String, cosineInfix: Boolean): String = {
     var s = stmt
     var from = 0
     var guard = 0
+    val ops = if (cosineInfix) infixOps else infixOps.filterNot(_._1 == "<=>")
     while (guard < 10000) {
       guard += 1
-      val hits = infixOps
+      val hits = ops
         .map { case (op, fn) => (findOutsideQuotes(s, op, from), op, fn) }
         .filter(_._1 >= 0)
       if (hits.isEmpty) return s

@@ -19,28 +19,34 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * SparkConf by applying the `spark.hadoop.*` entries over the classpath
   * defaults, the same projection Spark's own data IO ships to executors.
   * So `--conf spark.hadoop.fs.s3a.access.key=…` reaches executor-side
-  * shard reads/writes too, not just the driver. The result is cached per
-  * JVM (which also keeps `FileSystem.get`'s instance cache effective);
-  * a bare-JVM fallback to classpath defaults is NOT cached, so an early
-  * call before session startup cannot poison the JVM's cache.
+  * shard reads/writes too, not just the driver. Driver-side the conf is
+  * re-read from the session PER RESOLVE — session Hadoop options set
+  * after the first artifact IO (a later `spark.conf.set`, a replacement
+  * SparkSession) must reach later shard/manifest/WAL IO, and instance
+  * reuse is already `FileSystem.get`'s cache's job, not ours. Only the
+  * executor-side conf is cached per JVM (a SparkEnv's `spark.hadoop.*`
+  * projection is fixed for the executor's lifetime); the bare-JVM
+  * fallback to classpath defaults is never cached, so an early call
+  * before session startup cannot poison anything.
   *
   * There is deliberately NO `append`: object stores and Hadoop's
   * checksummed LocalFileSystem don't support it. Incremental durability is
   * segment-per-batch instead (see IndexCatalog's WAL). */
 object ArtifactIO {
 
-  @volatile private var cachedConf: Configuration = null
+  @volatile private var cachedEnvConf: Configuration = null
 
   private def conf: Configuration = {
-    val c = cachedConf
-    if (c != null) c
-    else {
-      val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.sessionState.newHadoopConf())
-      val fresh = fromSession.orElse(fromSparkEnv)
-      fresh.foreach(cachedConf = _)
-      fresh.getOrElse(new Configuration()) // bare JVM: defaults, uncached
+    val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf()) // fresh per resolve: see Scaladoc
+    fromSession.getOrElse {
+      val c = cachedEnvConf
+      if (c != null) c
+      else fromSparkEnv match {
+        case Some(envConf) => cachedEnvConf = envConf; envConf
+        case None => new Configuration() // bare JVM: defaults, uncached
+      }
     }
   }
 

@@ -528,6 +528,7 @@ object IndexCatalog {
     * and are parsed but NOT applied, and the caller must discard the
     * entry. */
   private def replayWal(entry: IndexEntry, segDir: String): Boolean = {
+    migrateLegacyWal(segDir)
     val segments = ArtifactIO.list(segDir).filter(_.endsWith(".seg"))
       .sortBy(p => p.substring(p.lastIndexOf('/') + 1))
     var dropped = false
@@ -535,6 +536,33 @@ object IndexCatalog {
       if (!replaySegment(entry, seg, dropped)) dropped = true
     }
     !dropped
+  }
+
+  /** Pre-segment checkpoints appended all records to ONE file at
+    * `<name>.wal` — the exact path the segment DIRECTORY now occupies, so
+    * `list(...).filter(.seg)` on it silently discarded a legacy
+    * checkpoint's post-checkpoint DML, and the next `withWal` write then
+    * failed trying to create a directory over the file. Migrate in a
+    * crash-safe order before replay: move the file aside (atomic rename),
+    * republish its bytes as segment 000001 in the directory layout, then
+    * drop the aside copy. A crash between any two steps is repaired by
+    * re-running this on the next restore (the aside `.legacy` copy is the
+    * recovery source until the segment is durably published). Record
+    * format is unchanged across the split, so replay treats the migrated
+    * file as one big batch. */
+  private def migrateLegacyWal(segDir: String): Unit = {
+    val aside = segDir + ".legacy"
+    if (ArtifactIO.exists(segDir) && !ArtifactIO.isDirectory(segDir))
+      ArtifactIO.rename(segDir, aside)
+    if (ArtifactIO.exists(aside)) {
+      val seg = f"$segDir/${1L}%06d.seg"
+      if (!ArtifactIO.exists(seg)) {
+        ArtifactIO.mkdirs(segDir)
+        ArtifactIO.copy(aside, seg + ".tmp")
+        ArtifactIO.rename(seg + ".tmp", seg)
+      }
+      ArtifactIO.deleteIfExists(aside)
+    }
   }
 
   /** Replay one segment; returns false if a drop record was hit. `dropped`
@@ -575,8 +603,13 @@ object IndexCatalog {
                 .asInstanceOf[Array[ShardMeta]]
               val sh = asSharded(entry.index).getOrElse(throw new IllegalStateException(
                 s"WAL shard-append record for non-sharded index ${entry.name}"))
-              val attached = sh.shards.map(_.path).toSet
-              val fresh = metas.filterNot(m => attached(m.path))
+              // dedup by CONTENT fingerprint, not path: in the crash window
+              // "artifact persisted, manifest rename pending" the restored
+              // artifact already holds these shards under rewritten
+              // `shard-N.hnsw` names, so a path compare would re-attach
+              // them (duplicate search results, inflated size)
+              val attached = sh.shards.map(_.fingerprint).toSet
+              val fresh = metas.filterNot(m => attached(m.fingerprint))
               if (fresh.nonEmpty) sh.appendShards(fresh)
             }
           case 3 =>

@@ -43,6 +43,16 @@ final class LongBloomFilter private (
     }
     true
   }
+
+  /** 64-bit hash of the filter CONTENT (bit array + hash count) — a
+    * key-set identity that survives copies and renames, unlike object
+    * identity or any path the filter travels with. */
+  def contentHash: Long = {
+    var h = mix(numHashes.toLong ^ bits.length.toLong << 32)
+    var i = 0
+    while (i < bits.length) { h = mix(h ^ bits(i)); i += 1 }
+    h
+  }
 }
 
 object LongBloomFilter {

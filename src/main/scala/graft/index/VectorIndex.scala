@@ -62,7 +62,18 @@ case class ShardMeta(
     levelStats: Seq[LevelStats],
     approxMemoryBytes: Long,
     capacity: Long,
-    keyFilter: LongBloomFilter)
+    keyFilter: LongBloomFilter) {
+
+  /** Rename-stable shard identity: (key count, key-set filter content).
+    * `path` is NOT identity — `ShardedHnswIndex.save` copies shards into
+    * the checkpoint artifact under new names, so the same logical shard
+    * legitimately exists under its build-time ingest path and its
+    * checkpointed path. WAL replay dedups attachments by THIS, so a crash
+    * that leaves the artifact newer than the manifest cannot double-attach
+    * a shard the artifact already contains (two shards with an identical
+    * key set are the double-attach being prevented, whatever their paths). */
+  def fingerprint: (Int, Int, Long) = (count, dim, keyFilter.contentHash)
+}
 
 object ShardMeta {
   /** Snapshot an index that was just persisted to `path`. */

@@ -289,6 +289,136 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
 
+  test("WAL shard appends don't double-attach when the artifact is newer " +
+      "than the manifest (crash between persistAll and manifest publish)") {
+    import graft.index.ArtifactIO
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shwin").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "shwin_t", emb)
+      IndexCatalog.dropIndex("shwin_idx")
+      IndexCatalog.createIndex(spark, "shwin_idx", "shwin_t", "embedding",
+        Map("ef_search" -> "2000"), sharded = true, numShards = 2)
+      IndexCatalog.checkpoint(spark, dir)
+      val manifestStash =
+        java.nio.file.Files.createTempDirectory("graft-shwin-man").toString
+      ArtifactIO.copy(s"$dir/catalog.manifest", s"$manifestStash/m")
+
+      // post-checkpoint big-batch insert → one WAL shard-append record
+      sys.props("graft.ingest.shardBatchThreshold") = "50"
+      try {
+        val batch = emb.filter($"vec_id" < 100)
+          .select(($"vec_id" + 800000).as("vec_id"), $"embedding", $"label")
+        Graft.insertInto(spark, "shwin_t", batch)
+      } finally sys.props.remove("graft.ingest.shardBatchThreshold")
+      val shSize = IndexCatalog.get("shwin_idx").get.index.size
+
+      // stash this epoch's WAL segments, then checkpoint again: the new
+      // artifact CONTAINS the appended shards (paths rewritten to
+      // shard-N.hnsw). Putting the old manifest and old segments back
+      // simulates a crash after persistAll but before the manifest
+      // publish/segment cleanup — restore then sees an artifact NEWER
+      // than its manifest and replays a shard append the artifact
+      // already reflects.
+      def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val epochDir = ArtifactIO.list(s"$dir/shwin_idx.wal").head
+      val segs = ArtifactIO.list(epochDir)
+      val segStash =
+        java.nio.file.Files.createTempDirectory("graft-shwin-seg").toString
+      segs.foreach(f => ArtifactIO.copy(f, s"$segStash/${base(f)}"))
+      IndexCatalog.checkpoint(spark, dir)
+      ArtifactIO.copy(s"$manifestStash/m", s"$dir/catalog.manifest")
+      segs.foreach(f => ArtifactIO.copy(s"$segStash/${base(f)}", f))
+
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, dir)
+      val restored = IndexCatalog.get("shwin_idx").get.index
+      assert(restored.size == shSize,
+        "replaying a shard append the restored artifact already contains " +
+          s"must no-op (got ${restored.size}, expected $shSize)")
+      // duplicate-key probe: vec 800042 clones vec 42's vector; a doubled
+      // shard would surface the same key more than once in the top-k
+      val bprobe = spark.table("shwin_t").filter($"vec_id" === 800042L)
+        .select($"embedding").head().getSeq[Float](0).toArray
+      val ids = Graft.indexTopK(spark, "shwin_idx", bprobe, 2)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(ids.distinct.length == ids.length,
+        s"duplicate keys in search results after recovery: $ids")
+      assert(ids.contains(800042L), s"replayed shard missing from top-k: $ids")
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
+
+  test("legacy single-file WAL (pre-segment format) is migrated and " +
+      "replayed on restore, and post-restore DML can log again") {
+    import graft.index.ArtifactIO
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Graft.registerTable(spark, "leg_t", emb)
+      IndexCatalog.dropIndex("leg_idx")
+      IndexCatalog.createIndex(spark, "leg_idx", "leg_t", "embedding",
+        Map("ef_search" -> "600"))
+      IndexCatalog.checkpoint(spark, dir)
+      val probe = Array.fill(64)(55f)
+      Graft.insertInto(spark, "leg_t",
+        Seq((777000L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      val size = IndexCatalog.get("leg_idx").get.index.size
+
+      // rewrite the on-disk state into the PRE-SEGMENT format the old
+      // code wrote: an epoch-less bare-Seq manifest, and all WAL records
+      // appended to ONE file at <name>.wal (where the segment directory
+      // lives today)
+      def readAll(p: String): Array[Byte] = {
+        val in = ArtifactIO.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](1 << 16)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      val manifestPath = s"$dir/catalog.manifest"
+      val manifestObj = {
+        val in = new java.io.ObjectInputStream(ArtifactIO.open(manifestPath))
+        try in.readObject() finally in.close()
+      }
+      val bareEntries = manifestObj.asInstanceOf[(Long, Seq[_])]._2
+      val mout = new java.io.ObjectOutputStream(ArtifactIO.create(manifestPath))
+      try mout.writeObject(bareEntries) finally mout.close()
+      val walRoot = s"$dir/leg_idx.wal"
+      val segBytes = ArtifactIO.list(walRoot)
+        .flatMap(d => ArtifactIO.list(d)).filter(_.endsWith(".seg")).sorted
+        .map(readAll)
+      assert(segBytes.nonEmpty, "expected post-checkpoint WAL segments")
+      val concat = segBytes.reduce(_ ++ _)
+      ArtifactIO.deleteRecursive(walRoot)
+      val wout = ArtifactIO.create(walRoot) // plain FILE at the dir's path
+      try wout.write(concat) finally wout.close()
+
+      IndexCatalog.clear()
+      IndexCatalog.restoreAll(spark, dir)
+      val restored = IndexCatalog.get("leg_idx").get.index
+      assert(restored.size == size,
+        s"legacy WAL records were not replayed (got ${restored.size}, " +
+          s"expected $size)")
+      assert(Graft.indexTopK(spark, "leg_idx", probe, 1)
+        .select($"vec_id").as[Long].head() == 777000L)
+      // the write path used to die here: creating a segment under a path
+      // occupied by the legacy FILE
+      Graft.insertInto(spark, "leg_t",
+        Seq((777001L, Array.fill(64)(56f).toSeq, 0))
+          .toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      assert(ArtifactIO.isDirectory(walRoot) &&
+        ArtifactIO.list(walRoot).exists(_.endsWith("000002.seg")),
+        s"post-migration DML must land as the next segment: ${ArtifactIO.list(walRoot)}")
+    } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
+  }
+
   test("manifest publish is crash-safe: a complete .tmp left between " +
       "delete and rename still restores") {
     import graft.index.{IvfIndex, StorageIndexCatalog}

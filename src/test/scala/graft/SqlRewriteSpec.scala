@@ -47,6 +47,58 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT 'FLOAT[2]' FROM t")
   }
 
+  test("comments are non-code: no rewrites inside, apostrophes don't " +
+      "desync the quote tracker") {
+    // a commented-out operator/literal/type is untouched
+    assert(SqlRewrite.preprocess("SELECT a FROM t -- was: a <-> b [1,2]") ==
+      "SELECT a FROM t -- was: a <-> b [1,2]")
+    assert(SqlRewrite.preprocess(
+      "SELECT /* FLOAT[2] <=> [0,1] */ a FROM t") ==
+      "SELECT /* FLOAT[2] <=> [0,1] */ a FROM t")
+    // an apostrophe in a comment must not flip quote state for the rest
+    // of the statement
+    assert(SqlRewrite.preprocess(
+      "SELECT a <-> b -- don't touch state\n, c <#> d FROM t") ==
+      "SELECT array_distance(a, b) -- don't touch state\n, " +
+        "array_negative_inner_product(c, d) FROM t")
+    assert(SqlRewrite.preprocess(
+      "SELECT /* it's fine */ a <-> b FROM t") ==
+      "SELECT /* it's fine */ array_distance(a, b) FROM t")
+  }
+
+  test("whitespace before a subscript stays element access; keywords " +
+      "still open literals") {
+    assert(SqlRewrite.preprocess("SELECT arr [0] FROM t") ==
+      "SELECT arr [0] FROM t")
+    assert(SqlRewrite.preprocess("SELECT map_col ['k'] FROM t") ==
+      "SELECT map_col ['k'] FROM t")
+    // keywords a literal can follow still rewrite across whitespace
+    assert(SqlRewrite.preprocess("SELECT [1, 2] AS xs") ==
+      "SELECT array(1, 2) AS xs")
+    assert(SqlRewrite.preprocess("WHERE x IN [1, 2]") ==
+      "WHERE x IN array(1, 2)")
+    // after ) or ] it is access even with whitespace
+    assert(SqlRewrite.preprocess("SELECT f(x) [0] FROM t") ==
+      "SELECT f(x) [0] FROM t")
+  }
+
+  test("cosineInfix=false leaves Spark's null-safe <=> alone") {
+    assert(SqlRewrite.preprocess("SELECT a <=> b FROM t", cosineInfix = false) ==
+      "SELECT a <=> b FROM t")
+    // the unambiguous spellings still rewrite
+    assert(SqlRewrite.preprocess("SELECT a <-> b FROM t", cosineInfix = false) ==
+      "SELECT array_distance(a, b) FROM t")
+    // and through GraftSql via the session conf
+    Seq((1L, 5), (2L, 7)).toDF("id", "v").createOrReplaceTempView("nse_t")
+    spark.conf.set(GraftSql.CosineInfixConfKey, "false")
+    try {
+      val got = GraftSql.sql(spark,
+        "SELECT id FROM nse_t WHERE v <=> 7 ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(got == Seq(2L))
+    } finally spark.conf.unset(GraftSql.CosineInfixConfKey)
+  }
+
   test("nested bracket literals and DDL types") {
     assert(SqlRewrite.preprocess("SELECT [[1,2],[3,4]] AS m") ==
       "SELECT array(array(1,2),array(3,4)) AS m")
