@@ -80,20 +80,24 @@ object TermIndex {
     val docs = spark.table(table)
     val path = s"$baseDir/$name-term-${System.currentTimeMillis()}"
     // positional postings: BM25 reads prune the pos column away; phrase
-    // queries verify adjacency from it without touching the corpus
+    // queries verify adjacency from it without touching the corpus.
+    // sumdl rides the SAME job as the write via an observed metric — no
+    // second corpus tokenize, no postings re-read: each doc's length is
+    // summed off exactly one of its posting rows (the row whose positions
+    // include 1, i.e. the doc's first token — unique per non-empty doc;
+    // NULL/empty-text docs have no postings and contribute no length,
+    // same semantics as corpusCounts)
+    val obs = org.apache.spark.sql.Observation(s"term-$name-stats")
     TextSearch.positionalPostingsFor(docs, idCol, textCol)
       .withColumn(BucketCol, bucketExpr(col("term"), nBuckets))
+      .observe(obs,
+        sum(when(array_contains(col("pos"), 1), col("dl"))).as("sumdl"))
       .write.partitionBy(BucketCol).parquet(path)
-    // stats WITHOUT a second corpus tokenize: n is a footer row-count over
-    // the source; sumdl folds one dl per doc out of the just-written
-    // postings (every non-NULL-text doc has >= 1 posting; NULL-text docs
-    // have none and contribute no length — same semantics as corpusCounts)
-    val nDocs = docs.count().toDouble
-    val sumDl = Option(
-      spark.read.parquet(path)
-        .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
-        .agg(sum(col("dl"))).head().get(0))
+    val sumDl = obs.get.get("sumdl").flatMap(Option(_))
       .fold(0.0)(_.asInstanceOf[Double])
+    // n counts ALL docs including empty/NULL text (they weight idf, not
+    // length); a parquet-backed table serves this from footer metadata
+    val nDocs = docs.count().toDouble
     registry.register(name,
       TermEntry(name, table, idCol, textCol, path, nBuckets, nDocs, sumDl))
   }
