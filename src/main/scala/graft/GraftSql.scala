@@ -97,8 +97,13 @@ object GraftSql {
   val CosineInfixConfKey = "graft.sql.cosineInfix"
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
-    val cosine = spark.conf.getOption(CosineInfixConfKey)
-      .forall(_.trim.equalsIgnoreCase("true"))
+    val cosine = spark.conf.getOption(CosineInfixConfKey).forall {
+      // strict boolean: a typo must error, not silently flip the dialect
+      case v if v.trim.equalsIgnoreCase("true") => true
+      case v if v.trim.equalsIgnoreCase("false") => false
+      case v => throw new IllegalArgumentException(
+        s"$CosineInfixConfKey must be true or false, got '$v'")
+    }
     dispatch(spark, SqlRewrite.preprocess(statement, cosine))
   }
 

@@ -524,15 +524,23 @@ object SparkEntry {
       * counts iff its distance is within the exact k-th distance.
       * Throws (failing the driver's query run) below threshold: ≥0.9 for
       * q79's single probe (one miss in ten), ≥0.95 across q80's 300
-      * (probe, neighbor) pairs. Checked once per (session, sf dir) — i.e.
-      * once per driver Verify/Bench run — so the bench's steady-state
-      * q79/q80 timings still measure graph-descent latency, with the gate
-      * cost landing in the `build_graph_index` warm-up metric. */
+      * (probe, neighbor) pairs. Checked once per (session identity,
+      * sf dir, effective ef) — i.e. once per driver Verify/Bench run, with
+      * a new same-JVM session or an ef-override change re-arming the
+      * gate — so the bench's steady-state q79/q80 timings still measure
+      * graph-descent latency, with the gate cost landing in the
+      * `build_graph_index` warm-up metric. */
     private val graphRecallChecked =
       scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-    private def assertGraphRecall(s: SparkSession, dir: String): Unit =
-      graphRecallChecked.getOrElseUpdate(dir, {
+    private def assertGraphRecall(s: SparkSession, dir: String): Unit = {
+      val gateKey = {
+        val (_, gi) = sharedGraphIndex(s, dir)
+        val ef = graft.index.IndexCatalog.effectiveEf(s,
+          graft.index.IndexCatalog.get(gi).get)
+        s"${System.identityHashCode(s)}:$dir:$ef"
+      }
+      graphRecallChecked.getOrElseUpdate(gateKey, {
         val (table, index) = sharedGraphIndex(s, dir)
         val idx = graft.index.IndexCatalog.get(index).get.index
         val exhaustiveEf = idx.size + 1
@@ -569,6 +577,8 @@ object SparkEntry {
                 graft.index.IndexCatalog.get(index).get)}")
         ()
       })
+      ()
+    }
 
     /** Grouped lateral-KNN (reference test/sql/hnsw/hnsw_lateral_join_group
       * .test): aggregate over each outer row's k nearest neighbors through

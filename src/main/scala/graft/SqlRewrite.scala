@@ -155,6 +155,38 @@ object SqlRewrite {
     false
   }
 
+  /** Is `pos` inside a comment span (not a string literal)? */
+  private def insideComment(s: String, pos: Int): Boolean = {
+    var j = 0
+    while (j <= pos && j < s.length) {
+      val end = nonCodeEnd(s, j)
+      if (end >= 0) {
+        if (pos >= j && pos < end) return s(j) != '\''
+        j = end
+      } else j += 1
+    }
+    false
+  }
+
+  /** Walking backwards from `i0`, the index just past the last CODE char —
+    * whitespace and whole comment spans are skipped; returns 0 when only
+    * whitespace/comments precede. */
+  private def skipBackNonCode(s: String, i0: Int): Int = {
+    var i = i0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i > 0 && s(i - 1).isWhitespace) { i -= 1; moved = true }
+      if (i > 0 && insideComment(s, i - 1)) {
+        var k = i - 1
+        while (k > 0 && insideComment(s, k - 1)) k -= 1
+        i = k
+        moved = true
+      }
+    }
+    i
+  }
+
   /** Is `pos` inside a single-quoted literal or a comment? */
   private def insideQuotes(s: String, pos: Int): Boolean = {
     var j = 0
@@ -209,9 +241,10 @@ object SqlRewrite {
       // (`ARRAY [1, 2]` is the same constructor in DuckDB/Postgres), is
       // the constructor, not element access on a column (a qualified
       // `t.array[i]` stays access)
-      val kwEnd = {
-        var j = i; while (j > 0 && s(j - 1).isWhitespace) j -= 1; j
-      }
+      // ... where "whitespace" includes whole comment spans: in
+      // `SELECT -- ids\n[1, 2]` the token that classifies the bracket is
+      // SELECT, not the comment's last word
+      val kwEnd = skipBackNonCode(s, i)
       val identStart = {
         var j = kwEnd; while (j > 0 && isIdentChar(s(j - 1))) j -= 1; j
       }
@@ -255,11 +288,17 @@ object SqlRewrite {
   // ---- infix operators -------------------------------------------------
 
   /** Start index of the operand ending just before `p0` (backwards scan),
-    * or -1 when no operand could be delimited. */
+    * or -1 when no operand could be delimited. A COMMENT between the
+    * operand and the operator bails out (-1): the rewrite splices
+    * `fn(left, right)` from the source text, and a line comment inside
+    * the argument list would swallow the rest of the call — leaving the
+    * statement unchanged (Spark reports the original text) is the
+    * documented cannot-delimit behavior. */
   private def scanOperandLeft(s: String, p0: Int): Int = {
     var i = p0
     while (i > 0 && s(i - 1).isWhitespace) i -= 1
     if (i == 0) return -1
+    if (insideComment(s, i - 1)) return -1
     val end = i
     var done = false
     while (!done && i > 0) {
@@ -297,11 +336,13 @@ object SqlRewrite {
   }
 
   /** End index (exclusive) of the operand starting at/after `q0` (forward
-    * scan), or -1 when no operand could be delimited. */
+    * scan), or -1 when no operand could be delimited. Bails out (-1) on a
+    * comment before the operand, like [[scanOperandLeft]]. */
   private def scanOperandRight(s: String, q0: Int): Int = {
     var i = q0
     while (i < s.length && s(i).isWhitespace) i += 1
     if (i >= s.length) return -1
+    if (s(i) != '\'' && nonCodeEnd(s, i) >= 0) return -1
     val start = i
     if (s(i) == '-' || s(i) == '+') i += 1 // unary sign on a literal
     var done = false

@@ -20,14 +20,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * defaults, the same projection Spark's own data IO ships to executors.
   * So `--conf spark.hadoop.fs.s3a.access.key=…` reaches executor-side
   * shard reads/writes too, not just the driver. Driver-side the conf is
-  * re-read from the session PER RESOLVE — session Hadoop options set
-  * after the first artifact IO (a later `spark.conf.set`, a replacement
-  * SparkSession) must reach later shard/manifest/WAL IO, and instance
-  * reuse is already `FileSystem.get`'s cache's job, not ours. Only the
-  * executor-side conf is cached per JVM (a SparkEnv's `spark.hadoop.*`
-  * projection is fixed for the executor's lifetime); the bare-JVM
-  * fallback to classpath defaults is never cached, so an early call
-  * before session startup cannot poison anything.
+  * cached KEYED ON THE SESSION INSTANCE: a replacement SparkSession with
+  * different Hadoop options reaches later shard/manifest/WAL IO, without
+  * paying a full Configuration copy per resolve. (Same-session runtime
+  * `spark.conf.set` changes to `fs.*` options deliberately do NOT
+  * invalidate: `FileSystem.get`'s instance cache keys on
+  * (scheme, authority, ugi) and ignores the Configuration, so a fresh
+  * conf would not reach an already-resolved filesystem anyway — rotating
+  * credentials mid-session needs a new session or
+  * `fs.<scheme>.impl.disable.cache` either way.) The executor-side conf
+  * is cached per JVM (a SparkEnv's `spark.hadoop.*` projection is fixed
+  * for the executor's lifetime); the bare-JVM fallback to classpath
+  * defaults is never cached, so an early call before session startup
+  * cannot poison anything.
   *
   * There is deliberately NO `append`: object stores and Hadoop's
   * checksummed LocalFileSystem don't support it. Incremental durability is
@@ -35,12 +40,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ArtifactIO {
 
   @volatile private var cachedEnvConf: Configuration = null
+  @volatile private var cachedSessionConf: (AnyRef, Configuration) = null
 
   private def conf: Configuration = {
-    val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf()) // fresh per resolve: see Scaladoc
-    fromSession.getOrElse {
+      .orNull
+    if (session != null) {
+      val c = cachedSessionConf
+      if (c != null && (c._1 eq session)) c._2
+      else {
+        val fresh = session.sessionState.newHadoopConf()
+        cachedSessionConf = (session, fresh)
+        fresh
+      }
+    } else {
       val c = cachedEnvConf
       if (c != null) c
       else fromSparkEnv match {

@@ -46,8 +46,12 @@ final class LongBloomFilter private (
 
   /** 64-bit hash of the filter CONTENT (bit array + hash count) — a
     * key-set identity that survives copies and renames, unlike object
-    * identity or any path the filter travels with. */
-  def contentHash: Long = {
+    * identity or any path the filter travels with. Computed once per
+    * instance (transient: recomputed on demand after deserialization) —
+    * WAL replay compares fingerprints per record, and rewalking a large
+    * filter's words each time would make replay O(records × shards ×
+    * filterWords). */
+  @transient lazy val contentHash: Long = {
     var h = mix(numHashes.toLong ^ bits.length.toLong << 32)
     var i = 0
     while (i < bits.length) { h = mix(h ^ bits(i)); i += 1 }

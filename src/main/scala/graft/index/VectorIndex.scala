@@ -71,8 +71,12 @@ case class ShardMeta(
     * checkpointed path. WAL replay dedups attachments by THIS, so a crash
     * that leaves the artifact newer than the manifest cannot double-attach
     * a shard the artifact already contains (two shards with an identical
-    * key set are the double-attach being prevented, whatever their paths). */
-  def fingerprint: (Int, Int, Long) = (count, dim, keyFilter.contentHash)
+    * key set are the double-attach being prevented, whatever their paths).
+    * Metas from pre-Bloom-filter manifests (`keyFilter == null`, the
+    * legacy state every filter consumer in this class guards) fall back
+    * to path identity — the pre-fingerprint behavior, never an NPE. */
+  def fingerprint: Any =
+    if (keyFilter == null) path else (count, dim, keyFilter.contentHash)
 }
 
 object ShardMeta {

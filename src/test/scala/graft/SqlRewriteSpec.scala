@@ -64,6 +64,20 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(SqlRewrite.preprocess(
       "SELECT /* it's fine */ a <-> b FROM t") ==
       "SELECT /* it's fine */ array_distance(a, b) FROM t")
+    // a literal after a line comment still rewrites (the classifying token
+    // is the keyword BEFORE the comment, not the comment's last word)
+    assert(SqlRewrite.preprocess("SELECT -- ids\n[1, 2] AS xs") ==
+      "SELECT -- ids\narray(1, 2) AS xs")
+    // access across a block comment stays access
+    assert(SqlRewrite.preprocess("SELECT arr /* c */ [0] FROM t") ==
+      "SELECT arr /* c */ [0] FROM t")
+    // a comment BETWEEN operand and infix operator cannot be delimited —
+    // the statement is left whole (Spark reports the original text), never
+    // spliced into a call with a comment swallowing the argument list
+    assert(SqlRewrite.preprocess("SELECT a -- c\n<-> b FROM t") ==
+      "SELECT a -- c\n<-> b FROM t")
+    assert(SqlRewrite.preprocess("SELECT a <-> -- c\nb FROM t") ==
+      "SELECT a <-> -- c\nb FROM t")
   }
 
   test("whitespace before a subscript stays element access; keywords " +
