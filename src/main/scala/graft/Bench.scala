@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
   * (default `BENCH_FULL.json` in the working directory). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -102,7 +103,15 @@ object Bench {
       name -> dt
     }.toMap
     val passA = measuredPass()
-    val passB = measuredPass()
+    // Second pass only while inside the wall-clock budget: losing the
+    // whole record to a harness timeout on a slow machine costs more than
+    // a single-pass round. SPARK_GRAFT_BENCH_BUDGET (seconds) bounds the
+    // time spent BEFORE starting pass B; the default leaves pass B ~2-3
+    // minutes on a machine pacing like the build box.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
+    val passB =
+      if ((System.nanoTime() - wallStart) / 1e9 > budgetSec) passA
+      else measuredPass()
     val results = names.map(n => n -> math.min(passA(n), passB(n)))
     val all = results ++ buildMetrics
     val total = results.map(_._2).sum
