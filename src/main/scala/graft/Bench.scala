@@ -107,12 +107,16 @@ object Bench {
     // whole record to a harness timeout on a slow machine costs more than
     // a single-pass round. SPARK_GRAFT_BENCH_BUDGET (seconds) bounds the
     // time spent BEFORE starting pass B; the default leaves pass B ~2-3
-    // minutes on a machine pacing like the build box.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
-    val passB =
-      if ((System.nanoTime() - wallStart) / 1e9 > budgetSec) passA
-      else measuredPass()
+    // minutes on a machine pacing like the build box. Malformed values
+    // fall back to the default — a bad env var must not discard the
+    // minutes of measurement already done. The emitted JSON carries
+    // "passes" so a single-pass record is never mistaken for best-of-two.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(420)
+    val twoPasses = (System.nanoTime() - wallStart) / 1e9 <= budgetSec
+    val passB = if (twoPasses) measuredPass() else passA
     val results = names.map(n => n -> math.min(passA(n), passB(n)))
+    val nPasses = if (twoPasses) 2 else 1
     val all = results ++ buildMetrics
     val total = results.map(_._2).sum
 
@@ -121,7 +125,7 @@ object Bench {
     val fullQs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -143,7 +147,7 @@ object Bench {
       .mkString("{", ",", "}")
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     System.out.flush()
   }

@@ -530,17 +530,28 @@ object SparkEntry {
       * gate — so the bench's steady-state q79/q80 timings still measure
       * graph-descent latency, with the gate cost landing in the
       * `build_graph_index` warm-up metric. */
+    // weak-keyed on the session INSTANCE: true identity (identityHashCode
+    // can collide with a dead session's), and a stopped session's entry
+    // is collectable instead of accumulating forever
     private val graphRecallChecked =
-      scala.collection.concurrent.TrieMap.empty[String, Unit]
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession,
+          scala.collection.mutable.Set[String]]())
 
     private def assertGraphRecall(s: SparkSession, dir: String): Unit = {
       val gateKey = {
         val (_, gi) = sharedGraphIndex(s, dir)
         val ef = graft.index.IndexCatalog.effectiveEf(s,
           graft.index.IndexCatalog.get(gi).get)
-        s"${System.identityHashCode(s)}:$dir:$ef"
+        s"$dir:$ef"
       }
-      graphRecallChecked.getOrElseUpdate(gateKey, {
+      // memoized only AFTER a PASSING run (below): a failed gate throws
+      // without recording, so the next q79/q80 call re-checks instead of
+      // silently skipping a known-bad index
+      val done = graphRecallChecked.synchronized {
+        Option(graphRecallChecked.get(s)).exists(_.contains(gateKey))
+      }
+      if (!done) {
         val (table, index) = sharedGraphIndex(s, dir)
         val idx = graft.index.IndexCatalog.get(index).get.index
         val exhaustiveEf = idx.size + 1
@@ -575,9 +586,16 @@ object SparkEntry {
               f"(need >=0.9), q80 recall@3=$recall80%.3f (need >=0.95) " +
               s"at ef=${graft.index.IndexCatalog.effectiveEf(s,
                 graft.index.IndexCatalog.get(index).get)}")
+        graphRecallChecked.synchronized {
+          val set = Option(graphRecallChecked.get(s)).getOrElse {
+            val fresh = scala.collection.mutable.Set.empty[String]
+            graphRecallChecked.put(s, fresh)
+            fresh
+          }
+          set.add(gateKey)
+        }
         ()
-      })
-      ()
+      }
     }
 
     /** Grouped lateral-KNN (reference test/sql/hnsw/hnsw_lateral_join_group

@@ -100,18 +100,26 @@ object SqlRewrite {
     -1
   }
 
-  /** Index of the open matching the close bracket/paren at `i` (quote-blind
-    * backwards scan is acceptable: literals containing unbalanced brackets
-    * AND an infix operand boundary do not occur in this dialect), or -1. */
+  /** Index of the open matching the close bracket/paren at `i`. COMMENT
+    * spans are skipped wholesale — an unbalanced bracket inside a block
+    * comment (`fn(a /* (x */`…`)`) must not be counted, or the infix
+    * rewrite splices from the wrong start. Quote-blind otherwise
+    * (literals containing unbalanced brackets AND an infix operand
+    * boundary do not occur in this dialect); or -1 when unbalanced. */
   private def matchBackward(s: String, i: Int): Int = {
+    val spans = nonCodeSpans(s)
     val (close, open) = (s(i), if (s(i) == ')') '(' else '[')
     var depth = 0
     var j = i
     while (j >= 0) {
-      val c = s(j)
-      if (c == close) depth += 1
-      else if (c == open) { depth -= 1; if (depth == 0) return j }
-      j -= 1
+      spans.find(sp => j >= sp._1 && j < sp._2 && sp._3) match {
+        case Some((start, _, _)) => j = start - 1
+        case None =>
+          val c = s(j)
+          if (c == close) depth += 1
+          else if (c == open) { depth -= 1; if (depth == 0) return j }
+          j -= 1
+      }
     }
     -1
   }
@@ -155,50 +163,47 @@ object SqlRewrite {
     false
   }
 
-  /** Is `pos` inside a comment span (not a string literal)? */
-  private def insideComment(s: String, pos: Int): Boolean = {
+  /** All non-code spans of `s` as (start, endExclusive, isComment) in
+    * order — ONE forward walk; every positional is-it-code query below
+    * derives from this list instead of re-scanning per character. */
+  private def nonCodeSpans(s: String): Vector[(Int, Int, Boolean)] = {
+    val b = Vector.newBuilder[(Int, Int, Boolean)]
     var j = 0
-    while (j <= pos && j < s.length) {
+    while (j < s.length) {
       val end = nonCodeEnd(s, j)
-      if (end >= 0) {
-        if (pos >= j && pos < end) return s(j) != '\''
-        j = end
-      } else j += 1
+      if (end >= 0) { b += ((j, end, s(j) != '\'')); j = end } else j += 1
     }
-    false
+    b.result()
   }
+
+  private def spanContaining(s: String, pos: Int): Option[(Int, Int, Boolean)] =
+    nonCodeSpans(s).find(sp => pos >= sp._1 && pos < sp._2)
+
+  /** Is `pos` inside a comment span (not a string literal)? */
+  private def insideComment(s: String, pos: Int): Boolean =
+    spanContaining(s, pos).exists(_._3)
 
   /** Walking backwards from `i0`, the index just past the last CODE char —
     * whitespace and whole comment spans are skipped; returns 0 when only
     * whitespace/comments precede. */
   private def skipBackNonCode(s: String, i0: Int): Int = {
+    val spans = nonCodeSpans(s)
     var i = i0
     var moved = true
     while (moved) {
       moved = false
       while (i > 0 && s(i - 1).isWhitespace) { i -= 1; moved = true }
-      if (i > 0 && insideComment(s, i - 1)) {
-        var k = i - 1
-        while (k > 0 && insideComment(s, k - 1)) k -= 1
-        i = k
-        moved = true
+      if (i > 0) spans.find(sp => i - 1 >= sp._1 && i - 1 < sp._2) match {
+        case Some((start, _, true)) => i = start; moved = true
+        case _ =>
       }
     }
     i
   }
 
   /** Is `pos` inside a single-quoted literal or a comment? */
-  private def insideQuotes(s: String, pos: Int): Boolean = {
-    var j = 0
-    while (j <= pos && j < s.length) {
-      val end = nonCodeEnd(s, j)
-      if (end >= 0) {
-        if (pos >= j && pos < end) return true
-        j = end
-      } else j += 1
-    }
-    false
-  }
+  private def insideQuotes(s: String, pos: Int): Boolean =
+    spanContaining(s, pos).isDefined
 
   private def rewriteFloatArrayTypes(stmt: String): String = {
     var s = stmt
@@ -344,7 +349,8 @@ object SqlRewrite {
     if (i >= s.length) return -1
     if (s(i) != '\'' && nonCodeEnd(s, i) >= 0) return -1
     val start = i
-    if (s(i) == '-' || s(i) == '+') i += 1 // unary sign on a literal
+    val signed = s(i) == '-' || s(i) == '+'
+    if (signed) i += 1 // unary sign on a literal
     var done = false
     while (!done && i < s.length) {
       val c = s(i)
@@ -378,7 +384,9 @@ object SqlRewrite {
         else done = true
       }
     }
-    if (i == start) -1 else i
+    // a bare sign with nothing consumed after it (`<-> -/*c*/2` stops the
+    // scan at the comment) is not an operand — bail, don't splice "-"
+    if (i == start || (signed && i == start + 1)) -1 else i
   }
 
   private def rewriteInfix(stmt: String, cosineInfix: Boolean): String = {

@@ -20,19 +20,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * defaults, the same projection Spark's own data IO ships to executors.
   * So `--conf spark.hadoop.fs.s3a.access.key=…` reaches executor-side
   * shard reads/writes too, not just the driver. Driver-side the conf is
-  * cached KEYED ON THE SESSION INSTANCE: a replacement SparkSession with
-  * different Hadoop options reaches later shard/manifest/WAL IO, without
-  * paying a full Configuration copy per resolve. (Same-session runtime
-  * `spark.conf.set` changes to `fs.*` options deliberately do NOT
-  * invalidate: `FileSystem.get`'s instance cache keys on
-  * (scheme, authority, ugi) and ignores the Configuration, so a fresh
-  * conf would not reach an already-resolved filesystem anyway — rotating
-  * credentials mid-session needs a new session or
-  * `fs.<scheme>.impl.disable.cache` either way.) The executor-side conf
-  * is cached per JVM (a SparkEnv's `spark.hadoop.*` projection is fixed
-  * for the executor's lifetime); the bare-JVM fallback to classpath
-  * defaults is never cached, so an early call before session startup
-  * cannot poison anything.
+  * re-read from the session PER RESOLVE — no caching: a replacement
+  * SparkSession's options, or a same-session `spark.conf.set` for a
+  * scheme that has NOT been resolved yet (point `graft.indexes.dir` at
+  * `s3a://` after setting credentials mid-session), must reach the
+  * artifact IO that follows. For an ALREADY-resolved scheme,
+  * `FileSystem.get`'s instance cache keys on (scheme, authority, ugi)
+  * and ignores the Configuration, so credential rotation there
+  * additionally needs `fs.<scheme>.impl.disable.cache` — a Hadoop
+  * property, not something this layer can fix. The per-resolve cost is
+  * one Configuration copy (~ms) per artifact OPERATION (open/list/
+  * rename), never per record; no static field retains a stopped
+  * session. The executor-side conf is cached per JVM (a SparkEnv's
+  * `spark.hadoop.*` projection is fixed for the executor's lifetime);
+  * the bare-JVM fallback to classpath defaults is never cached, so an
+  * early call before session startup cannot poison anything.
   *
   * There is deliberately NO `append`: object stores and Hadoop's
   * checksummed LocalFileSystem don't support it. Incremental durability is
@@ -40,21 +42,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ArtifactIO {
 
   @volatile private var cachedEnvConf: Configuration = null
-  @volatile private var cachedSessionConf: (AnyRef, Configuration) = null
 
   private def conf: Configuration = {
-    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .orNull
-    if (session != null) {
-      val c = cachedSessionConf
-      if (c != null && (c._1 eq session)) c._2
-      else {
-        val fresh = session.sessionState.newHadoopConf()
-        cachedSessionConf = (session, fresh)
-        fresh
-      }
-    } else {
+      .map(_.sessionState.newHadoopConf()) // fresh per resolve: see Scaladoc
+    fromSession.getOrElse {
       val c = cachedEnvConf
       if (c != null) c
       else fromSparkEnv match {

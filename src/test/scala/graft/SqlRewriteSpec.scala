@@ -78,6 +78,13 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT a -- c\n<-> b FROM t")
     assert(SqlRewrite.preprocess("SELECT a <-> -- c\nb FROM t") ==
       "SELECT a <-> -- c\nb FROM t")
+    // an unbalanced bracket INSIDE a block comment must not confuse the
+    // backward operand scan — the comment embeds whole in the call
+    assert(SqlRewrite.preprocess("SELECT fn(a /* (x */) <-> b FROM t") ==
+      "SELECT array_distance(fn(a /* (x */), b) FROM t")
+    // a unary sign followed by a comment is not an operand: leave whole
+    assert(SqlRewrite.preprocess("SELECT a <-> -/*c*/2 FROM t") ==
+      "SELECT a <-> -/*c*/2 FROM t")
   }
 
   test("whitespace before a subscript stays element access; keywords " +
