@@ -102,18 +102,24 @@ object Bench {
       settle() // outside the timed region
       name -> dt
     }.toMap
+    val passAStart = System.nanoTime()
     val passA = measuredPass()
+    val passAEnd = System.nanoTime()
     // Second pass only while inside the wall-clock budget: losing the
     // whole record to a harness timeout on a slow machine costs more than
     // a single-pass round. SPARK_GRAFT_BENCH_BUDGET (seconds) bounds the
-    // time spent BEFORE starting pass B; the default leaves pass B ~2-3
-    // minutes on a machine pacing like the build box. Malformed values
-    // fall back to the default — a bad env var must not discard the
-    // minutes of measurement already done. The emitted JSON carries
-    // "passes" so a single-pass record is never mistaken for best-of-two.
+    // PROJECTED time at pass B's end — elapsed so far plus pass A's own
+    // wall duration (pass B costs about the same), not just the elapsed
+    // time at the decision point, so a machine that barely fits pass A
+    // doesn't commit to a pass it can't finish. Malformed values fall
+    // back to the default — a bad env var must not discard the minutes of
+    // measurement already done. The emitted JSON carries "passes" so a
+    // single-pass record is never mistaken for best-of-two.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(420)
-    val twoPasses = (System.nanoTime() - wallStart) / 1e9 <= budgetSec
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(480)
+    val projectedEnd =
+      (passAEnd - wallStart) / 1e9 + (passAEnd - passAStart) / 1e9
+    val twoPasses = projectedEnd <= budgetSec
     val passB = if (twoPasses) measuredPass() else passA
     val results = names.map(n => n -> math.min(passA(n), passB(n)))
     val nPasses = if (twoPasses) 2 else 1

@@ -164,16 +164,28 @@ object SqlRewrite {
   }
 
   /** All non-code spans of `s` as (start, endExclusive, isComment) in
-    * order — ONE forward walk; every positional is-it-code query below
-    * derives from this list instead of re-scanning per character. */
+    * order — every positional is-it-code query below derives from this
+    * list instead of re-scanning per character. Memoized on the STRING
+    * INSTANCE (the rewrite loops splice a fresh string per change, so
+    * identity is the correct invalidation): one forward walk per
+    * statement version, however many helper calls follow. Races just
+    * recompute. */
+  @volatile private var spanMemo: (String, Vector[(Int, Int, Boolean)]) = null
+
   private def nonCodeSpans(s: String): Vector[(Int, Int, Boolean)] = {
-    val b = Vector.newBuilder[(Int, Int, Boolean)]
-    var j = 0
-    while (j < s.length) {
-      val end = nonCodeEnd(s, j)
-      if (end >= 0) { b += ((j, end, s(j) != '\'')); j = end } else j += 1
+    val m = spanMemo
+    if (m != null && (m._1 eq s)) m._2
+    else {
+      val b = Vector.newBuilder[(Int, Int, Boolean)]
+      var j = 0
+      while (j < s.length) {
+        val end = nonCodeEnd(s, j)
+        if (end >= 0) { b += ((j, end, s(j) != '\'')); j = end } else j += 1
+      }
+      val v = b.result()
+      spanMemo = (s, v)
+      v
     }
-    b.result()
   }
 
   private def spanContaining(s: String, pos: Int): Option[(Int, Int, Boolean)] =
@@ -231,7 +243,7 @@ object SqlRewrite {
     "select", "where", "and", "or", "not", "when", "then", "else", "in",
     "values", "on", "having", "by", "all", "distinct", "union", "except",
     "intersect", "between", "like", "is", "returning", "set", "case",
-    "limit", "offset", "as")
+    "limit", "offset", "as", "from", "join", "group", "order")
 
   private def rewriteArrayLiterals(stmt: String): String = {
     var s = stmt
@@ -334,6 +346,19 @@ object SqlRewrite {
         if (i > 1 && s(i - 1) == ':' && s(i - 2) == ':') i -= 2
         else if (i > 0 && s(i - 1) == '.') i -= 1
         else if (i > 0 && s(i) == '(' && isIdentChar(s(i - 1))) () // fn name
+        else if (i > 0 && s(i) == '(' && {
+          // fn name separated from its argument list by whitespace or a
+          // comment (`fn (a)`, `fn /* c */ (a)`) — Spark treats both as
+          // the call, so dropping the name would splice invalid SQL. A
+          // KEYWORD before the paren (`WHERE (a) <-> b`) is not a call:
+          // the paren group alone is the operand.
+          val k = skipBackNonCode(s, i)
+          k > 0 && k < i && isIdentChar(s(k - 1)) && {
+            var j = k
+            while (j > 0 && isIdentChar(s(j - 1))) j -= 1
+            !literalCanFollowKw(s.substring(j, k).toLowerCase)
+          }
+        }) i = skipBackNonCode(s, i)
         else done = true
       }
     }

@@ -31,7 +31,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * property, not something this layer can fix. The per-resolve cost is
   * one Configuration copy (~ms) per artifact OPERATION (open/list/
   * rename), never per record; no static field retains a stopped
-  * session. The executor-side conf is cached per JVM (a SparkEnv's
+  * session. (Measured: q19, the most artifact-op-heavy bench query —
+  * full index CRUD with WAL segments per DML batch — times the same
+  * under per-resolve conf as under the round-6 per-JVM cache.) The executor-side conf is cached per JVM (a SparkEnv's
   * `spark.hadoop.*` projection is fixed for the executor's lifetime);
   * the bare-JVM fallback to classpath defaults is never cached, so an
   * early call before session startup cannot poison anything.

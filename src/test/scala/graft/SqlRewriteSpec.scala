@@ -85,6 +85,15 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     // a unary sign followed by a comment is not an operand: leave whole
     assert(SqlRewrite.preprocess("SELECT a <-> -/*c*/2 FROM t") ==
       "SELECT a <-> -/*c*/2 FROM t")
+    // a function name separated from its argument list by whitespace or a
+    // comment still glues into the operand (Spark parses both as the call)
+    assert(SqlRewrite.preprocess("SELECT fn (a) <-> b FROM t") ==
+      "SELECT array_distance(fn (a), b) FROM t")
+    assert(SqlRewrite.preprocess("SELECT fn /* c */ (a) <-> b FROM t") ==
+      "SELECT array_distance(fn /* c */ (a), b) FROM t")
+    // ...but a KEYWORD before the paren group is not a call name
+    assert(SqlRewrite.preprocess("SELECT x FROM t WHERE (a) <-> b < 1") ==
+      "SELECT x FROM t WHERE array_distance((a), b) < 1")
   }
 
   test("whitespace before a subscript stays element access; keywords " +
