@@ -144,6 +144,23 @@ class PlanAuditSpec extends GraftSparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
   }
 
+  test("q24: jaccard pairs run off the BUCKETED shingle artifact — the " +
+      "shingle key is never exchanged, the hot-shingle cap is a broadcast " +
+      "anti-join") {
+    val p = plan("q24_jaccard_pairs")
+    // the artifact scans carry the bucket spec (bucketed join/aggregate
+    // eligibility); the corpus explode never re-runs
+    assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"), p)
+    assert(!p.toLowerCase.contains("regexp"), p) // no tokenizer anywhere
+    // no shuffle on the shingle key: the self-join rides the bucketing
+    // (or a broadcast at small SF) — a hashpartitioning exchange on
+    // shingle would mean the bucketed layout was lost
+    assert(!p.contains("Exchange hashpartitioning(shingle"), p)
+    // df cap: tiny hot-list anti-joined by broadcast, never a window over
+    // the full exploded table
+    assert(p.contains("LeftAnti, BuildRight"), p)
+  }
+
   test("q54: hybrid RRF reads bucket-pruned postings, never re-tokenizes " +
       "the corpus") {
     val p = plan("q54_hybrid_rrf")
