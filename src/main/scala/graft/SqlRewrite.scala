@@ -46,7 +46,12 @@ object SqlRewrite {
   /** `cosineInfix=false` leaves `<=>` alone (Spark's null-safe equality)
     * while keeping the unambiguous `<->`/`<#>` spellings. */
   def preprocess(stmt: String, cosineInfix: Boolean): String =
-    rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)), cosineInfix)
+    try rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)),
+      cosineInfix)
+    // don't pin the last statement (and its span vector) in a static
+    // field past the call — a one-off huge generated statement would
+    // otherwise stay reachable until the next preprocess
+    finally spanMemo = null
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
@@ -195,6 +200,34 @@ object SqlRewrite {
   private def insideComment(s: String, pos: Int): Boolean =
     spanContaining(s, pos).exists(_._3)
 
+  /** Walking forwards from `i0`, the index of the next CODE char —
+    * whitespace and whole comment spans are skipped; returns s.length
+    * when only whitespace/comments remain. */
+  private def skipForwardNonCode(s: String, i0: Int): Int = {
+    var i = i0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < s.length && s(i).isWhitespace) { i += 1; moved = true }
+      if (i < s.length && s(i) != '\'') {
+        val e = nonCodeEnd(s, i)
+        if (e >= 0) { i = e; moved = true }
+      }
+    }
+    i
+  }
+
+  /** Does a non-keyword identifier end at `end0` (exclusive)? The "can
+    * this token be a function name before a spaced `(`" test shared by
+    * both operand scanners — keywords (`WHERE (a)`, `a <-> b AND (c)`)
+    * open a plain paren group, not a call. */
+  private def callNameEndingAt(s: String, end0: Int): Boolean =
+    end0 > 0 && isIdentChar(s(end0 - 1)) && {
+      var j = end0
+      while (j > 0 && isIdentChar(s(j - 1))) j -= 1
+      !literalCanFollowKw(s.substring(j, end0).toLowerCase)
+    }
+
   /** Walking backwards from `i0`, the index just past the last CODE char —
     * whitespace and whole comment spans are skipped; returns 0 when only
     * whitespace/comments precede. */
@@ -268,18 +301,30 @@ object SqlRewrite {
       val isArrayKw = identStart < kwEnd &&
         s.substring(identStart, kwEnd).equalsIgnoreCase("array") &&
         (identStart == 0 || (s(identStart - 1) != '.' && s(identStart - 1) != ':'))
-      // element access (`expr[i]`, whitespace before the bracket allowed:
-      // `arr [0]`, `map(...) ['k']`): the last non-space char before `[`
-      // is an expression terminator — `)`/`]`, or an identifier that
-      // isn't a keyword a literal can follow (`SELECT [1,2]`,
-      // `WHEN [..] THEN` are literals). A literal is otherwise preceded
-      // by start-of-text, an operator, `(` or `,`
-      val isAccess = !isArrayKw && kwEnd > 0 && {
-        val c = s(kwEnd - 1)
-        if (c == ')' || c == ']') true
-        else if (isIdentChar(c))
-          !literalCanFollowKw(s.substring(identStart, kwEnd).toLowerCase)
-        else false
+      // element access: anything IMMEDIATELY adjacent to `[` that can end
+      // an expression (`expr[i]` — ident, `)`, `]`) is access, keyword
+      // spelling or not (a column named `order`/`select` subscripts like
+      // any other; only the bare ARRAY keyword above is a constructor).
+      // With whitespace/comments before the bracket (`arr [0]`,
+      // `map(...) ['k']`), classify by the last CODE token: `)`/`]` or a
+      // non-keyword identifier is access; a keyword a literal can follow
+      // (`SELECT [1,2]`, `WHEN [..] THEN`) or a qualified keyword-named
+      // column (`t.order [0]` — qualification makes it a column) decides
+      // the other way respectively. A literal is otherwise preceded by
+      // start-of-text, an operator, `(` or `,`
+      val isAccess = !isArrayKw && {
+        val adjacent = i > 0 &&
+          (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')
+        adjacent || (kwEnd > 0 && kwEnd < i && {
+          val c = s(kwEnd - 1)
+          if (c == ')' || c == ']') true
+          else if (isIdentChar(c)) {
+            val qualified = identStart > 0 &&
+              (s(identStart - 1) == '.' || s(identStart - 1) == ':')
+            qualified ||
+              !literalCanFollowKw(s.substring(identStart, kwEnd).toLowerCase)
+          } else false
+        })
       }
       // `ARRAY<FLOAT>`-style type suffix `[n]` never reaches here (the type
       // rewrite above ran first), so anything non-access is a literal
@@ -345,21 +390,23 @@ object SqlRewrite {
         // binders gluing this unit to the one before it
         if (i > 1 && s(i - 1) == ':' && s(i - 2) == ':') i -= 2
         else if (i > 0 && s(i - 1) == '.') i -= 1
-        else if (i > 0 && s(i) == '(' && isIdentChar(s(i - 1))) () // fn name
-        else if (i > 0 && s(i) == '(' && {
+        // fn name adjacent to its paren — keyword-guarded like the spaced
+        // form below (`WHERE(a)` is a paren group, not a WHERE() call)
+        else if (i > 0 && s(i) == '(' && callNameEndingAt(s, i)) ()
+        else {
           // fn name separated from its argument list by whitespace or a
           // comment (`fn (a)`, `fn /* c */ (a)`) — Spark treats both as
           // the call, so dropping the name would splice invalid SQL. A
           // KEYWORD before the paren (`WHERE (a) <-> b`) is not a call:
           // the paren group alone is the operand.
-          val k = skipBackNonCode(s, i)
-          k > 0 && k < i && isIdentChar(s(k - 1)) && {
-            var j = k
-            while (j > 0 && isIdentChar(s(j - 1))) j -= 1
-            !literalCanFollowKw(s.substring(j, k).toLowerCase)
-          }
-        }) i = skipBackNonCode(s, i)
-        else done = true
+          val glued =
+            if (i > 0 && s(i) == '(') {
+              val k = skipBackNonCode(s, i)
+              if (k > 0 && k < i && callNameEndingAt(s, k)) k else -1
+            } else -1
+          if (glued >= 0) i = glued
+          else done = true
+        }
       }
     }
     if (i == end) -1 else i
@@ -406,7 +453,14 @@ object SqlRewrite {
         }
         else if (i < s.length && s(i) == '.') i += 1
         else if (i < s.length && (s(i) == '(' || s(i) == '[')) () // call/index
-        else done = true
+        else {
+          // the right-side twin of scanOperandLeft's spaced-call glue:
+          // `a <-> fn (b)` must take `fn (b)` whole, not stop at `fn`
+          val k = skipForwardNonCode(s, i)
+          if (k < s.length && k > i && s(k) == '(' && callNameEndingAt(s, i))
+            i = k
+          else done = true
+        }
       }
     }
     // a bare sign with nothing consumed after it (`<-> -/*c*/2` stops the

@@ -94,6 +94,25 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     // ...but a KEYWORD before the paren group is not a call name
     assert(SqlRewrite.preprocess("SELECT x FROM t WHERE (a) <-> b < 1") ==
       "SELECT x FROM t WHERE array_distance((a), b) < 1")
+    // the right-side twin: a spaced call on the RIGHT of the operator
+    assert(SqlRewrite.preprocess("SELECT a <-> fn (b) FROM t") ==
+      "SELECT array_distance(a, fn (b)) FROM t")
+  }
+
+  test("keyword-named columns still subscript: adjacency wins, " +
+      "qualification wins") {
+    // a column legally named like a keyword subscripts as any other when
+    // the bracket is adjacent...
+    assert(SqlRewrite.preprocess("SELECT t.order[0] FROM t") ==
+      "SELECT t.order[0] FROM t")
+    assert(SqlRewrite.preprocess("SELECT order[0] FROM t") ==
+      "SELECT order[0] FROM t")
+    // ...and a QUALIFIED keyword-named column stays access even spaced
+    assert(SqlRewrite.preprocess("SELECT t.group [1] FROM t") ==
+      "SELECT t.group [1] FROM t")
+    // while the bare keyword + spaced bracket stays a literal opener
+    assert(SqlRewrite.preprocess("SELECT x FROM t WHERE y IN [1, 2]") ==
+      "SELECT x FROM t WHERE y IN array(1, 2)")
   }
 
   test("whitespace before a subscript stays element access; keywords " +
