@@ -393,16 +393,25 @@ object SqlRewrite {
         // fn name adjacent to its paren — keyword-guarded like the spaced
         // form below (`WHERE(a)` is a paren group, not a WHERE() call)
         else if (i > 0 && s(i) == '(' && callNameEndingAt(s, i)) ()
+        // subscripted operand (`arr[0] <-> b`, incl. keyword-named
+        // columns `t.order[0]`): by infix time every bracket LITERAL has
+        // already been rewritten to array(...), so ident+'[' can only be
+        // element access — glue unconditionally, no keyword test
+        else if (i > 0 && s(i) == '[' && isIdentChar(s(i - 1))) ()
         else {
-          // fn name separated from its argument list by whitespace or a
-          // comment (`fn (a)`, `fn /* c */ (a)`) — Spark treats both as
-          // the call, so dropping the name would splice invalid SQL. A
-          // KEYWORD before the paren (`WHERE (a) <-> b`) is not a call:
-          // the paren group alone is the operand.
+          // fn name / array var separated from its paren/bracket by
+          // whitespace or a comment (`fn (a)`, `fn /* c */ (a)`,
+          // `arr [0]`) — Spark treats both as one expression, so
+          // dropping the name would splice invalid SQL. A KEYWORD before
+          // a paren (`WHERE (a) <-> b`) is not a call: the paren group
+          // alone is the operand.
           val glued =
-            if (i > 0 && s(i) == '(') {
+            if (i > 0 && (s(i) == '(' || s(i) == '[')) {
               val k = skipBackNonCode(s, i)
-              if (k > 0 && k < i && callNameEndingAt(s, k)) k else -1
+              val names =
+                k > 0 && k < i && (if (s(i) == '(') callNameEndingAt(s, k)
+                                   else isIdentChar(s(k - 1)))
+              if (names) k else -1
             } else -1
           if (glued >= 0) i = glued
           else done = true
@@ -454,11 +463,14 @@ object SqlRewrite {
         else if (i < s.length && s(i) == '.') i += 1
         else if (i < s.length && (s(i) == '(' || s(i) == '[')) () // call/index
         else {
-          // the right-side twin of scanOperandLeft's spaced-call glue:
-          // `a <-> fn (b)` must take `fn (b)` whole, not stop at `fn`
+          // the right-side twin of scanOperandLeft's spaced glue:
+          // `a <-> fn (b)` takes `fn (b)` whole, `a <-> arr [0]` takes
+          // `arr [0]` (ident+'[' is access — literals already rewrote)
           val k = skipForwardNonCode(s, i)
-          if (k < s.length && k > i && s(k) == '(' && callNameEndingAt(s, i))
-            i = k
+          val names = k < s.length && k > i &&
+            (if (s(k) == '(') callNameEndingAt(s, i)
+             else s(k) == '[' && i > 0 && isIdentChar(s(i - 1)))
+          if (names) i = k
           else done = true
         }
       }

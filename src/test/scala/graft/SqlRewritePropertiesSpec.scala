@@ -23,11 +23,16 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
   private val genIdent: Gen[String] =
     Gen.oneOf("a", "vec", "t.col", "emb2", "u.embedding")
 
-  /** Operand shapes the infix scanner documents support for. */
+  /** Operand shapes the infix scanner documents support for — including
+    * whitespace-separated calls and subscripts, the round-7 hardening. */
   private val genOperand: Gen[String] = Gen.oneOf(
     genIdent,
     genIdent.map(i => s"l2_normalize($i)"),
     genIdent.map(i => s"fn($i, 2)"),
+    genIdent.map(i => s"fn ($i)"),
+    genIdent.map(i => s"$i[0]"),
+    genIdent.map(i => s"$i [1]"),
+    Gen.const("t.order[0]"),
     Gen.const("[0.25, 0.5]"),
     Gen.const("[1, 2]::FLOAT[2]"),
     Gen.const("(SELECT v FROM q WHERE id = 1)"))

@@ -97,6 +97,14 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     // the right-side twin: a spaced call on the RIGHT of the operator
     assert(SqlRewrite.preprocess("SELECT a <-> fn (b) FROM t") ==
       "SELECT array_distance(a, fn (b)) FROM t")
+    // subscripted operands glue whole on BOTH sides (property harness
+    // found the left scanner never bound `ident[...]`)
+    assert(SqlRewrite.preprocess("SELECT arr[0] <-> b FROM t") ==
+      "SELECT array_distance(arr[0], b) FROM t")
+    assert(SqlRewrite.preprocess("SELECT t.order[0] <=> t.order[1] FROM t") ==
+      "SELECT array_cosine_distance(t.order[0], t.order[1]) FROM t")
+    assert(SqlRewrite.preprocess("SELECT a <#> vecs [2] FROM t") ==
+      "SELECT array_negative_inner_product(a, vecs [2]) FROM t")
   }
 
   test("keyword-named columns still subscript: adjacency wins, " +
