@@ -47,10 +47,16 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
     "/* c */", "/* a <-> b */", "/* don't */", "-- tail <=> [1] FLOAT[4]\n")
 
   /** A SELECT item: a distance expression, an operand alone, a string, or
-    * a bracket literal. */
+    * a bracket literal — including operators nested inside calls, chained
+    * comparisons, and casts on subscripted operands. */
   private val genItem: Gen[String] = Gen.frequency(
     4 -> (for { l <- genOperand; op <- genOp; r <- genOperand }
       yield s"$l $op $r"),
+    1 -> (for { l <- genOperand; op <- genOp; r <- genOperand }
+      yield s"least($l $op $r, 1.0)"),
+    1 -> (for { l <- genOperand; op <- genOp; r <- genOperand }
+      yield s"$l $op $r < 0.5"),
+    1 -> Gen.const("arr[0]::FLOAT[2] <-> vec"),
     2 -> genOperand,
     1 -> genString,
     1 -> Gen.const("[1, 2, 3]"))
