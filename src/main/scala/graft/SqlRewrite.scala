@@ -393,11 +393,13 @@ object SqlRewrite {
         // fn name adjacent to its paren — keyword-guarded like the spaced
         // form below (`WHERE(a)` is a paren group, not a WHERE() call)
         else if (i > 0 && s(i) == '(' && callNameEndingAt(s, i)) ()
-        // subscripted operand (`arr[0] <-> b`, incl. keyword-named
-        // columns `t.order[0]`): by infix time every bracket LITERAL has
-        // already been rewritten to array(...), so ident+'[' can only be
-        // element access — glue unconditionally, no keyword test
-        else if (i > 0 && s(i) == '[' && isIdentChar(s(i - 1))) ()
+        // subscripted operand (`arr[0] <-> b`, keyword-named columns
+        // `t.order[0]`, call results `fn(a)[0]`): by infix time every
+        // bracket LITERAL has already been rewritten to array(...), so a
+        // '[' after an expression terminator can only be element access —
+        // glue unconditionally, no keyword test
+        else if (i > 0 && s(i) == '[' &&
+          (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')) ()
         else {
           // fn name / array var separated from its paren/bracket by
           // whitespace or a comment (`fn (a)`, `fn /* c */ (a)`,
@@ -409,8 +411,10 @@ object SqlRewrite {
             if (i > 0 && (s(i) == '(' || s(i) == '[')) {
               val k = skipBackNonCode(s, i)
               val names =
-                k > 0 && k < i && (if (s(i) == '(') callNameEndingAt(s, k)
-                                   else isIdentChar(s(k - 1)))
+                k > 0 && k < i &&
+                  (if (s(i) == '(') callNameEndingAt(s, k)
+                   else isIdentChar(s(k - 1)) || s(k - 1) == ')' ||
+                     s(k - 1) == ']')
               if (names) k else -1
             } else -1
           if (glued >= 0) i = glued
@@ -469,7 +473,8 @@ object SqlRewrite {
           val k = skipForwardNonCode(s, i)
           val names = k < s.length && k > i &&
             (if (s(k) == '(') callNameEndingAt(s, i)
-             else s(k) == '[' && i > 0 && isIdentChar(s(i - 1)))
+             else s(k) == '[' && i > 0 &&
+               (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']'))
           if (names) i = k
           else done = true
         }

@@ -33,6 +33,7 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
     genIdent.map(i => s"$i[0]"),
     genIdent.map(i => s"$i [1]"),
     Gen.const("t.order[0]"),
+    genIdent.map(i => s"fn($i)[0]"),
     Gen.const("[0.25, 0.5]"),
     Gen.const("[1, 2]::FLOAT[2]"),
     Gen.const("(SELECT v FROM q WHERE id = 1)"))

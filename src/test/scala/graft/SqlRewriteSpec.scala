@@ -105,6 +105,11 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT array_cosine_distance(t.order[0], t.order[1]) FROM t")
     assert(SqlRewrite.preprocess("SELECT a <#> vecs [2] FROM t") ==
       "SELECT array_negative_inner_product(a, vecs [2]) FROM t")
+    // a subscript on a CALL RESULT binds too, both sides
+    assert(SqlRewrite.preprocess("SELECT fn(a)[0] <-> b FROM t") ==
+      "SELECT array_distance(fn(a)[0], b) FROM t")
+    assert(SqlRewrite.preprocess("SELECT a <-> fn(b) [0] FROM t") ==
+      "SELECT array_distance(a, fn(b) [0]) FROM t")
   }
 
   test("keyword-named columns still subscript: adjacency wins, " +
