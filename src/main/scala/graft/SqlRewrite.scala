@@ -18,9 +18,13 @@ package graft
   *    spelling off per session (`SET graft.sql.cosineInfix=false`, read by
   *    GraftSql) to keep Spark's operator.
   *
-  * All rewrites also skip `--` line comments and `/* */` block comments:
-  * a commented-out `<=>` (or an apostrophe in a comment, which would
-  * desynchronize a quotes-only tracker) must not change the statement.
+  * All rewrites also skip `--` line comments, `/* */` block comments and
+  * backtick-quoted identifiers: a commented-out `<=>`, an apostrophe in
+  * a comment (which would desynchronize a quotes-only tracker), or a
+  * column literally named `` `a<->b` `` must not change the statement —
+  * while a backtick-quoted column still works as an infix OPERAND
+  * (`` `my vec` <-> q `` rewrites with the identifier intact).
+  *
   *  - `FLOAT[n]` / `FLOAT[ANY]` array types (casts and DDL column types)
   *    => `ARRAY<FLOAT>`.
   *  - Bracket array literals `[1, 2, 3]` => `array(1, 2, 3)` — only where
@@ -68,13 +72,28 @@ object SqlRewrite {
     j
   }
 
+  /** End index (exclusive) of the backtick-quoted identifier starting at
+    * `i` (`` `` `` is Spark's embedded-backtick escape). */
+  private def skipBacktick(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      if (s(j) == '`') {
+        if (j + 1 < s.length && s(j + 1) == '`') j += 2 else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
   /** End index (exclusive) of the NON-CODE span starting at `i` — a
-    * single-quoted literal, a `--` line comment, or a `/∗ ∗/` block
-    * comment — or -1 when `i` doesn't start one. Every scanner routes
-    * through this: an apostrophe inside a comment must not flip the quote
-    * tracker, and no rewrite may touch commented-out text. */
+    * single-quoted literal, a backtick-quoted IDENTIFIER (Spark quoting:
+    * a column named `` `a<->b` `` must never be rewritten), a `--` line
+    * comment, or a `/∗ ∗/` block comment — or -1 when `i` doesn't start
+    * one. Every scanner routes through this: an apostrophe inside a
+    * comment must not flip the quote tracker, and no rewrite may touch
+    * commented-out or quoted text. */
   private def nonCodeEnd(s: String, i: Int): Int =
     if (s(i) == '\'') skipString(s, i)
+    else if (s(i) == '`') skipBacktick(s, i)
     else if (s(i) == '-' && i + 1 < s.length && s(i + 1) == '-') {
       val nl = s.indexOf('\n', i + 2)
       if (nl < 0) s.length else nl + 1
@@ -185,7 +204,12 @@ object SqlRewrite {
       var j = 0
       while (j < s.length) {
         val end = nonCodeEnd(s, j)
-        if (end >= 0) { b += ((j, end, s(j) != '\'')); j = end } else j += 1
+        // third member: is this span a COMMENT — quoted strings and
+        // backtick identifiers are code-adjacent text (expression
+        // material), comments are skippable air
+        if (end >= 0) {
+          b += ((j, end, s(j) != '\'' && s(j) != '`')); j = end
+        } else j += 1
       }
       val v = b.result()
       spanMemo = (s, v)
@@ -226,6 +250,31 @@ object SqlRewrite {
       var j = end0
       while (j > 0 && isIdentChar(s(j - 1))) j -= 1
       !literalCanFollowKw(s.substring(j, end0).toLowerCase)
+    }
+
+  /** Can this character END an expression (identifier char, close
+    * paren/bracket, or a backtick-quoted identifier's closing tick)? The
+    * ADJACENCY contract shared by the bracket classifier and both operand
+    * scanners — keep these call sites on one definition. */
+  private def canEndExpr(c: Char): Boolean =
+    isIdentChar(c) || c == ')' || c == ']' || c == '`'
+
+  /** Can an expression end just before `end0` (exclusive), judged at a
+    * whitespace/comment boundary? `)`/`]`/backtick idents always can; a
+    * bare identifier can unless it is a keyword a literal or paren group
+    * follows (`SELECT`, `IN`, `AND` …) — with '.'-qualification rescuing
+    * keyword-NAMED columns (`t.order`). The SPACED-boundary contract
+    * shared by the bracket classifier and the operand scanners' glue. */
+  private def exprEndsAt(s: String, end0: Int): Boolean =
+    end0 > 0 && {
+      val c = s(end0 - 1)
+      if (c == ')' || c == ']' || c == '`') true
+      else if (isIdentChar(c)) {
+        var j = end0
+        while (j > 0 && isIdentChar(s(j - 1))) j -= 1
+        val qualified = j > 0 && (s(j - 1) == '.' || s(j - 1) == ':')
+        qualified || !literalCanFollowKw(s.substring(j, end0).toLowerCase)
+      } else false
     }
 
   /** Walking backwards from `i0`, the index just past the last CODE char —
@@ -313,18 +362,8 @@ object SqlRewrite {
       // the other way respectively. A literal is otherwise preceded by
       // start-of-text, an operator, `(` or `,`
       val isAccess = !isArrayKw && {
-        val adjacent = i > 0 &&
-          (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')
-        adjacent || (kwEnd > 0 && kwEnd < i && {
-          val c = s(kwEnd - 1)
-          if (c == ')' || c == ']') true
-          else if (isIdentChar(c)) {
-            val qualified = identStart > 0 &&
-              (s(identStart - 1) == '.' || s(identStart - 1) == ':')
-            qualified ||
-              !literalCanFollowKw(s.substring(identStart, kwEnd).toLowerCase)
-          } else false
-        })
+        val adjacent = i > 0 && canEndExpr(s(i - 1))
+        adjacent || (kwEnd > 0 && kwEnd < i && exprEndsAt(s, kwEnd))
       }
       // `ARRAY<FLOAT>`-style type suffix `[n]` never reaches here (the type
       // rewrite above ran first), so anything non-access is a literal
@@ -369,6 +408,12 @@ object SqlRewrite {
         val open = matchBackward(s, i - 1)
         if (open < 0) return -1
         i = open
+      } else if (c == '`') {
+        // backtick-quoted identifier: one unit, back to its opening tick
+        spanContaining(s, i - 1) match {
+          case Some((start, _, false)) => i = start
+          case _ => return -1
+        }
       } else if (isIdentChar(c)) {
         while (i > 0 && isIdentChar(s(i - 1))) i -= 1
       } else if (c == '>') {
@@ -394,27 +439,27 @@ object SqlRewrite {
         // form below (`WHERE(a)` is a paren group, not a WHERE() call)
         else if (i > 0 && s(i) == '(' && callNameEndingAt(s, i)) ()
         // subscripted operand (`arr[0] <-> b`, keyword-named columns
-        // `t.order[0]`, call results `fn(a)[0]`): by infix time every
-        // bracket LITERAL has already been rewritten to array(...), so a
-        // '[' after an expression terminator can only be element access —
-        // glue unconditionally, no keyword test
-        else if (i > 0 && s(i) == '[' &&
-          (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']')) ()
+        // `t.order[0]`, call results `fn(a)[0]`): normally every bracket
+        // LITERAL has been rewritten to array(...) before infix time, so
+        // a '[' after an expression terminator is element access
+        else if (i > 0 && s(i) == '[' && canEndExpr(s(i - 1))) ()
         else {
           // fn name / array var separated from its paren/bracket by
           // whitespace or a comment (`fn (a)`, `fn /* c */ (a)`,
           // `arr [0]`) — Spark treats both as one expression, so
           // dropping the name would splice invalid SQL. A KEYWORD before
-          // a paren (`WHERE (a) <-> b`) is not a call: the paren group
-          // alone is the operand.
+          // a paren (`WHERE (a) <-> b`) is not a call, and the bracket
+          // glue uses the same keyword-aware boundary test as the
+          // literal classifier (exprEndsAt) so a keyword is never
+          // swallowed even when an earlier unbalanced bracket made the
+          // literal pass bail.
           val glued =
             if (i > 0 && (s(i) == '(' || s(i) == '[')) {
               val k = skipBackNonCode(s, i)
               val names =
                 k > 0 && k < i &&
                   (if (s(i) == '(') callNameEndingAt(s, k)
-                   else isIdentChar(s(k - 1)) || s(k - 1) == ')' ||
-                     s(k - 1) == ']')
+                   else exprEndsAt(s, k))
               if (names) k else -1
             } else -1
           if (glued >= 0) i = glued
@@ -432,7 +477,7 @@ object SqlRewrite {
     var i = q0
     while (i < s.length && s(i).isWhitespace) i += 1
     if (i >= s.length) return -1
-    if (s(i) != '\'' && nonCodeEnd(s, i) >= 0) return -1
+    if (s(i) != '\'' && s(i) != '`' && nonCodeEnd(s, i) >= 0) return -1
     val start = i
     val signed = s(i) == '-' || s(i) == '+'
     if (signed) i += 1 // unary sign on a literal
@@ -443,6 +488,8 @@ object SqlRewrite {
         val close = matchForward(s, i)
         if (close < 0) return -1
         i = close + 1
+      } else if (c == '`') {
+        i = skipBacktick(s, i) // backtick-quoted identifier: one unit
       } else if (isIdentChar(c)) {
         while (i < s.length && isIdentChar(s(i))) i += 1
       } else {
@@ -473,8 +520,7 @@ object SqlRewrite {
           val k = skipForwardNonCode(s, i)
           val names = k < s.length && k > i &&
             (if (s(k) == '(') callNameEndingAt(s, i)
-             else s(k) == '[' && i > 0 &&
-               (isIdentChar(s(i - 1)) || s(i - 1) == ')' || s(i - 1) == ']'))
+             else s(k) == '[' && exprEndsAt(s, i))
           if (names) i = k
           else done = true
         }

@@ -21,7 +21,8 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
   }
 
   private val genIdent: Gen[String] =
-    Gen.oneOf("a", "vec", "t.col", "emb2", "u.embedding")
+    Gen.oneOf("a", "vec", "t.col", "emb2", "u.embedding",
+      "`my vec`", "t.`odd name`")
 
   /** Operand shapes the infix scanner documents support for — including
     * whitespace-separated calls and subscripts, the round-7 hardening. */

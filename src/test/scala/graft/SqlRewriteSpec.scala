@@ -112,6 +112,29 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT array_distance(a, fn(b) [0]) FROM t")
   }
 
+  test("backtick-quoted identifiers: protected as text, usable as operands") {
+    // a column literally NAMED like an operator/literal is never rewritten
+    assert(SqlRewrite.preprocess("SELECT `a<->b` FROM t") ==
+      "SELECT `a<->b` FROM t")
+    assert(SqlRewrite.preprocess("SELECT `arr[0]`, `FLOAT[2]` FROM t") ==
+      "SELECT `arr[0]`, `FLOAT[2]` FROM t")
+    // ...while backtick-quoted operands still participate in the rewrite
+    assert(SqlRewrite.preprocess("SELECT `my vec` <-> q FROM t") ==
+      "SELECT array_distance(`my vec`, q) FROM t")
+    assert(SqlRewrite.preprocess("SELECT q <#> t.`my vec` FROM t") ==
+      "SELECT array_negative_inner_product(q, t.`my vec`) FROM t")
+  }
+
+  test("a keyword is never swallowed into an operand, even when an " +
+      "unbalanced bracket disabled the literal pass") {
+    // the unbalanced first '[' makes the literal rewriter bail, leaving
+    // 'IN [0]' unrewritten; the operand glue must still refuse to bind
+    // the keyword to the bracket
+    val in = "SELECT [1, , x IN [0] <-> b FROM t"
+    val out = SqlRewrite.preprocess(in)
+    assert(out.contains("IN array_distance([0], b)") || out == in, out)
+  }
+
   test("keyword-named columns still subscript: adjacency wins, " +
       "qualification wins") {
     // a column legally named like a keyword subscripts as any other when
