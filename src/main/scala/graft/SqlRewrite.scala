@@ -60,28 +60,33 @@ object SqlRewrite {
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
 
-  /** End index (exclusive) of the single-quoted literal starting at `i`
-    * ('' is the embedded-quote escape). */
-  private def skipString(s: String, i: Int): Int = {
+  /** End index (exclusive) of the quoted span starting at `i` with quote
+    * char `q` (doubling is the embedded-quote escape — `''` in strings,
+    * ` `` ` in backtick identifiers), or -1 when unterminated. One
+    * implementation for both quote kinds so the escape handling cannot
+    * drift. */
+  private def skipQuoted(s: String, i: Int, q: Char): Int = {
     var j = i + 1
     while (j < s.length) {
-      if (s(j) == '\'') {
-        if (j + 1 < s.length && s(j + 1) == '\'') j += 2 else return j + 1
+      if (s(j) == q) {
+        if (j + 1 < s.length && s(j + 1) == q) j += 2 else return j + 1
       } else j += 1
     }
-    j
+    -1
+  }
+
+  /** End index (exclusive) of the single-quoted literal starting at `i`;
+    * an unterminated literal spans to end-of-string. */
+  private def skipString(s: String, i: Int): Int = {
+    val e = skipQuoted(s, i, '\'')
+    if (e < 0) s.length else e
   }
 
   /** End index (exclusive) of the backtick-quoted identifier starting at
-    * `i` (`` `` `` is Spark's embedded-backtick escape). */
+    * `i`; an unterminated one spans to end-of-string. */
   private def skipBacktick(s: String, i: Int): Int = {
-    var j = i + 1
-    while (j < s.length) {
-      if (s(j) == '`') {
-        if (j + 1 < s.length && s(j + 1) == '`') j += 2 else return j + 1
-      } else j += 1
-    }
-    j
+    val e = skipQuoted(s, i, '`')
+    if (e < 0) s.length else e
   }
 
   /** End index (exclusive) of the NON-CODE span starting at `i` — a
@@ -124,19 +129,22 @@ object SqlRewrite {
     -1
   }
 
-  /** Index of the open matching the close bracket/paren at `i`. COMMENT
-    * spans are skipped wholesale — an unbalanced bracket inside a block
-    * comment (`fn(a /* (x */`…`)`) must not be counted, or the infix
-    * rewrite splices from the wrong start. Quote-blind otherwise
-    * (literals containing unbalanced brackets AND an infix operand
-    * boundary do not occur in this dialect); or -1 when unbalanced. */
+  /** Index of the open matching the close bracket/paren at `i`. Every
+    * non-code span (comment, string literal, backtick identifier) is
+    * skipped wholesale — an unbalanced bracket inside any of them
+    * (`fn(a /* (x */`…`)`, a column named `` `a[b` ``) must not be
+    * counted, or the infix rewrite splices from the wrong start
+    * (symmetric with matchForward); -1 when unbalanced. */
   private def matchBackward(s: String, i: Int): Int = {
     val spans = nonCodeSpans(s)
     val (close, open) = (s(i), if (s(i) == ')') '(' else '[')
     var depth = 0
     var j = i
     while (j >= 0) {
-      spans.find(sp => j >= sp._1 && j < sp._2 && sp._3) match {
+      // skip EVERY non-code span — a bracket inside a comment, a string,
+      // or a backtick-quoted identifier must not be counted (symmetric
+      // with matchForward)
+      spans.find(sp => j >= sp._1 && j < sp._2) match {
         case Some((start, _, _)) => j = start - 1
         case None =>
           val c = s(j)
@@ -173,8 +181,12 @@ object SqlRewrite {
   private[graft] def containsOutsideQuotes(stmt: String, tok: String): Boolean =
     findOutsideQuotes(stmt, tok, 0) >= 0
 
-  /** Does `ident` occur in `stmt` as a whole identifier (not a substring of
-    * a longer one, not inside a string literal)? */
+  /** Does `ident` occur in `stmt` as a whole identifier — bare, or in
+    * Spark's backtick-quoted spelling (`` `ident` ``)? Not a substring of
+    * a longer identifier, not inside a string literal or comment. The
+    * backtick clause matters: GraftSql routes on mentions of the hidden
+    * rowid column, and `` SELECT `__rowid`, v `` is the standard quoted
+    * way to address it. */
   private[graft] def mentionsIdentifier(stmt: String, ident: String): Boolean = {
     var i = findOutsideQuotes(stmt, ident, 0)
     while (i >= 0) {
@@ -184,7 +196,13 @@ object SqlRewrite {
       if (freeBefore && freeAfter) return true
       i = findOutsideQuotes(stmt, ident, i + 1)
     }
-    false
+    nonCodeSpans(stmt).exists { case (a, b, isComment) =>
+      !isComment && stmt(a) == '`' && {
+        val close = b - 1 >= a + 1 && stmt(b - 1) == '`'
+        val content = stmt.substring(a + 1, if (close) b - 1 else b)
+        content.replace("``", "`") == ident
+      }
+    }
   }
 
   /** All non-code spans of `s` as (start, endExclusive, isComment) in
@@ -233,7 +251,9 @@ object SqlRewrite {
     while (moved) {
       moved = false
       while (i < s.length && s(i).isWhitespace) { i += 1; moved = true }
-      if (i < s.length && s(i) != '\'') {
+      // skip COMMENTS only: quoted strings and backtick identifiers are
+      // expression material, not air (the backward twin stops at them too)
+      if (i < s.length && s(i) != '\'' && s(i) != '`') {
         val e = nonCodeEnd(s, i)
         if (e >= 0) { i = e; moved = true }
       }
@@ -489,7 +509,12 @@ object SqlRewrite {
         if (close < 0) return -1
         i = close + 1
       } else if (c == '`') {
-        i = skipBacktick(s, i) // backtick-quoted identifier: one unit
+        // backtick-quoted identifier: one unit; unterminated bails (the
+        // cannot-delimit contract — never splice the rest of the
+        // statement into the call)
+        val e = skipQuoted(s, i, '`')
+        if (e < 0) return -1
+        i = e
       } else if (isIdentChar(c)) {
         while (i < s.length && isIdentChar(s(i))) i += 1
       } else {

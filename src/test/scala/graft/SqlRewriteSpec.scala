@@ -123,6 +123,17 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT array_distance(`my vec`, q) FROM t")
     assert(SqlRewrite.preprocess("SELECT q <#> t.`my vec` FROM t") ==
       "SELECT array_negative_inner_product(q, t.`my vec`) FROM t")
+    // a bracket INSIDE a quoted name is not a bracket (backward scan)
+    assert(SqlRewrite.preprocess("SELECT m[`a[b`] <-> q FROM t") ==
+      "SELECT array_distance(m[`a[b`], q) FROM t")
+    // an UNTERMINATED backtick cannot be delimited: statement left whole
+    assert(SqlRewrite.preprocess("SELECT q <-> `oops FROM t") ==
+      "SELECT q <-> `oops FROM t")
+    // identifier-mention routing sees the quoted spelling (GraftSql keeps
+    // an explicitly selected `__rowid` on this test)
+    assert(SqlRewrite.mentionsIdentifier("select `__rowid`, v from t", "__rowid"))
+    assert(!SqlRewrite.mentionsIdentifier("select `x__rowid`, v from t", "__rowid"))
+    assert(!SqlRewrite.mentionsIdentifier("select '__rowid' from t", "__rowid"))
   }
 
   test("a keyword is never swallowed into an operand, even when an " +
