@@ -532,11 +532,22 @@ object SparkEntry {
       * `build_graph_index` warm-up metric. */
     // weak-keyed on the session INSTANCE: true identity (identityHashCode
     // can collide with a dead session's), and a stopped session's entry
-    // is collectable instead of accumulating forever
+    // is collectable instead of accumulating forever. Values: gateKey →
+    // the measured (recall79, recall80) of the PASSING run, so the bench
+    // can emit the numbers into its record instead of throw-or-silent.
     private val graphRecallChecked =
       java.util.Collections.synchronizedMap(
         new java.util.WeakHashMap[SparkSession,
-          scala.collection.mutable.Set[String]]())
+          scala.collection.mutable.LinkedHashMap[String, (Double, Double)]]())
+
+    /** Measured graph-mode recall for `s`, if the q79/q80 gate has run this
+      * session: (recall@10 over q79's single probe, recall@3 over q80's 300
+      * pairs), from the most recent passing gate. None until a gated query
+      * executes. */
+    def graphRecall(s: SparkSession): Option[(Double, Double)] =
+      graphRecallChecked.synchronized {
+        Option(graphRecallChecked.get(s)).flatMap(_.lastOption).map(_._2)
+      }
 
     private def assertGraphRecall(s: SparkSession, dir: String): Unit = {
       val (table, index) = sharedGraphIndex(s, dir)
@@ -558,10 +569,15 @@ object SparkEntry {
         def hits(approx: Seq[Double], exactKth: Double): Int =
           approx.count(_ <= exactKth * (1 + 1e-9) + 1e-12)
 
-        // q79: one probe, k=10
+        // q79: one probe, k=10. A NULL distance (possible only on
+        // degenerate tables with <10 non-null embeddings, via
+        // asc_nulls_last) must not read as 0.0 and count as a hit —
+        // drop those rows so recall can only be understated, never
+        // inflated.
         val qv79 = embQueryVec(s, table, 0)
         val exact79 = idx.search(qv79, 10, exhaustiveEf)
-        val approx79 = q79Plan(s, dir).collect().map(_.getDouble(1)).toSeq
+        val approx79 = q79Plan(s, dir).collect()
+          .filterNot(_.isNullAt(1)).map(_.getDouble(1)).toSeq
         val recall79 = hits(approx79, exact79.last._2) / 10.0
 
         // q80: 100 probes, k=3 — exact k-th distance per probe
@@ -573,7 +589,7 @@ object SparkEntry {
           qid -> idx.search(v, 3, exhaustiveEf).last._2
         }
         val approx80 = q80Plan(s, dir).collect()
-          .map(r => (r.getLong(0), r.getDouble(3)))
+          .filterNot(_.isNullAt(3)).map(r => (r.getLong(0), r.getDouble(3)))
         val hit80 = approx80.count { case (qid, d) =>
           d <= exactKth80(qid) * (1 + 1e-9) + 1e-12
         }
@@ -585,12 +601,13 @@ object SparkEntry {
               f"(need >=0.9), q80 recall@3=$recall80%.3f (need >=0.95) " +
               s"at ef=$gateEf")
         graphRecallChecked.synchronized {
-          val set = Option(graphRecallChecked.get(s)).getOrElse {
-            val fresh = scala.collection.mutable.Set.empty[String]
+          val m = Option(graphRecallChecked.get(s)).getOrElse {
+            val fresh =
+              scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
             graphRecallChecked.put(s, fresh)
             fresh
           }
-          set.add(gateKey)
+          m.put(gateKey, (recall79, recall80))
         }
         ()
       }
@@ -1498,6 +1515,11 @@ object SparkEntry {
       val esc = m.replace("'", "''")
       s"CAST((len(p) - len(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
     }.mkString(" + ")
+
+  /** Measured graph-mode recall for `s` (see [[Queries.graphRecall]]) —
+    * lets the bench surface the q79/q80 gate's numbers into its record. */
+  def graphRecall(s: SparkSession): Option[(Double, Double)] =
+    Queries.graphRecall(s)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -52,10 +52,10 @@ object SqlRewrite {
   def preprocess(stmt: String, cosineInfix: Boolean): String =
     try rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)),
       cosineInfix)
-    // don't pin the last statement (and its span vector) in a static
-    // field past the call — a one-off huge generated statement would
-    // otherwise stay reachable until the next preprocess
-    finally spanMemo = null
+    // don't pin the last statement (and its span vector) past the call —
+    // a one-off huge generated statement would otherwise stay reachable
+    // (per-thread) until that thread's next preprocess
+    finally spanMemo.remove()
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
@@ -144,7 +144,7 @@ object SqlRewrite {
       // skip EVERY non-code span — a bracket inside a comment, a string,
       // or a backtick-quoted identifier must not be counted (symmetric
       // with matchForward)
-      spans.find(sp => j >= sp._1 && j < sp._2) match {
+      spanAt(spans, j) match {
         case Some((start, _, _)) => j = start - 1
         case None =>
           val c = s(j)
@@ -210,12 +210,16 @@ object SqlRewrite {
     * list instead of re-scanning per character. Memoized on the STRING
     * INSTANCE (the rewrite loops splice a fresh string per change, so
     * identity is the correct invalidation): one forward walk per
-    * statement version, however many helper calls follow. Races just
-    * recompute. */
-  @volatile private var spanMemo: (String, Vector[(Int, Int, Boolean)]) = null
+    * statement version, however many helper calls follow. THREAD-local:
+    * concurrent GraftSql.sql calls from multiple driver threads would
+    * thrash one shared slot (each call's splice invalidating the other's
+    * memo — correct, since identity forces recompute, but every lookup
+    * repays the full scan). */
+  private val spanMemo =
+    new ThreadLocal[(String, Vector[(Int, Int, Boolean)])]
 
   private def nonCodeSpans(s: String): Vector[(Int, Int, Boolean)] = {
-    val m = spanMemo
+    val m = spanMemo.get()
     if (m != null && (m._1 eq s)) m._2
     else {
       val b = Vector.newBuilder[(Int, Int, Boolean)]
@@ -230,13 +234,29 @@ object SqlRewrite {
         } else j += 1
       }
       val v = b.result()
-      spanMemo = (s, v)
+      spanMemo.set((s, v))
       v
     }
   }
 
+  /** The span containing `pos`, by binary search over the sorted,
+    * non-overlapping span starts — the per-character backward walks
+    * (matchBackward, skipBackNonCode) call this O(n) times per statement,
+    * so a linear find would make them O(n × spans). */
+  private def spanAt(spans: Vector[(Int, Int, Boolean)],
+      pos: Int): Option[(Int, Int, Boolean)] = {
+    var lo = 0
+    var hi = spans.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (spans(mid)._1 <= pos) { best = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (best >= 0 && pos < spans(best)._2) Some(spans(best)) else None
+  }
+
   private def spanContaining(s: String, pos: Int): Option[(Int, Int, Boolean)] =
-    nonCodeSpans(s).find(sp => pos >= sp._1 && pos < sp._2)
+    spanAt(nonCodeSpans(s), pos)
 
   /** Is `pos` inside a comment span (not a string literal)? */
   private def insideComment(s: String, pos: Int): Boolean =
@@ -307,7 +327,7 @@ object SqlRewrite {
     while (moved) {
       moved = false
       while (i > 0 && s(i - 1).isWhitespace) { i -= 1; moved = true }
-      if (i > 0) spans.find(sp => i - 1 >= sp._1 && i - 1 < sp._2) match {
+      if (i > 0) spanAt(spans, i - 1) match {
         case Some((start, _, true)) => i = start; moved = true
         case _ =>
       }

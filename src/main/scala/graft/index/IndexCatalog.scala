@@ -607,9 +607,14 @@ object IndexCatalog {
               // "artifact persisted, manifest rename pending" the restored
               // artifact already holds these shards under rewritten
               // `shard-N.hnsw` names, so a path compare would re-attach
-              // them (duplicate search results, inflated size)
-              val attached = sh.shards.map(_.fingerprint).toSet
-              val fresh = metas.filterNot(m => attached(m.fingerprint))
+              // them (duplicate search results, inflated size).
+              // ShardMeta.sameShard, not raw fingerprint equality: a
+              // mixed-version pair (one side pre-Bloom-filter) degrades to
+              // a comparable weak identity instead of never matching.
+              // O(existing × incoming) pairwise — shard counts are small.
+              val existing = sh.shards
+              val fresh = metas.filterNot(m =>
+                existing.exists(x => ShardMeta.sameShard(x, m)))
               if (fresh.nonEmpty) sh.appendShards(fresh)
             }
           case 3 =>

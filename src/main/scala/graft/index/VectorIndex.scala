@@ -80,6 +80,21 @@ case class ShardMeta(
 }
 
 object ShardMeta {
+  /** Same-logical-shard test for WAL-replay dedup. When BOTH sides carry a
+    * key filter, identity is rename-stable content ((count, dim, filter
+    * hash)). When EITHER side predates the filter format, the two
+    * `fingerprint` values would be structurally incomparable (String vs
+    * tuple — never equal, silently re-enabling the double-attach for that
+    * mixed-version pair), so the compare degrades to the weakest shared
+    * identity both sides can produce: (count, dim, path basename) — the
+    * legacy path behavior, not a type mismatch. */
+  def sameShard(a: ShardMeta, b: ShardMeta): Boolean =
+    if (a.keyFilter != null && b.keyFilter != null) a.fingerprint == b.fingerprint
+    else (a.count, a.dim, basename(a.path)) == (b.count, b.dim, basename(b.path))
+
+  private def basename(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
   /** Snapshot an index that was just persisted to `path`. */
   def of(path: String, idx: HnswIndex): ShardMeta =
     ShardMeta(path, idx.dim, idx.metric, idx.size, idx.levels, idx.levelStats,

@@ -349,6 +349,38 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(IndexCatalog.PersistenceConfKey)
   }
 
+  test("ShardMeta.sameShard: mixed-version metas (one side pre-Bloom-filter) " +
+      "compare by weak identity instead of never matching") {
+    import graft.index.{LongBloomFilter, ShardMeta}
+    def meta(path: String, count: Int, bf: LongBloomFilter) =
+      ShardMeta(path, 8, "l2sq", count, 1, Seq.empty, 0L, 100L, bf)
+    val bf = LongBloomFilter.create(4); Seq(1L, 2L, 3L).foreach(bf.add)
+    val bf2 = LongBloomFilter.create(4); Seq(7L, 8L, 9L).foreach(bf2.add)
+
+    // both sides filtered: content identity, rename-stable
+    assert(ShardMeta.sameShard(
+      meta("/a/shard-0.hnsw", 3, bf), meta("/b/renamed-7.hnsw", 3, bf)))
+    assert(!ShardMeta.sameShard(
+      meta("/a/shard-0.hnsw", 3, bf), meta("/a/shard-0.hnsw", 3, bf2)))
+
+    // MIXED version (the advisor's gap): a WAL record and a restored
+    // artifact shard straddling the filter-format boundary must still be
+    // comparable — same (count, dim, basename) dedups, instead of the
+    // String-vs-tuple fingerprints silently never matching
+    assert(ShardMeta.sameShard(
+      meta("/wal/shard-0.hnsw", 3, null), meta("/ckpt/shard-0.hnsw", 3, bf)))
+    assert(ShardMeta.sameShard(
+      meta("/wal/shard-0.hnsw", 3, bf), meta("/ckpt/shard-0.hnsw", 3, null)))
+    assert(!ShardMeta.sameShard(
+      meta("/wal/shard-0.hnsw", 3, null), meta("/ckpt/shard-0.hnsw", 4, bf)))
+
+    // both legacy: pre-fingerprint path behavior
+    assert(ShardMeta.sameShard(
+      meta("/x/shard-1.hnsw", 3, null), meta("/y/shard-1.hnsw", 3, null)))
+    assert(!ShardMeta.sameShard(
+      meta("/x/shard-1.hnsw", 3, null), meta("/x/shard-2.hnsw", 3, null)))
+  }
+
   test("legacy single-file WAL (pre-segment format) is migrated and " +
       "replayed on restore, and post-restore DML can log again") {
     import graft.index.ArtifactIO

@@ -91,6 +91,44 @@ class PlanAuditSpec extends GraftSparkSpec {
     // rollup. The corpus shingle table is never exchanged at all — its
     // within-doc dedup happens in the array domain before the explode
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    // artifact-sourced: both sides read the shared shingle artifact — a
+    // regression to re-exploding the corpus text would show a tokenizer
+    // and a `text` read here and re-pay the dominant corpus pass twice
+    assert(p.contains("__graft_shingles_"), p)
+    assert(!p.toLowerCase.contains("regexp") && !p.contains("\"text\""), p)
+  }
+
+  test("q44: corpus-dup reads the shingle ARTIFACT (never re-tokenizes); " +
+      "the by-shingle aggregate rides the bucketed layout") {
+    val p = plan("q44_corpus_dup")
+    assert(p.contains("__graft_shingles_"), p)
+    assert(!p.toLowerCase.contains("regexp") && !p.contains("\"text\""), p)
+    // the distinct-shingle df aggregate is exchange-free on the shingle
+    // key: partial+final ride the artifact's bucket spec
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange hashpartitioning(shingle"), p)
+    // per-doc unique-owner side is result-sized → broadcast back to docs
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q47: cluster labels derive from the SIGNATURE artifact — pair " +
+      "mining scans the materialized signatures, not the corpus text") {
+    // q47's own executed plan is the components fixpoint (checkpointed
+    // RDDs); the scale-bearing sub-plan is the LSH pair mining it feeds on
+    SparkEntry.queries("q47_dedup_clusters")(spark, sfDir) // forces artifact
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val pairs = graft.index.DedupSignatures.pairs(spark, s"qshared_sigs_$tag")
+    val pp = pairs.queryExecution.executedPlan.toString
+    // every scan is the signature parquet; the md5 shingle pipeline and the
+    // text column appear nowhere — signatures are never recomputed
+    assert(pp.contains("-sigs-"), pp)
+    assert(!pp.toLowerCase.contains("regexp") && !pp.contains("md5") &&
+      !pp.contains("\"text\""), pp)
+    // the full q47 plan never touches the text column either: components
+    // state is duplicate-set-sized, documents contribute doc_id only
+    val p = plan("q47_dedup_clusters")
+    assert(!p.contains("\"text\""), p)
+    assert("ReadSchema: struct<doc_id:bigint>".r.findAllIn(p).nonEmpty, p)
   }
 
   test("q46: packing windows are bucket-partitioned — no single-partition " +
