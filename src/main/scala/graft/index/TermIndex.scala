@@ -174,6 +174,32 @@ object TermIndex {
     }
   }
 
+  /** Pre-warm the serving path after create/restore: the first search on a
+    * cold index pays one-time costs that have nothing to do with the query —
+    * the artifact file listing, every posting file's parquet footer, and
+    * janino compilation of the BM25 scoring plan (measured ~11 s cold vs
+    * ~0.8 s warm for q53 at sf0.1). This runs those costs once, at a moment
+    * the operator chooses (deploy time), instead of inside the first user
+    * query:
+    *
+    *   - `count()` over the artifact lists the files and reads every footer
+    *     (parquet answers count from footer row counts — no column data
+    *     moves), priming the page cache executors will hit;
+    *   - one real k=1 search with a term sampled from the postings compiles
+    *     the scoring plan's codegen and exercises one bucket end-to-end.
+    *
+    * Semantically a no-op: registry stats and search results are untouched
+    * (spec-pinned). Not called from [[create]] — the build metric stays an
+    * honest build cost, and a batch pipeline that never serves low-latency
+    * queries shouldn't pay it. */
+  def warm(spark: SparkSession, name: String): Unit = {
+    val entry = registry.getOrThrow(name, "term")
+    val postings = spark.read.parquet(entry.path)
+    postings.count()
+    postings.select("term").limit(1).collect().headOption
+      .foreach(r => search(spark, name, Seq(r.getString(0)), 1).collect())
+  }
+
   /** The query terms' partition buckets, computed with the SAME hash
     * expression the build used (a 1-row-per-term local job — no driver
     * reimplementation of xxhash64 to drift out of sync). */

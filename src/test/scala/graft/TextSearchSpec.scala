@@ -91,6 +91,26 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(scanned < total && scanned > 0)
   }
 
+  test("TermIndex.warm is semantically a no-op: stats, registry, and " +
+      "search results are identical before and after") {
+    tiny.createOrReplaceTempView("ts_warm_docs")
+    TermIndex.create(spark, "ts_warm", "ts_warm_docs", "doc_id", "text",
+      nBuckets = 4)
+    val before = TermIndex.get("ts_warm").get
+    val cold = TermIndex.search(spark, "ts_warm", Seq("banana", "cherry"), 3)
+      .as[(Long, Double)].collect().toSeq
+    TermIndex.warm(spark, "ts_warm")
+    assert(TermIndex.get("ts_warm").contains(before)) // stats untouched
+    val warm = TermIndex.search(spark, "ts_warm", Seq("banana", "cherry"), 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(warm == cold)
+    // warming an unknown index is the usual registry error, not a silent ok
+    assertThrows[IllegalArgumentException] {
+      TermIndex.warm(spark, "ts_warm_nope")
+    }
+    TermIndex.drop("ts_warm")
+  }
+
   test("TermIndex duplicate name errors; drop clears") {
     assertThrows[IllegalArgumentException] {
       TermIndex.create(spark, "ts_idx_8", "ts_docs", "doc_id", "text")
