@@ -96,16 +96,24 @@ object GraftSql {
     * (the `<->`/`<#>` rewrites are unambiguous and always on). */
   val CosineInfixConfKey = "graft.sql.cosineInfix"
 
-  def sql(spark: SparkSession, statement: String): DataFrame = {
-    val cosine = spark.conf.getOption(CosineInfixConfKey).forall {
-      // strict boolean: a typo must error, not silently flip the dialect
+  /** `SET graft.sql.duckdbNullOrder=false` keeps Spark's default sort null
+    * ordering (NULLS FIRST on ASC) instead of DuckDB's NULLS LAST — see
+    * [[SqlRewrite]]'s null-ordering rewrite. */
+  val NullOrderConfKey = "graft.sql.duckdbNullOrder"
+
+  /** Strict boolean: a typo must error, not silently flip the dialect. */
+  private def boolConf(spark: SparkSession, key: String): Boolean =
+    spark.conf.getOption(key).forall {
       case v if v.trim.equalsIgnoreCase("true") => true
       case v if v.trim.equalsIgnoreCase("false") => false
       case v => throw new IllegalArgumentException(
-        s"$CosineInfixConfKey must be true or false, got '$v'")
+        s"$key must be true or false, got '$v'")
     }
-    dispatch(spark, SqlRewrite.preprocess(statement, cosine))
-  }
+
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    dispatch(spark, SqlRewrite.preprocess(statement,
+      boolConf(spark, CosineInfixConfKey),
+      boolConf(spark, NullOrderConfKey)))
 
   /** Tables whose DML must flow through the engine (index maintenance,
     * rowid continuity): Graft registrations and any table serving an HNSW

@@ -30,6 +30,33 @@ package graft
   *  - Bracket array literals `[1, 2, 3]` => `array(1, 2, 3)` — only where
   *    a literal can start; `expr[i]` element access (identifier, `)` or
   *    `]` immediately before the bracket) is left alone.
+  *  - DuckDB's `list` aggregate (reference
+  *    test/sql/hnsw/hnsw_lateral_join_group.test:35,62):
+  *    {{{
+  *      list(x)                    =>  collect_list(x)
+  *      list(x ORDER BY k1, k2)    =>  transform(sort_array(collect_list(
+  *                                       named_struct('__o1', k1, '__o2', k2,
+  *                                                    '__ov', x))),
+  *                                       __ls -> __ls.__ov)
+  *    }}}
+  *    The ORDER BY keys become leading struct fields so `sort_array`'s
+  *    lexicographic struct order IS the requested sort — one aggregate,
+  *    no window. Ascending keys only (a bare trailing `ASC` is dropped);
+  *    `DESC`/`NULLS FIRST|LAST` keys leave the call unchanged for Spark's
+  *    parser to report, per the cannot-delimit contract.
+  *  - DuckDB's default null ordering: every `ORDER BY` sort key without an
+  *    explicit `NULLS` modifier gets `NULLS LAST` appended. DuckDB sorts
+  *    NULLs last by default (`default_null_order = 'nulls_last'`);
+  *    Spark's ASC default is NULLS FIRST — so a ported
+  *    `ORDER BY dist LIMIT 3` over NULL-bearing distances would RETURN
+  *    DIFFERENT ROWS without this, and the index TopN/KNN rewrites (whose
+  *    NULL-safety guard requires NULLS LAST ordering) could never fire on
+  *    reference-dialect spellings (e.g. hnsw_lateral_join_group.test,
+  *    hnsw_projection.test run verbatim through GraftSql). Applies to
+  *    statement-level and subquery/lateral ORDER BY; an ORDER BY inside a
+  *    function call's argument list is left alone (Spark will report the
+  *    unsupported aggregate itself). `SET graft.sql.duckdbNullOrder=false`
+  *    restores Spark's defaults.
   *
   * Operand extraction for the infix rewrite handles the expression shapes
   * the reference's docs/tests put around these operators: column refs
@@ -47,11 +74,25 @@ object SqlRewrite {
 
   def preprocess(stmt: String): String = preprocess(stmt, cosineInfix = true)
 
-  /** `cosineInfix=false` leaves `<=>` alone (Spark's null-safe equality)
-    * while keeping the unambiguous `<->`/`<#>` spellings. */
   def preprocess(stmt: String, cosineInfix: Boolean): String =
-    try rewriteInfix(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)),
-      cosineInfix)
+    preprocess(stmt, cosineInfix, duckdbNullOrder = true)
+
+  /** `cosineInfix=false` leaves `<=>` alone (Spark's null-safe equality)
+    * while keeping the unambiguous `<->`/`<#>` spellings;
+    * `duckdbNullOrder=false` keeps Spark's default (NULLS FIRST on ASC). */
+  def preprocess(stmt: String, cosineInfix: Boolean,
+      duckdbNullOrder: Boolean): String =
+    // listAgg before nullOrder: a supported list(x ORDER BY k) consumes its
+    // ORDER BY into struct fields first (appending NULLS LAST there would
+    // trip the aggregate's unsupported-modifier guard). Both before infix:
+    // an ORDER BY key may itself contain an infix operator
+    // (`list(id ORDER BY vec <-> q)`) — the infix pass rewrites inside the
+    // spliced call on its own later iteration.
+    try {
+      val base = rewriteListAgg(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)))
+      val nulled = if (duckdbNullOrder) rewriteNullOrdering(base) else base
+      rewriteInfix(nulled, cosineInfix)
+    }
     // don't pin the last statement (and its span vector) past the call —
     // a one-off huge generated statement would otherwise stay reachable
     // (per-thread) until that thread's next preprocess
@@ -424,6 +465,228 @@ object SqlRewrite {
       }
     }
     s
+  }
+
+  // ---- DuckDB list(...) aggregate --------------------------------------
+
+  /** Position of the first top-level (paren/bracket depth 0, non-code
+    * spans skipped) match of `pat` within s[start,end), or -1. */
+  private def topLevelIndexOf(s: String, start: Int, end: Int,
+      pat: scala.util.matching.Regex): Int = {
+    var j = start
+    var depth = 0
+    while (j < end) {
+      val skip = nonCodeEnd(s, j)
+      if (skip >= 0) j = skip
+      else {
+        val c = s(j)
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 &&
+            pat.findPrefixMatchOf(s.subSequence(j, end)).isDefined) return j
+        j += 1
+      }
+    }
+    -1
+  }
+
+  /** s[start,end) split on top-level commas → trimmed pieces (in order). */
+  private def splitTopLevel(s: String, start: Int, end: Int): Seq[String] = {
+    val cuts = Seq.newBuilder[Int]
+    var j = start
+    var depth = 0
+    while (j < end) {
+      val skip = nonCodeEnd(s, j)
+      if (skip >= 0) j = skip
+      else {
+        val c = s(j)
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) cuts += j
+        j += 1
+      }
+    }
+    val bounds = start +: cuts.result().flatMap(c => Seq(c, c + 1)) :+ end
+    bounds.grouped(2).map { case Seq(a, b) => s.substring(a, b).trim }.toSeq
+  }
+
+  private val ListCall = """(?i)list\s*\(""".r
+  private val OrderBy = """(?i)order\s+by\b""".r
+  private val TrailingAsc = """(?i)\s+asc\s*$""".r
+  private val UnsupportedSortMod = """(?i)\b(desc|nulls)\b""".r
+
+  /** DuckDB `list(x [ORDER BY keys])` — see the object Scaladoc. The
+    * `list` token must head a call (no identifier char, `.` or `:` before
+    * it), so `collect_list(...)` and `t.list(...)` are untouched. */
+  private def rewriteListAgg(stmt: String): String = {
+    var s = stmt
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val m = ListCall.findAllMatchIn(s).find(m =>
+        m.start >= from && !insideQuotes(s, m.start) &&
+          (m.start == 0 || (!isIdentChar(s(m.start - 1)) &&
+            s(m.start - 1) != '.' && s(m.start - 1) != ':')))
+      m match {
+        case None => return s
+        case Some(mm) =>
+          val open = mm.end - 1
+          val close = matchForward(s, open)
+          if (close < 0) return s // unbalanced: leave for Spark's parser
+          val ob = topLevelIndexOf(s, open + 1, close, OrderBy)
+          if (ob < 0) {
+            // plain DuckDB list aggregate — Spark's spelling, arguments
+            // (incl. DISTINCT) verbatim
+            s = s.substring(0, mm.start) + "collect_list" + s.substring(open)
+            from = mm.start + "collect_list".length
+          } else {
+            val expr = s.substring(open + 1, ob).trim
+            val keysEnd = ob + OrderBy.findPrefixMatchOf(
+              s.subSequence(ob, close)).get.matched.length
+            val keys = splitTopLevel(s, keysEnd, close)
+              .map(k => TrailingAsc.replaceAllIn(k, ""))
+            val unsupported = expr.isEmpty || keys.exists(k =>
+              k.isEmpty || UnsupportedSortMod.findFirstIn(k).isDefined)
+            if (unsupported) from = open + 1 // leave unchanged, keep going
+            else {
+              val fields = keys.zipWithIndex
+                .map { case (k, i) => s"'__o${i + 1}', $k" }
+                .mkString("", ", ", s", '__ov', $expr")
+              val call = s"transform(sort_array(collect_list(named_struct(" +
+                s"$fields))), __ls -> __ls.__ov)"
+              s = s.substring(0, mm.start) + call + s.substring(close + 1)
+              // expr/keys were spliced verbatim: resume just past the
+              // rewrite's head so a NESTED list(...) inside them still
+              // rewrites on a later iteration (the spliced collect_list/
+              // named_struct heads can't re-match — underscore-preceded)
+              from = mm.start + 1
+            }
+          }
+      }
+    }
+    s
+  }
+
+  // ---- DuckDB default null ordering ------------------------------------
+
+  /** Keywords that terminate an ORDER BY sort-key list at its own depth. */
+  private val sortKeyEnders: Set[String] = Set(
+    "limit", "offset", "fetch", "union", "except", "intersect", "window",
+    "rows", "range", "groups", "having", "qualify", "for")
+
+  /** Keywords before a `(` that open a subquery/group rather than a call —
+    * the null-order pass rewrites ORDER BY inside these, but not inside a
+    * function's argument list. Superset of [[literalCanFollowKw]] (those
+    * double as "not a call" everywhere) plus the paren-introducing forms. */
+  private val subqueryHeadKw: Set[String] =
+    literalCanFollowKw ++ Set("lateral", "exists", "over", "filter", "using")
+
+  /** Is the `(` at `openPos` a function call's argument list (identifier
+    * head that is not a subquery-introducing keyword)? */
+  private def parenIsCall(s: String, openPos: Int): Boolean = {
+    val k = skipBackNonCode(s, openPos)
+    k > 0 && isIdentChar(s(k - 1)) && {
+      var j = k
+      while (j > 0 && isIdentChar(s(j - 1))) j -= 1
+      !subqueryHeadKw.contains(s.substring(j, k).toLowerCase)
+    }
+  }
+
+  /** Append `NULLS LAST` to every ORDER BY sort key without an explicit
+    * NULLS modifier — DuckDB's default null order (see the object
+    * Scaladoc). One forward walk collects the insertion points (paren
+    * stack distinguishes subquery ORDER BY, which rewrites, from ORDER BY
+    * inside a call's argument list, which does not); inserts then apply
+    * back-to-front. Limitation: an ORDER BY nested inside another ORDER
+    * BY's key expression (a scalar subquery used as a sort key) is left
+    * alone. */
+  private def rewriteNullOrdering(stmt: String): String = {
+    val inserts = List.newBuilder[Int]
+
+    /** Walk the sort keys from `start` (just past BY); collect an insert
+      * point per NULLS-less key; return the resume index (first char NOT
+      * consumed — a closing paren or ender keyword stays for the caller). */
+    def walkKeys(start: Int): Int = {
+      var j = start
+      var depth = 0
+      var keyEnd = -1
+      var keyHasNulls = false
+      def endKey(): Unit = {
+        if (keyEnd >= 0 && !keyHasNulls) inserts += keyEnd
+        keyEnd = -1; keyHasNulls = false
+      }
+      while (j < stmt.length) {
+        val skip = nonCodeEnd(stmt, j)
+        if (skip >= 0) {
+          // quoted strings / backtick identifiers are key material;
+          // comments are air
+          if (stmt(j) == '\'' || stmt(j) == '`') keyEnd = skip
+          j = skip
+        } else {
+          val c = stmt(j)
+          if (c == '(' || c == '[') { depth += 1; j += 1 }
+          else if (c == ')' || c == ']') {
+            if (depth == 0) { endKey(); return j }
+            depth -= 1; keyEnd = j + 1; j += 1
+          } else if (depth > 0) j += 1
+          else if (c == ',') { endKey(); j += 1 }
+          else if (c == ';') { endKey(); return j }
+          else if (isIdentChar(c)) {
+            var e = j
+            while (e < stmt.length && isIdentChar(stmt(e))) e += 1
+            val w = stmt.substring(j, e).toLowerCase
+            if (sortKeyEnders.contains(w)) { endKey(); return j }
+            if (w == "nulls") keyHasNulls = true
+            keyEnd = e
+            j = e
+          } else {
+            if (!c.isWhitespace) keyEnd = j + 1
+            j += 1
+          }
+        }
+      }
+      endKey()
+      stmt.length
+    }
+
+    var stack = List.empty[Boolean] // enclosing groups: true = call args
+    var i = 0
+    while (i < stmt.length) {
+      val skip = nonCodeEnd(stmt, i)
+      if (skip >= 0) i = skip
+      else {
+        val c = stmt(i)
+        if (c == '(') { stack = parenIsCall(stmt, i) :: stack; i += 1 }
+        else if (c == '[') { stack = true :: stack; i += 1 }
+        else if (c == ')' || c == ']') {
+          if (stack.nonEmpty) stack = stack.tail
+          i += 1
+        } else if (isIdentChar(c)) {
+          var e = i
+          while (e < stmt.length && isIdentChar(stmt(e))) e += 1
+          val isOrder = stmt.substring(i, e).equalsIgnoreCase("order") &&
+            (i == 0 || (!isIdentChar(stmt(i - 1)) && stmt(i - 1) != '.')) &&
+            !stack.headOption.getOrElse(false)
+          if (isOrder) {
+            val byStart = skipForwardNonCode(stmt, e)
+            var byEnd = byStart
+            while (byEnd < stmt.length && isIdentChar(stmt(byEnd))) byEnd += 1
+            if (byEnd > byStart &&
+                stmt.substring(byStart, byEnd).equalsIgnoreCase("by"))
+              i = walkKeys(byEnd)
+            else i = e
+          } else i = e
+        } else i += 1
+      }
+    }
+    val ins = inserts.result()
+    if (ins.isEmpty) stmt
+    else {
+      val sb = new StringBuilder(stmt)
+      ins.reverse.foreach(p => sb.insert(p, " NULLS LAST"))
+      sb.toString
+    }
   }
 
   // ---- infix operators -------------------------------------------------

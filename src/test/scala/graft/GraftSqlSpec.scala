@@ -198,6 +198,124 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("reference hnsw_lateral_join_group.test flow: scan and grouped " +
+      "list(nbr ORDER BY dist, nbr) lateral KNN — identical without and " +
+      "with the index (labeled differential)") {
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft-latg").toString
+    sys.props("graft.indexes.dir") = freshRoot
+    try {
+      spark.sql("DROP TABLE IF EXISTS queries")
+      spark.sql("DROP TABLE IF EXISTS items")
+      // reference test/sql/hnsw/hnsw_lateral_join_group.test, statement
+      // for statement — except items data: the reference seeds random();
+      // here items' x-coordinate is i/1000 (strictly increasing), so both
+      // query vectors' top-3 distances are distinct and the scan form's
+      // ORDER BY dist LIMIT 3 is deterministic (item 499 nearest to both)
+      GraftSql.sql(spark, "CREATE TABLE queries (id INT, embedding FLOAT[3]);")
+      GraftSql.sql(spark, "INSERT INTO queries VALUES " +
+        "(1, [5, 5, 5]::FLOAT[3]), (2, [42, 42, 42]::FLOAT[3]);")
+      GraftSql.sql(spark, "CREATE TABLE items (id INT, embedding FLOAT[3]);")
+      GraftSql.sql(spark, "INSERT INTO items SELECT i, " +
+        "[cast(i AS FLOAT) / 1000.0, 0, 0]::FLOAT[3] " +
+        "FROM range(1, 500) AS r(i);")
+      val scanSql =
+        """SELECT queries.id as id, nbr
+          |FROM queries, LATERAL (
+          |  SELECT items.id as nbr, array_distance(items.embedding, queries.embedding) as dist
+          |  FROM items
+          |  ORDER BY dist
+          |  LIMIT 3
+          |)""".stripMargin
+      val groupSql =
+        """SELECT queries.id as id, list(nbr ORDER BY dist, nbr)
+          |FROM queries, LATERAL (
+          |  SELECT items.id as nbr, array_distance(queries.embedding, items.embedding) as dist
+          |  FROM items
+          |  ORDER BY dist
+          |  LIMIT 3
+          |) GROUP BY id""".stripMargin
+      def scanRows() = GraftSql.sql(spark, scanSql).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      def groupRows() = GraftSql.sql(spark, groupSql).collect()
+        .map(r => (r.getInt(0), r.getSeq[Int](1).toList)).sortBy(_._1).toSeq
+      val expectScan =
+        Seq((1, 497), (1, 498), (1, 499), (2, 497), (2, 498), (2, 499))
+      val expectGroup =
+        Seq((1, List(499, 498, 497)), (2, List(499, 498, 497)))
+      assert(scanRows() == expectScan)
+      assert(groupRows() == expectGroup)
+      // "Now create an index on the items table" (reference line 47) —
+      // the same two statements must return the same answers, with the
+      // scan form's lateral now through the index join
+      GraftSql.sql(spark,
+        "CREATE INDEX items_embedding_idx ON items USING hnsw(embedding);")
+      val viaIdx = GraftSql.sql(spark, scanSql)
+      assert(viaIdx.queryExecution.executedPlan.toString
+        .contains("HnswKnnJoin"),
+        viaIdx.queryExecution.executedPlan.toString.take(4000))
+      assert(viaIdx.collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq == expectScan)
+      assert(groupRows() == expectGroup)
+    } finally {
+      sys.props.remove("graft.indexes.dir")
+      IndexCatalog.dropIndex("items_embedding_idx")
+      Graft.dropTable(spark, "queries")
+      Graft.dropTable(spark, "items")
+      spark.sql("DROP TABLE IF EXISTS queries")
+      spark.sql("DROP TABLE IF EXISTS items")
+      ()
+    }
+  }
+
+  test("reference hnsw_projection.test flow: every projection shape over " +
+      "the index-backed TopN answers correctly") {
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft-proj").toString
+    sys.props("graft.indexes.dir") = freshRoot
+    try {
+      spark.sql("DROP TABLE IF EXISTS embeddings")
+      // reference test/sql/hnsw/hnsw_projection.test, statement for
+      // statement (the reference asserts only `statement ok`; row content
+      // checked here too — id=1 is exactly nearest to [1,2,3])
+      GraftSql.sql(spark, "CREATE TABLE embeddings (id INT, vec FLOAT[3]);")
+      GraftSql.sql(spark, "INSERT INTO embeddings SELECT 1, array_value(1,2,3);")
+      GraftSql.sql(spark, "INSERT INTO embeddings SELECT 2, array_value(4,5,6);")
+      GraftSql.sql(spark, "CREATE INDEX idx ON embeddings USING HNSW (vec);")
+      val variants = Seq(
+        "SELECT * FROM embeddings ORDER BY array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) LIMIT 1;"
+          -> Seq("id", "vec"),
+        "SELECT vec, id FROM embeddings ORDER BY array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) LIMIT 1;"
+          -> Seq("vec", "id"),
+        "SELECT id FROM embeddings ORDER BY array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) LIMIT 1;"
+          -> Seq("id"),
+        "SELECT id, vec FROM embeddings ORDER BY array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) LIMIT 1;"
+          -> Seq("id", "vec"),
+        "SELECT id, vec, array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) as dist FROM embeddings ORDER BY dist LIMIT 1;"
+          -> Seq("id", "vec", "dist"),
+        "SELECT array_distance(vec, [1.0, 2.0, 3.0]::FLOAT[3]) as dist, id FROM embeddings ORDER BY dist LIMIT 1;"
+          -> Seq("dist", "id"))
+      variants.foreach { case (stmt, cols) =>
+        val df = GraftSql.sql(spark, stmt)
+        assert(df.columns.toSeq == cols, stmt)
+        val row = df.collect() match { case Array(r) => r }
+        assert(row.getInt(row.fieldIndex("id")) == 1, stmt)
+        if (cols.contains("dist"))
+          assert(row.getDouble(row.fieldIndex("dist")) == 0.0, stmt)
+      }
+      // the projection shapes must not defeat the TopN rewrite: each runs
+      // through the index scan
+      variants.foreach { case (stmt, _) =>
+        val plan = GraftSql.sql(spark, stmt).queryExecution.executedPlan.toString
+        assert(plan.contains("HnswIndexScan"), stmt + "\n" + plan.take(4000))
+      }
+    } finally {
+      sys.props.remove("graft.indexes.dir")
+      IndexCatalog.dropIndex("idx")
+      Graft.dropTable(spark, "embeddings")
+      spark.sql("DROP TABLE IF EXISTS embeddings")
+      ()
+    }
+  }
+
   test("DML routing: case-insensitive names, qualified DELETE predicates, " +
       "INSERT SELECT * over the hidden rowid") {
     val freshRoot = java.nio.file.Files.createTempDirectory("graft-crud2").toString

@@ -28,7 +28,7 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
   test("operands: function calls, subqueries, literals, casts") {
     assert(SqlRewrite.preprocess(
       "ORDER BY l2_normalize(vec) <=> [0.6, 0.8]::FLOAT[2] LIMIT 3") ==
-      "ORDER BY array_cosine_distance(l2_normalize(vec), array(0.6, 0.8)::ARRAY<FLOAT>) LIMIT 3")
+      "ORDER BY array_cosine_distance(l2_normalize(vec), array(0.6, 0.8)::ARRAY<FLOAT>) NULLS LAST LIMIT 3")
     assert(SqlRewrite.preprocess(
       "WHERE vec <-> (SELECT v FROM q WHERE id = 1) < 0.5") ==
       "WHERE array_distance(vec, (SELECT v FROM q WHERE id = 1)) < 0.5")
@@ -176,6 +176,77 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     // after ) or ] it is access even with whitespace
     assert(SqlRewrite.preprocess("SELECT f(x) [0] FROM t") ==
       "SELECT f(x) [0] FROM t")
+  }
+
+  test("DuckDB list aggregate: bare form, ORDER BY form, guards") {
+    // bare list => collect_list; call-head only
+    assert(SqlRewrite.preprocess("SELECT list(x) FROM t GROUP BY g") ==
+      "SELECT collect_list(x) FROM t GROUP BY g")
+    assert(SqlRewrite.preprocess("SELECT collect_list(x) FROM t") ==
+      "SELECT collect_list(x) FROM t")
+    assert(SqlRewrite.preprocess("SELECT t.list(x) FROM t") ==
+      "SELECT t.list(x) FROM t")
+    assert(SqlRewrite.preprocess("SELECT 'list(x)' FROM t") ==
+      "SELECT 'list(x)' FROM t")
+    // the reference's grouped-lateral spelling
+    // (hnsw_lateral_join_group.test:35): keys become leading struct
+    // fields, sort_array's struct order is the requested sort
+    assert(SqlRewrite.preprocess("SELECT list(nbr ORDER BY dist, nbr)") ==
+      "SELECT transform(sort_array(collect_list(named_struct(" +
+        "'__o1', dist, '__o2', nbr, '__ov', nbr))), __ls -> __ls.__ov)")
+    // trailing ASC is the default — dropped; case-insensitive heads
+    assert(SqlRewrite.preprocess("SELECT LIST(x ORDER BY k ASC) FROM t") ==
+      "SELECT transform(sort_array(collect_list(named_struct(" +
+        "'__o1', k, '__ov', x))), __ls -> __ls.__ov) FROM t")
+    // nested call commas don't split keys
+    assert(SqlRewrite.preprocess(
+      "SELECT list(x ORDER BY coalesce(a, b), c)") ==
+      "SELECT transform(sort_array(collect_list(named_struct(" +
+        "'__o1', coalesce(a, b), '__o2', c, '__ov', x))), __ls -> __ls.__ov)")
+    // DESC / NULLS modifiers: not expressible via sort_array — the call
+    // is left verbatim for Spark's parser to report
+    assert(SqlRewrite.preprocess("SELECT list(x ORDER BY k DESC) FROM t") ==
+      "SELECT list(x ORDER BY k DESC) FROM t")
+    assert(SqlRewrite.preprocess(
+      "SELECT list(x ORDER BY k NULLS FIRST) FROM t") ==
+      "SELECT list(x ORDER BY k NULLS FIRST) FROM t")
+    // an infix key still rewrites (listAgg runs before the infix pass)
+    assert(SqlRewrite.preprocess("SELECT list(id ORDER BY v <-> q)") ==
+      "SELECT transform(sort_array(collect_list(named_struct(" +
+        "'__o1', array_distance(v, q), '__ov', id))), __ls -> __ls.__ov)")
+  }
+
+  test("DuckDB default null ordering: sort keys get NULLS LAST; call " +
+      "arguments and explicit modifiers don't") {
+    assert(SqlRewrite.preprocess("SELECT * FROM t ORDER BY a, b DESC LIMIT 3") ==
+      "SELECT * FROM t ORDER BY a NULLS LAST, b DESC NULLS LAST LIMIT 3")
+    // explicit modifiers are the user's choice
+    assert(SqlRewrite.preprocess("SELECT * FROM t ORDER BY a NULLS FIRST, b") ==
+      "SELECT * FROM t ORDER BY a NULLS FIRST, b NULLS LAST")
+    // subquery and lateral ORDER BY rewrite; a window's OVER (...) too
+    assert(SqlRewrite.preprocess(
+      "SELECT * FROM q, LATERAL (SELECT id FROM t ORDER BY d LIMIT 3)") ==
+      "SELECT * FROM q, LATERAL (SELECT id FROM t ORDER BY d NULLS LAST LIMIT 3)")
+    assert(SqlRewrite.preprocess(
+      "SELECT row_number() OVER (PARTITION BY g ORDER BY d) rn FROM t") ==
+      "SELECT row_number() OVER (PARTITION BY g ORDER BY d NULLS LAST) rn FROM t")
+    // inside a call's argument list: left alone (the unsupported-aggregate
+    // guard's territory, not the sort pass's)
+    assert(SqlRewrite.preprocess("SELECT list(x ORDER BY k DESC) FROM t") ==
+      "SELECT list(x ORDER BY k DESC) FROM t")
+    // GROUP BY / PARTITION BY are not ORDER BY; quoted text untouched
+    assert(SqlRewrite.preprocess("SELECT g FROM t GROUP BY g") ==
+      "SELECT g FROM t GROUP BY g")
+    assert(SqlRewrite.preprocess("SELECT 'ORDER BY x' FROM t ORDER BY g") ==
+      "SELECT 'ORDER BY x' FROM t ORDER BY g NULLS LAST")
+    // window frames end the key list before the frame clause
+    assert(SqlRewrite.preprocess(
+      "SELECT sum(x) OVER (ORDER BY d ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t") ==
+      "SELECT sum(x) OVER (ORDER BY d NULLS LAST ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    // opt-out restores Spark's defaults
+    assert(SqlRewrite.preprocess("SELECT * FROM t ORDER BY a LIMIT 3",
+      cosineInfix = true, duckdbNullOrder = false) ==
+      "SELECT * FROM t ORDER BY a LIMIT 3")
   }
 
   test("cosineInfix=false leaves Spark's null-safe <=> alone") {
