@@ -20,12 +20,31 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects —
-    * read nanos as long and rebuild a (µs-precision) timestamp column. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which vanilla
+    * Spark rejects — read nanos as long, rebuild µs) and as TIMESTAMP(US)
+    * (reads natively as NTZ). Adapt by the schema actually on disk, always
+    * yielding a session-tz TIMESTAMP column at µs precision — the sessions
+    * here pin UTC, so the NTZ→TZ cast is wall-clock identity and matches
+    * DuckDB's naive reading of the same file. */
   private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = tbl(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType => ev.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => ev
+    }
+  }
+
+  /** Events with `ts` as µs-since-epoch BIGINT (the sessionize/as-of inputs;
+    * DuckDB's `epoch_us(ts)` analog for either on-disk encoding). */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("ts", expr("ts DIV 1000")) // nanos → µs
+      case _ => ev.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1008,9 +1027,7 @@ object SparkEntry {
       * resolution (DuckDB 1.0 truncates TIMESTAMP(NANOS) to µs, so the
       * oracle can only see µs): per-session event counts and span. */
     def q40Sessionize(s: SparkSession, dir: String): DataFrame = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, dir, "events")
-        .withColumn("ts", expr("ts DIV 1000")) // nanos → µs
+      val ev = eventsMicros(s, dir)
       graft.ops.Sessionize
         .sessionStats(ev, "user_id", "ts", gap = 30L * 60 * 1000000L,
           tieCol = "event_id")
@@ -1022,8 +1039,7 @@ object SparkEntry {
     /** As-of join: each click matched to the user's most recent
       * prior-or-same-instant purchase (inner; µs resolution — see q40). */
     def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
       // pre-aggregate to ONE purchase row per (user, ts): AsofJoin resolves
