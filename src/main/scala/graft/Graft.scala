@@ -44,6 +44,8 @@ object Graft {
     df.withColumn(RowIdCol, monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
     retire(name, serving.put(name, List(path)).getOrElse(Nil))
+    tombstones.remove(name)
+    TableCatalog.rewriteIfArmed()
     val withId = spark.read.parquet(path)
     withId.createOrReplaceTempView(name)
     withId
@@ -55,6 +57,40 @@ object Graft {
   // disk until vacuumed because in-flight plans may still scan them.
   private val serving = scala.collection.concurrent.TrieMap.empty[String, List[String]]
   private val retired = scala.collection.concurrent.TrieMap.empty[String, List[String]]
+  // rowid-tombstone parquet paths per table, written by deleteFrom only
+  // while TableCatalog durability is armed (persistent-database sessions)
+  private val tombstones = scala.collection.concurrent.TrieMap.empty[String, List[String]]
+
+  /** Snapshot (serving paths, tombstone paths) per table — the durable
+    * registration state [[TableCatalog.checkpoint]] persists. */
+  private[graft] def tableStates: Map[String, (List[String], List[String])] =
+    serving.keys.map { n =>
+      n -> (serving.getOrElse(n, Nil), tombstones.getOrElse(n, Nil))
+    }.toMap
+
+  /** Re-install a registration from durable state ([[TableCatalog.restore]]):
+    * union the serving paths, anti-join the tombstoned rowids, re-publish
+    * the temp view. No data moves. */
+  private[graft] def restoreRegistration(spark: SparkSession, name: String,
+      paths: List[String], tombs: List[String]): Unit = {
+    val base = spark.read.parquet(paths: _*)
+    val df =
+      if (tombs.isEmpty) base
+      else base.join(spark.read.parquet(tombs: _*).select(col(RowIdCol)),
+        Seq(RowIdCol), "left_anti")
+    serving.put(name, paths)
+    if (tombs.nonEmpty) tombstones.put(name, tombs) else tombstones.remove(name)
+    df.createOrReplaceTempView(name)
+    ()
+  }
+
+  /** Forget every registration WITHOUT touching storage — what a process
+    * crash does. Restart simulation: forgetAllTables() then
+    * [[TableCatalog.restore]]. */
+  def forgetAllTables(spark: SparkSession): Unit = {
+    serving.keys.foreach(spark.catalog.dropTempView(_))
+    serving.clear(); retired.clear(); tombstones.clear()
+  }
 
   private def retire(name: String, paths: List[String]): Unit =
     if (paths.nonEmpty) retired.updateWith(name) {
@@ -92,7 +128,9 @@ object Graft {
   def dropTable(spark: SparkSession, name: String): Unit = {
     spark.catalog.dropTempView(name)
     serving.remove(name).getOrElse(Nil).foreach(deletePath)
+    tombstones.remove(name).getOrElse(Nil).foreach(deletePath)
     vacuumTable(name)
+    TableCatalog.rewriteIfArmed()
     ()
   }
 
@@ -495,6 +533,7 @@ object Graft {
       if (indexedCols.isEmpty) Map.empty
       else obs.get.map { case (c, v) => c -> v.asInstanceOf[Long] }
     addServing(table, deltaPath)
+    TableCatalog.rewriteIfArmed()
     val withIds = spark.read.parquet(deltaPath)
     val updated = existing.unionByName(withIds)
     updated.createOrReplaceTempView(table)
@@ -543,6 +582,19 @@ object Graft {
     * confirmed deletes land in the WAL. */
   def deleteFrom(spark: SparkSession, table: String, cond: Column): DataFrame = {
     val existing = spark.table(table)
+    // durability first: while armed, journal the doomed ROWIDS as a
+    // tombstone file before mutating any index — a crash between the two
+    // must err toward "delete survives" (replaying a delete is idempotent;
+    // resurrecting deleted rows is not). Un-armed sessions skip the scan.
+    if (TableCatalog.armed && serving.contains(table)) {
+      val p = s"$defaultTableDir/$table-tomb-${System.nanoTime()}"
+      existing.where(cond).select(col(RowIdCol)).write.parquet(p)
+      tombstones.updateWith(table) {
+        case Some(ps) => Some(p :: ps)
+        case None => Some(List(p))
+      }
+      TableCatalog.rewriteIfArmed()
+    }
     // one doomed-rowid scan per distinct indexed COLUMN; when several
     // indexes share a column the id set is materialized to storage once
     // (executor-side write, compact longs) instead of re-running the full
@@ -598,6 +650,11 @@ object Graft {
     val path = s"$tableDir/$table-m${System.nanoTime()}"
     spark.table(table).write.parquet(path)
     retire(table, serving.put(table, List(path)).getOrElse(Nil))
+    // the rematerialized storage excludes deleted rows, so the tombstones
+    // that encoded those deletes are spent (their paths stay on disk until
+    // vacuum, like retired storage)
+    retire(table, tombstones.remove(table).getOrElse(Nil))
+    TableCatalog.rewriteIfArmed()
     val df = spark.read.parquet(path)
     df.createOrReplaceTempView(table)
     df
@@ -607,6 +664,7 @@ object Graft {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.vector.registerAll(spark)
     graft.functions.MinByK.registerAll(spark)
+    graft.functions.DuckDialect.registerAll(spark)
   }
 
   /** Unified introspection across every index family the engine hosts —

@@ -33,6 +33,16 @@ object GraftSql {
     """(?is)\s*PRAGMA\s+hnsw_compact_index\s*\(\s*'(\w+)'\s*\)\s*;?\s*""".r
   private val InfoRe =
     """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
+  // DuckDB's optimizer toggle (reference hnsw_rewrite.test:17,
+  // hnsw_join_macro.test:22): disables the engine's injected rewrite rules
+  // so plans keep their declarative shape (Spark's own optimizer stays on —
+  // the reference pragma guards ITS extension rewrites in those tests)
+  private val PragmaOptimizerRe =
+    """(?is)\s*PRAGMA\s+(disable|enable)_optimizer\s*;?\s*""".r
+  // pragma_hnsw_index_info() as a FROM source inside an arbitrary query
+  // (reference hnsw_insert.test:19 `SELECT count FROM
+  // pragma_hnsw_index_info();`) — spliced out as a temp view
+  private val InfoFnRe = """(?i)pragma_hnsw_index_info\s*\(\s*\)""".r
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
   // the reference's query-time ef knob (`SET hnsw_ef_search = N`, read at
@@ -110,10 +120,33 @@ object GraftSql {
         s"$key must be true or false, got '$v'")
     }
 
-  def sql(spark: SparkSession, statement: String): DataFrame =
+  // Declared FLOAT[n] dimensions per (table, column), recorded off the
+  // ORIGINAL statement text before the dialect rewrite erases the n — the
+  // reference reads the dimension from the column TYPE when it builds an
+  // index over an empty table (hnsw_insert.test:15 creates the index before
+  // any row exists); Spark's array<float> cannot carry it.
+  private val declaredDims =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+  private val CreateTableRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val ColFloatDimRe = """(?i)^\s*(\w+)\s+FLOAT\s*\[\s*(\d+)\s*\]\s*$""".r
+
+  private def recordDeclaredDims(statement: String): Unit = statement match {
+    case CreateTableRe(table, cols) =>
+      cols.split(",").foreach {
+        case ColFloatDimRe(col, n) =>
+          declaredDims.put((table.toLowerCase, col.toLowerCase), n.toInt)
+        case _ => ()
+      }
+    case _ => ()
+  }
+
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    recordDeclaredDims(statement)
     dispatch(spark, SqlRewrite.preprocess(statement,
       boolConf(spark, CosineInfixConfKey),
       boolConf(spark, NullOrderConfKey)))
+  }
 
   /** Tables whose DML must flow through the engine (index maintenance,
     * rowid continuity): Graft registrations and any table serving an HNSW
@@ -173,7 +206,15 @@ object GraftSql {
       // DML have stable ids; the registration's view shadows the original
       if (!spark.table(table).columns.contains(Graft.RowIdCol))
         Graft.registerTable(spark, table, spark.table(table))
-      IndexCatalog.createIndex(spark, name, table, column, parseWith(opts))
+      // the declared FLOAT[n] dimension backstops an empty-table build,
+      // exactly the type information the reference's binder reads
+      val withDims = {
+        val o = parseWith(opts)
+        if (o.contains("dimensions")) o
+        else declaredDims.get((table.toLowerCase, column.toLowerCase))
+          .map(d => o + ("dimensions" -> d.toString)).getOrElse(o)
+      }
+      IndexCatalog.createIndex(spark, name, table, column, withDims)
       spark.emptyDataFrame
     case InsertRe(Managed(table), body) =>
       Graft.registerFunctions(spark)
@@ -214,6 +255,15 @@ object GraftSql {
       spark.emptyDataFrame
     case InfoRe() =>
       IndexCatalog.describe(spark)
+    case PragmaOptimizerRe(which) =>
+      spark.conf.set(graft.plans.GraftOptimizerGate.ConfKey,
+        (which.toLowerCase == "enable").toString)
+      spark.emptyDataFrame
+    case stmt if InfoFnRe.findFirstIn(stmt).isDefined =>
+      val view = "graft_pragma_hnsw_index_info"
+      IndexCatalog.describe(spark).createOrReplaceTempView(view)
+      Graft.registerFunctions(spark)
+      spark.sql(InfoFnRe.replaceAllIn(stmt, view))
     case CheckpointRe(dir) =>
       IndexCatalog.checkpoint(spark, dir)
       spark.emptyDataFrame

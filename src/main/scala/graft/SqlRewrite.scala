@@ -89,7 +89,8 @@ object SqlRewrite {
     // (`list(id ORDER BY vec <-> q)`) — the infix pass rewrites inside the
     // spliced call on its own later iteration.
     try {
-      val base = rewriteListAgg(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt)))
+      val base = rewriteEmptyOver(
+        rewriteListAgg(rewriteArrayLiterals(rewriteFloatArrayTypes(stmt))))
       val nulled = if (duckdbNullOrder) rewriteNullOrdering(base) else base
       rewriteInfix(nulled, cosineInfix)
     }
@@ -100,6 +101,37 @@ object SqlRewrite {
 
   private def isIdentChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
+
+  /** DuckDB allows an EMPTY window spec for ranking functions
+    * (`row_number() OVER ()`, reference hnsw_join_macro.test:8) meaning
+    * "whole partition, arbitrary order"; Spark demands an ORDER BY for
+    * ranking functions. `OVER ()` → `OVER (ORDER BY 1)`: a constant key
+    * makes every row a peer, so ranking order stays arbitrary (DuckDB's
+    * contract) and aggregate frames still span the whole partition
+    * (RANGE over all-peers = unbounded). Quote/comment-aware like every
+    * scanner here. */
+  private def rewriteEmptyOver(stmt: String): String = {
+    val sb = new StringBuilder(stmt.length + 16)
+    var i = 0
+    while (i < stmt.length) {
+      val skip = nonCodeEnd(stmt, i)
+      if (skip >= 0) { sb.append(stmt.substring(i, skip)); i = skip }
+      else if ((stmt(i) == 'o' || stmt(i) == 'O') &&
+          stmt.regionMatches(true, i, "over", 0, 4) &&
+          (i == 0 || !isIdentChar(stmt(i - 1))) &&
+          (i + 4 >= stmt.length || !isIdentChar(stmt(i + 4)))) {
+        var j = i + 4
+        while (j < stmt.length && stmt(j).isWhitespace) j += 1
+        var k = if (j < stmt.length && stmt(j) == '(') j + 1 else -1
+        while (k >= 0 && k < stmt.length && stmt(k).isWhitespace) k += 1
+        if (k >= 0 && k < stmt.length && stmt(k) == ')') {
+          sb.append(stmt.substring(i, i + 4)).append(" (ORDER BY 1)")
+          i = k + 1
+        } else { sb.append(stmt(i)); i += 1 }
+      } else { sb.append(stmt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** End index (exclusive) of the quoted span starting at `i` with quote
     * char `q` (doubling is the embedded-quote escape — `''` in strings,

@@ -23,6 +23,22 @@ case class HnswOptions(
 object HnswOptions {
   val ValidMetrics: Set[String] = Set("l2sq", "cosine", "ip")
 
+  // reference error wording, canonical option casing (reference
+  // src/hnsw/hnsw_index.cpp option binder; pinned by
+  // test/sql/hnsw/hnsw_options.test: "HNSW index '<opt>' must be an
+  // integer" / "... must be at least N")
+  private def intOpt(canonical: String, value: String, min: Int): Int = {
+    val v =
+      try value.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"HNSW index '$canonical' must be an integer")
+      }
+    if (v < min) throw new IllegalArgumentException(
+      s"HNSW index '$canonical' must be at least $min")
+    v
+  }
+
   def fromMap(opts: Map[String, String]): HnswOptions = {
     var o = HnswOptions()
     opts.foreach { case (key, value) =>
@@ -33,29 +49,19 @@ object HnswOptions {
           }
           o = o.copy(metric = value)
         case "ef_construction" =>
-          val v = value.toInt
-          if (v < 1) throw new IllegalArgumentException(
-            "ef_construction must be at least 1")
-          o = o.copy(efConstruction = v)
+          o = o.copy(efConstruction = intOpt("ef_construction", value, 1))
         case "ef_search" =>
-          val v = value.toInt
-          if (v < 1) throw new IllegalArgumentException("ef_search must be at least 1")
-          o = o.copy(efSearch = v)
+          o = o.copy(efSearch = intOpt("ef_search", value, 1))
         case "m" =>
-          val v = value.toInt
-          if (v < 2) throw new IllegalArgumentException("M must be at least 2")
-          o = o.copy(m = v)
+          o = o.copy(m = intOpt("M", value, 2))
         case "m0" =>
-          val v = value.toInt
-          if (v < 2) throw new IllegalArgumentException("M0 must be at least 2")
-          o = o.copy(m0Opt = Some(v))
+          o = o.copy(m0Opt = Some(intOpt("M0", value, 2)))
         case "dimensions" =>
           // engine extension: Spark can't read the dimension off a FLOAT[N]
           // type (SURVEY.md §7.3), so an EMPTY table needs it declared to
           // build an index the reference can build from the column type
-          val v = value.toInt
-          if (v < 1) throw new IllegalArgumentException("dimensions must be at least 1")
-          o = o.copy(dimensions = Some(v))
+          // (GraftSql records the declared FLOAT[n] and supplies this)
+          o = o.copy(dimensions = Some(intOpt("dimensions", value, 1)))
         case other =>
           throw new IllegalArgumentException(s"Unknown option for HNSW index: $other")
       }
@@ -144,6 +150,17 @@ object IndexCatalog {
     if (entries.contains(name)) {
       // DuckDB catalog semantics: CREATE INDEX with an existing name errors
       throw new IllegalArgumentException(s"""Index with name "$name" already exists!""")
+    }
+    // In a PERSISTENT database session the reference refuses index creation
+    // unless the experimental-persistence gate is open (the index would be
+    // durable state it can't yet serialize safely) — same wording, same
+    // trigger (reference test/sql/hnsw/hnsw_experimental_persistence.test:
+    // 14-17). In-memory sessions (the conf unset) are ungated, as there.
+    if (spark.conf.getOption(PersistentDatabaseConfKey).exists(_.toBoolean) &&
+        !persistenceEnabled(spark)) {
+      throw new IllegalStateException(
+        "HNSW indexes can only be created in in-memory databases, or when the " +
+          "configuration option 'hnsw_enable_experimental_persistence' is set to true.")
     }
     val opts = HnswOptions.fromMap(options)
     val df = spark.table(table)
@@ -359,6 +376,12 @@ object IndexCatalog {
     * (reference src/hnsw/hnsw_index_plan.cpp:21-30,
     * test/sql/hnsw/hnsw_experimental_persistence.test:14-17). */
   val PersistenceConfKey = "graft.hnsw.enableExperimentalPersistence"
+
+  /** Set true by sessions that model a PERSISTENT database (the replayer's
+    * `load`, or any deployment whose tables/indexes must survive restart):
+    * gates CREATE INDEX on the experimental-persistence conf like the
+    * reference does for on-disk databases. */
+  val PersistentDatabaseConfKey = "graft.database.persistent"
 
   private def persistenceEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption(PersistenceConfKey).exists(_.toBoolean)

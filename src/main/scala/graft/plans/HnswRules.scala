@@ -19,10 +19,29 @@ import graft.index.{IndexCatalog, IndexEntry}
   * Fires regardless of any index (the reference's does too,
   * test/sql/hnsw/hnsw_rewrite.test:11-22); it both simplifies plans and
   * normalizes the shape the index-scan rules match on. */
+/** `PRAGMA disable_optimizer` (reference hnsw_rewrite.test:17): gates every
+  * graft-injected optimizer rule off for the session, so plans keep their
+  * declarative shape. Spark's own optimizer is not touched — the reference
+  * pragma exists in its tests to show the EXTENSION rewrites' before/after,
+  * which is exactly what this reproduces. */
+object GraftOptimizerGate {
+  val ConfKey = "graft.optimizer.enabled"
+  def enabled(conf: org.apache.spark.sql.internal.SQLConf): Boolean =
+    conf.getConfString(ConfKey, "true").toBoolean
+}
+
 object CosineDistanceRewrite extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Subtract(Literal(one, DoubleType), ArrayCosineSimilarity(a, b), _)
-        if one == 1.0 =>
+  // `1.0` in SQL text parses as DECIMAL(2,1) and reaches the Subtract as
+  // cast(1.0 as double) — match any foldable double that EVALUATES to 1.0,
+  // covering both the DataFrame lit(1.0) and the SQL literal spelling
+  private object DoubleOne {
+    def unapply(e: Expression): Boolean =
+      e.dataType == DoubleType && e.foldable && e.eval() == 1.0
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftOptimizerGate.enabled(conf)) plan
+    else plan.transformAllExpressions {
+    case Subtract(DoubleOne(), ArrayCosineSimilarity(a, b), _) =>
       ArrayCosineDistance(a, b)
     case UnaryMinus(ArrayInnerProduct(a, b), _) =>
       ArrayNegativeInnerProduct(a, b)
@@ -211,7 +230,9 @@ object TopKToIndexScan extends Rule[LogicalPlan] {
     (chain.toSeq, node)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftOptimizerGate.enabled(conf)) plan
+    else plan.transformDown {
     case l @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, inner))
         if k > 0 && k < MaxK =>
       val (projs, sortNode) = splitProjects(inner)
@@ -247,7 +268,9 @@ object TopKToIndexScan extends Rule[LogicalPlan] {
   * (reference src/hnsw/hnsw_optimize_topk.cpp:58-234). */
 object MinByKToIndexScan extends Rule[LogicalPlan] {
   import IndexRuleSupport._
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftOptimizerGate.enabled(conf)) plan
+    else plan.transformDown {
     case agg @ Aggregate(Nil, Seq(Alias(ae: AggregateExpression, _)), child, _)
         if ae.aggregateFunction.isInstanceOf[MinByK] && !ae.isDistinct =>
       val mbk = ae.aggregateFunction.asInstanceOf[MinByK]
@@ -337,7 +360,9 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
     None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!GraftOptimizerGate.enabled(conf)) plan
+    else plan.transformDown {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partSpec, Seq(so @ SortOrder(distKey, Ascending, _, _)), windowChild, _)) =>

@@ -27,7 +27,7 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
       IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "embedding",
         Map("m" -> "1"))
     }
-    assert(e2.getMessage.contains("M must be at least 2"))
+    assert(e2.getMessage.contains("HNSW index 'M' must be at least 2"))
     val e3 = intercept[IllegalArgumentException] {
       IndexCatalog.createIndex(spark, "bad", "emb_idx_t", "embedding",
         Map("bogus_opt" -> "1"))

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.ArtifactIO
+
+/** Restart durability for engine-managed TABLES ([[TableCatalog]]) — the
+  * table-level analog of the storage-index manifest. The reference's restart
+  * tests require it: post-checkpoint INSERT and DELETE must survive a
+  * restart (test/sql/hnsw/hnsw_crud.test:33-44, hnsw_insert.test:30-66);
+  * deletes live only as view filters over immutable storage, so they are
+  * journaled as rowid tombstones and re-applied as one anti-join. */
+class TableDurabilitySpec extends GraftSparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-tabdur").toString
+
+  test("armed: register + insert + delete survive a forget/restore cycle") {
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      TableCatalog.arm(dir)
+      Graft.registerTable(spark, "dur_t",
+        (1 to 10).map(i => (i, s"v$i")).toDF("id", "s"))
+      Graft.insertInto(spark, "dur_t",
+        Seq((11, "v11"), (12, "v12")).toDF("id", "s"))
+      Graft.deleteFrom(spark, "dur_t", col("id") === 2 || col("id") === 11)
+      val before = spark.table("dur_t").select("id", "s").as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(before.map(_._1) == ((1 to 12).toSet -- Set(2, 11)).toSeq.sorted)
+
+      // crash: every registration forgotten, storage untouched
+      Graft.forgetAllTables(spark)
+      assert(!Graft.isRegisteredTable("dur_t"))
+      assert(!spark.catalog.tableExists("dur_t"))
+
+      // >= 1: arm() snapshots whatever ELSE the shared test session had
+      // registered too — only dur_t's round trip is under test here
+      assert(TableCatalog.restore(spark, dir) >= 1)
+      assert(Graft.isRegisteredTable("dur_t"))
+      val after = spark.table("dur_t").select("id", "s").as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(after == before, "restored view must equal the pre-crash view " +
+        "(serving paths unioned, tombstoned rowids anti-joined)")
+
+      // DML keeps working on the restored registration (rowids continue)
+      Graft.insertInto(spark, "dur_t", Seq((13, "v13")).toDF("id", "s"))
+      assert(spark.table("dur_t").count() == before.size + 1)
+    } finally {
+      Graft.dropTable(spark, "dur_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
+  test("un-armed sessions journal nothing (in-memory database semantics)") {
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      TableCatalog.disarm()
+      Graft.registerTable(spark, "mem_t", Seq((1, "a")).toDF("id", "s"))
+      Graft.deleteFrom(spark, "mem_t", col("id") === 1)
+      assert(!ArtifactIO.exists(s"$dir/tables.manifest"),
+        "durability is a property of persistent databases only")
+      // and no tombstone file was written either (the armed-only scan)
+      assert(!ArtifactIO.list(dir).exists(_.contains("-tomb-")))
+    } finally {
+      Graft.dropTable(spark, "mem_t")
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
+  test("restore without a manifest is a no-op; live registrations win") {
+    val dir = freshDir()
+    assert(TableCatalog.restore(spark, dir) == 0)
+    TableCatalog.disarm()
+    val dir2 = freshDir()
+    sys.props("graft.tables.dir") = dir2
+    try {
+      TableCatalog.arm(dir2)
+      Graft.registerTable(spark, "win_t", Seq((1, "old")).toDF("id", "s"))
+      // a live re-registration with different content must not be clobbered
+      Graft.registerTable(spark, "win_t", Seq((2, "new")).toDF("id", "s"))
+      assert(TableCatalog.restore(spark, dir2) == 0, "live wins")
+      assert(spark.table("win_t").select("s").as[String].head() == "new")
+    } finally {
+      Graft.dropTable(spark, "win_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
+  test("persistent-database sessions gate CREATE INDEX on the " +
+      "experimental-persistence conf (reference " +
+      "hnsw_experimental_persistence.test:14-17)") {
+    import graft.index.IndexCatalog
+    Graft.registerTable(spark, "gate_t",
+      Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "vec"))
+    try {
+      spark.conf.set(IndexCatalog.PersistentDatabaseConfKey, "true")
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      val e = intercept[IllegalStateException] {
+        IndexCatalog.createIndex(spark, "gate_idx", "gate_t", "vec")
+      }
+      assert(e.getMessage.contains("HNSW indexes can only be created in " +
+        "in-memory databases, or when the configuration option " +
+        "'hnsw_enable_experimental_persistence' is set to true."))
+      // gate open → creation succeeds
+      spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+      IndexCatalog.createIndex(spark, "gate_idx", "gate_t", "vec")
+      assert(IndexCatalog.get("gate_idx").isDefined)
+    } finally {
+      spark.conf.unset(IndexCatalog.PersistentDatabaseConfKey)
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      IndexCatalog.dropIndex("gate_idx")
+      Graft.dropTable(spark, "gate_t")
+    }
+  }
+}
