@@ -43,6 +43,7 @@ object Bench {
       // cleaner thread wait per task, so settle()'s drain-wait below
       // actually covers the deletions.
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     // ERROR, not WARN: repeated function-registration WARNs land in the
     // harness's 2000-char stdout-tail window and crowd out the JSON line

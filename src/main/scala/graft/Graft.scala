@@ -78,6 +78,8 @@ object Graft {
       if (tombs.isEmpty) base
       else base.join(spark.read.parquet(tombs: _*).select(col(RowIdCol)),
         Seq(RowIdCol), "left_anti")
+        // the USING join moves the key first; keep the table's column order
+        .select(base.columns.map(col).toIndexedSeq: _*)
     serving.put(name, paths)
     if (tombs.nonEmpty) tombstones.put(name, tombs) else tombstones.remove(name)
     df.createOrReplaceTempView(name)
@@ -570,6 +572,10 @@ object Graft {
         }
       }
     }
+    // the serving view deepened (union with the delta): re-point every
+    // index on this table at the new optimized shape so the rewrite rules
+    // keep firing post-ingest
+    if (indexes.nonEmpty) IndexCatalog.refreshTablePlans(spark, table)
     updated
   }
 
@@ -638,6 +644,9 @@ object Graft {
     }
     val remaining = existing.where(!cond || cond.isNull)
     remaining.createOrReplaceTempView(table)
+    if (IndexCatalog.list.exists(_.table == table)) {
+      IndexCatalog.refreshTablePlans(spark, table)
+    }
     remaining
   }
 

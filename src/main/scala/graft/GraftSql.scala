@@ -78,6 +78,15 @@ object GraftSql {
   // test/sql/hnsw/hnsw_join_macro.test:27). The whole comma-join clause is
   // rewritten onto the engine's vssMatch operator (outer columns + `matches`),
   // registered as a temp view, and the rest of the statement runs unchanged.
+  // the general FROM-clause form of vss_join — any projection over it, names
+  // quoted or bare (reference hnsw_join_macro.test:24
+  // `SELECT bool_and(score <= 1.0) FROM vss_join(s, t1, s_vec, vec, 3) as
+  // res`); the canonical `SELECT * FROM vss_join('l','r',…)` exact form
+  // above stays the fast path
+  private val VssJoinFromRe =
+    ("""(?is)FROM\s+vss_join\(\s*'?(\w+)'?\s*,\s*'?(\w+)'?\s*,\s*(\w+)\s*,\s*(\w+)\s*,""" +
+      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+(\w+))?""").r
+
   private val VssMatchFromRe =
     ("""(?is)FROM\s+(\w+)\s*,\s*vss_match\(\s*'?(\w+)'?\s*,\s*(?:(\w+)\.)?(\w+)\s*,\s*(\w+)\s*,""" +
       """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+(\w+))?""").r
@@ -296,6 +305,18 @@ object GraftSql {
     case VssJoinRe(left, right, leftCol, rightCol, k, metric) =>
       graft.operators.VssJoins.vssJoin(spark.table(left), spark.table(right),
         leftCol, rightCol, k.toInt, Option(metric).getOrElse("l2sq"))
+    case stmt if VssJoinFromRe.findFirstMatchIn(stmt).isDefined =>
+      val m = VssJoinFromRe.findFirstMatchIn(stmt).get
+      val joined = graft.operators.VssJoins.vssJoin(
+        spark.table(m.group(1)), spark.table(m.group(2)),
+        m.group(3), m.group(4), m.group(5).toInt,
+        Option(m.group(6)).getOrElse("l2sq"))
+      val view = s"__vss_join_${Integer.toHexString(stmt.hashCode)}"
+      joined.createOrReplaceTempView(view)
+      Graft.registerFunctions(spark)
+      val alias = Option(m.group(7)).getOrElse(view)
+      spark.sql(stmt.substring(0, m.start) + s"FROM $view AS $alias" +
+        stmt.substring(m.end))
     case stmt if VssMatchFromRe.findFirstMatchIn(stmt).isDefined =>
       val m = VssMatchFromRe.findFirstMatchIn(stmt).get
       val (left, right) = (m.group(1), m.group(2))

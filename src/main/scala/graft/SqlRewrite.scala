@@ -425,8 +425,23 @@ object SqlRewrite {
           changed = true
         }
     }
+    // DuckDB's bare VARCHAR (unbounded, reference hnsw_lateral_join.test:6)
+    // → STRING: Spark's VARCHAR demands a length parameter
+    var changed2 = true
+    while (changed2) {
+      changed2 = false
+      BareVarchar.findAllMatchIn(s)
+        .find(m => !insideQuotes(s, m.start(1)))
+        .foreach { m =>
+          s = s.substring(0, m.start(1)) + "STRING" + s.substring(m.end(1))
+          changed2 = true
+        }
+    }
     s
   }
+
+  /** `VARCHAR` as a whole word NOT followed by a length parameter. */
+  private val BareVarchar = """(?i)(?<![\w`])(VARCHAR)(?!\s*\(|[\w`])""".r
 
   // ---- bracket array literals -----------------------------------------
 

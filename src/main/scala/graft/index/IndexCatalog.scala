@@ -107,6 +107,20 @@ object IndexCatalog {
 
   def get(name: String): Option[IndexEntry] = entries.get(name)
   def list: Seq[IndexEntry] = entries.values.toSeq.sortBy(_.name)
+
+  /** Re-capture the indexed table's plan for every index on `table` — DML
+    * deepens the serving view (insert unions a delta, delete stacks an
+    * anti-join/filter), and the rewrite rules match a query subtree against
+    * the OPTIMIZED shape of the current view. Without this, the first
+    * insert would silently knock every later query off the index path
+    * (answers stay right; the plan regresses to a full scan). */
+  def refreshTablePlans(spark: SparkSession, table: String): Unit = {
+    val affected = entries.values.filter(_.table == table)
+    if (affected.nonEmpty) {
+      val plan = spark.table(table).queryExecution.optimizedPlan
+      affected.foreach(e => entries(e.name) = e.copy(plan = plan))
+    }
+  }
   def clear(): Unit = {
     entries.clear(); walDir = None
     StorageIndexCatalog.disarm() // symmetric: no stale armed manifest dir
@@ -699,8 +713,14 @@ object IndexCatalog {
         }
       else (0L, Seq.empty: Entries)
     val restored = manifest.map { case (name, table, column, opts, rowidCol, path) =>
+      // optimizedPlan, not the analyzed view: a restored table may be a
+      // multi-path union anti-joined with delete tombstones
+      // (TableCatalog.restore), and the rewrite rules see the QUERY's
+      // subtree after the main optimizer batches — identity only holds
+      // against the same-shaped optimized plan (hnsw_crud.test's
+      // post-restart EXPLAIN pins this)
       val entry = IndexEntry(name, table, column, opts, new LazyLoadedIndex(path),
-        spark.table(table).queryExecution.withCachedData, rowidCol)
+        spark.table(table).queryExecution.optimizedPlan, rowidCol)
       entries(name) = entry
       entry
     }
@@ -726,7 +746,7 @@ object IndexCatalog {
         ShardedHnswIndex.load(path)
       } else new SingleHnswIndex(HnswIndex.load(path))
     val entry = IndexEntry(name, table, column, opts, idx,
-      spark.table(table).queryExecution.withCachedData, rowidCol)
+      spark.table(table).queryExecution.optimizedPlan, rowidCol)
     entries(name) = entry
     entry
   }

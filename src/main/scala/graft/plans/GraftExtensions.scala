@@ -27,6 +27,11 @@ object GraftStrategy extends SparkStrategy {
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // analyzer: make the reference's correlated-ORDER-BY lateral spelling
+    // analyzable (Project-pushed sort keys). Analyzer hooks exist only on
+    // builder-installed extensions — GraftExtensions.install on an
+    // already-built session gets the optimizer rules and functions only.
+    e.injectPostHocResolutionRule(_ => PushCorrelatedSortKeys)
     e.injectOptimizerRule(_ => CosineDistanceRewrite)
     e.injectOptimizerRule(_ => TopKToIndexScan)
     e.injectOptimizerRule(_ => MinByKToIndexScan)

