@@ -170,7 +170,23 @@ private[plans] object IndexRuleSupport {
     * An Aggregate passes the guard through its grouping-key outputs (the
     * decorrelated-LATERAL domain aggregate is exactly this shape): a grouping
     * output is non-NULL iff its input was, so a Filter below still counts. */
-  def chainHasNotNullGuard(plan: LogicalPlan, vec: AttributeReference): Boolean = {
+  def chainHasNotNullGuard(plan: LogicalPlan, vec: AttributeReference): Boolean =
+    chainHasGuard(plan, vec) {
+      case (IsNotNull(ar: AttributeReference), tgt) => ar.exprId == tgt
+      case _ => false
+    }
+
+  /** Symmetric walk for an IS NULL conjunct on `vec`'s lineage — the marker
+    * the KNN-join rewrite's NULL-probe scan branch carries (possibly pushed
+    * below a Project/Aggregate by the surrounding fixed-point batch). */
+  def chainHasIsNullGuard(plan: LogicalPlan, vec: AttributeReference): Boolean =
+    chainHasGuard(plan, vec) {
+      case (IsNull(ar: AttributeReference), tgt) => ar.exprId == tgt
+      case _ => false
+    }
+
+  private def chainHasGuard(plan: LogicalPlan, vec: AttributeReference)(
+      matches: ((Expression, ExprId)) => Boolean): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -201,11 +217,7 @@ private[plans] object IndexRuleSupport {
           node = agg.child
         case Filter(cond, c) =>
           val tgt = target
-          val guarded = conjuncts(cond).exists {
-            case IsNotNull(ar: AttributeReference) => ar.exprId == tgt
-            case _ => false
-          }
-          if (guarded) return true
+          if (conjuncts(cond).exists(e => matches((e, tgt)))) return true
           node = c
         case _ => return false
       }
@@ -419,17 +431,51 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
     None
   }
 
+  /** The second decorrelation shape Spark emits when the lateral subquery
+    * also PROJECTS outer columns (`SELECT *, a_id AS id_dup … ORDER BY
+    * dist LIMIT k`, reference hnsw_lateral_join.test:19): the row_number
+    * window carries NO order spec and relies on a GLOBAL Sort below it for
+    * ranking order. Walk down to that Sort, take its ascending key as the
+    * distance, and continue to the domain join — the rank the index join
+    * produces is exactly the per-partition distance rank the sort-below
+    * encoded. */
+  private def findSortThenJoin(child: LogicalPlan)
+      : Option[(SortOrder, Expression, Seq[LogicalPlan], Join)] = {
+    var node = child
+    val chain = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    while (true) {
+      node match {
+        case p: Project => chain += p; node = p.child
+        case fl: Filter => chain += fl; node = fl.child
+        case wgl: WindowGroupLimit => node = wgl.child
+        case Sort(Seq(so @ SortOrder(key, Ascending, _, _)), true, c, _) =>
+          return findJoin(key, c).map { case (d, ch2, j) =>
+            (so, d, chain.toSeq ++ ch2, j)
+          }
+        case _ => return None
+      }
+    }
+    None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!GraftOptimizerGate.enabled(conf)) plan
     else plan.transformDown {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-          partSpec, Seq(so @ SortOrder(distKey, Ascending, _, _)), windowChild, _)) =>
+          partSpec, orderSpec, windowChild, _)) =>
       val rnAttr = alias.toAttribute
+      val found: Option[(SortOrder, Expression, Seq[LogicalPlan], Join)] =
+        orderSpec match {
+          case Seq(so @ SortOrder(distKey, Ascending, _, _)) =>
+            findJoin(distKey, windowChild).map { case (d, ch, j) => (so, d, ch, j) }
+          case Nil => findSortThenJoin(windowChild)
+          case _ => None
+        }
       val rewritten = for {
         k <- asLimit(cond, rnAttr.exprId)
         if k > 0 && k < MaxK
-        (dist, chain, join) <- findJoin(distKey, windowChild)
+        (so, dist, chain, join) <- found
         outer = join.left
         inner = join.right
         // partition keys may be wrapped in NormalizeFloatingNumbers wrappers
@@ -439,14 +485,19 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
           case _ => false
         }
         (metric, outerVec, innerVec) <- matchTwoSided(dist, outer, inner)
-        // NULL vectors on EITHER side give NULL distances, which rank FIRST
+        // the NULL-probe split below marks its scan branch with an IS NULL
+        // filter on the outer vector — never re-rewrite that branch (the
+        // fixed-point batch would otherwise stack unions forever)
+        if !isNullProbeBranch(outer, outerVec)
+        // INNER-side NULL vectors give NULL distances, which rank FIRST
         // under Spark's default ASC ordering but can never come out of the
-        // index — a silent result change. Only rewrite when no NULL distance
-        // can reach the window ranking: NULLS LAST ordering, or both vector
-        // sides provably non-NULL (attribute or IS NOT NULL guard below).
+        // index — a silent result change. Only rewrite when no inner NULL
+        // distance can outrank a real one: NULLS LAST ordering, or a
+        // provably non-NULL inner vector. (Ranked-LAST inner NULLs may pad
+        // a short partition in the scan form while the index returns fewer
+        // rows — the reference's accepted short-result semantics.)
         if so.nullOrdering == NullsLast ||
-          ((!outerVec.nullable || hasNotNullGuard(outer, outerVec)) &&
-            (!innerVec.nullable || hasNotNullGuard(inner, innerVec)))
+          (!innerVec.nullable || hasNotNullGuard(inner, innerVec))
         // column pruning may have projected the rowid off the inner side:
         // match the *base* relation and rebuild the chain with rowid restored
         (innerChain, innerBase) = stripChain(inner)
@@ -457,9 +508,21 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
         }
         innerRowid <- innerBase.output.find(_.name == entry.rowidCol)
       } yield {
+        // a NULL outer PROBE keeps its rows in the scan form (all its
+        // distances are NULL — under NULLS LAST they still rank and the
+        // limit emits them) but can never probe the index. Split: index
+        // join over the non-NULL probes, the ORIGINAL windowed scan over
+        // the IS NULL probes, unioned. The null branch scans only the
+        // null-probe slice of the outer side — empty for the typical
+        // corpus, and exactly the reference's observable behavior
+        // (hnsw_lateral_join.test's a_has_null label differential).
+        val needNullBranch = outerVec.nullable && !hasNotNullGuard(outer, outerVec)
         val candRowid = AttributeReference("__knn_rowid", LongType, nullable = false)()
         val rankOut = rnAttr // same exprId: downstream references keep resolving
-        val cands = HnswKnnCandidates(entry.name, k, outerVec, candRowid, rankOut, outer)
+        val candsOuter =
+          if (needNullBranch) Filter(IsNotNull(outerVec), outer) else outer
+        val cands = HnswKnnCandidates(entry.name, k, outerVec, candRowid, rankOut,
+          candsOuter)
         val newInner = innerChain.reverse.foldLeft(innerBase: LogicalPlan) {
           case (acc, Project(pl, _)) =>
             Project(if (pl.exists(_.exprId == innerRowid.exprId)) pl else pl :+ innerRowid, acc)
@@ -475,7 +538,24 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
           case (acc, _) => acc
         }
         // Window emitted childOutput :+ rn; the Filter(rn<=k) is subsumed
-        Project(f.output, rebuilt)
+        val indexSide = Project(f.output, rebuilt)
+        if (!needNullBranch) indexSide
+        else {
+          val scanSide = f.transformUp {
+            case j: Join if j eq join =>
+              // broadcast the NULL-probe slice (normally EMPTY): AQE
+              // materializes the build side first, sees the empty
+              // relation, and collapses the whole branch — the inner
+              // table is never scanned unless NULL probes actually exist.
+              // Without the hint Spark may pick the INNER side to
+              // broadcast, paying a full materialization for a branch
+              // that exists only for semantic completeness.
+              j.copy(left = Filter(IsNull(outerVec), outer),
+                hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+          }
+          Project(f.output,
+            Union(Seq(indexSide, Project(f.output, scanSide))))
+        }
       }
       rewritten.getOrElse(f)
   }
@@ -483,6 +563,13 @@ object KnnJoinToIndexJoin extends Rule[LogicalPlan] {
   /** Does the outer chain filter the vector to be non-NULL? */
   private def hasNotNullGuard(outer: LogicalPlan, vec: AttributeReference): Boolean =
     chainHasNotNullGuard(outer, vec)
+
+  /** Is `outer` the IS NULL scan branch this rule itself produced? The
+    * surrounding fixed-point batch may have pushed the marker filter below
+    * a Project/Aggregate, so this walks the vec's lineage like the
+    * not-null guard does. */
+  private def isNullProbeBranch(outer: LogicalPlan, vec: AttributeReference): Boolean =
+    chainHasIsNullGuard(outer, vec)
 
   /** Distance over (outer attr, inner attr), either order. */
   private def matchTwoSided(e: Expression, outer: LogicalPlan, inner: LogicalPlan)

@@ -96,6 +96,38 @@ class DuckDialectSpec extends GraftSparkSpec {
     }
   }
 
+  test("the reference's correlated-ORDER-BY lateral spelling analyzes " +
+      "(PushCorrelatedSortKeys) AND index-accelerates (sort-below-window " +
+      "decorrelation shape → HnswKnnJoin), reference hnsw_lateral_join.test:19") {
+    import graft.index.IndexCatalog
+    spark.sql("DROP TABLE IF EXISTS dia_a"); spark.sql("DROP TABLE IF EXISTS dia_b")
+    try {
+      GraftSql.sql(spark, "CREATE TABLE dia_a (a_vec FLOAT[3], a_id INT)")
+      GraftSql.sql(spark, "CREATE TABLE dia_b (b_vec FLOAT[3], b_str VARCHAR)")
+      GraftSql.sql(spark,
+        "INSERT INTO dia_a VALUES (ARRAY[1.0, 2.0, 3.0], 1), (ARRAY[4.0, 5.0, 6.0], 2)")
+      GraftSql.sql(spark,
+        "INSERT INTO dia_b VALUES (ARRAY[4.0, 5.0, 6.0], 'b'), (ARRAY[1.0, 2.0, 3.0], 'a')")
+      val sql = "select * from dia_a, lateral (select *, a_id as id_dup " +
+        "from dia_b order by array_distance(dia_a.a_vec, b_vec) limit 1)"
+      def rows() = GraftSql.sql(spark, sql).collect()
+        .map(r => (r.getInt(1), r.getString(3))).sorted.toSeq
+      val brute = rows()
+      assert(brute == Seq((1, "a"), (2, "b")))
+      GraftSql.sql(spark, "CREATE INDEX dia_b_idx ON dia_b USING HNSW (b_vec)")
+      val viaIdx = GraftSql.sql(spark, sql)
+      assert(viaIdx.queryExecution.executedPlan.toString.contains("HnswKnnJoin"),
+        viaIdx.queryExecution.executedPlan.toString.take(3000))
+      assert(viaIdx.collect().map(r => (r.getInt(1), r.getString(3))).sorted.toSeq
+        == brute)
+    } finally {
+      graft.index.IndexCatalog.dropIndex("dia_b_idx")
+      Graft.dropTable(spark, "dia_b")
+      spark.sql("DROP TABLE IF EXISTS dia_a"); spark.sql("DROP TABLE IF EXISTS dia_b")
+      ()
+    }
+  }
+
   test("pragma_hnsw_index_info() as a FROM source in an arbitrary query " +
       "(reference hnsw_insert.test:19)") {
     // no HNSW index registered under this name → projecting count over the
