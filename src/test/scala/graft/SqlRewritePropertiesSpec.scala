@@ -44,7 +44,8 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
   /** Noise that must never be rewritten: string literals and comments
     * whose CONTENT is full of trigger tokens. */
   private val genString: Gen[String] = Gen.oneOf(
-    "'plain'", "'it''s'", "'<-> [1,2] FLOAT[2]'", "'-- not a comment'")
+    "'plain'", "'it''s'", "'<-> [1,2] FLOAT[2]'", "'-- not a comment'",
+    "'over () VARCHAR'")
   private val genComment: Gen[String] = Gen.oneOf(
     "/* c */", "/* a <-> b */", "/* don't */", "-- tail <=> [1] FLOAT[4]\n")
 
@@ -61,7 +62,11 @@ class SqlRewritePropertiesSpec extends AnyFunSuite {
     1 -> Gen.const("arr[0]::FLOAT[2] <-> vec"),
     2 -> genOperand,
     1 -> genString,
-    1 -> Gen.const("[1, 2, 3]"))
+    1 -> Gen.const("[1, 2, 3]"),
+    // the empty-OVER and bare-VARCHAR dialect passes
+    1 -> Gen.oneOf("row_number() over ()", "sum(a) OVER (  )",
+      "rank() over (ORDER BY a)", "cast(a AS VARCHAR)",
+      "cast(a AS VARCHAR(10))", "varchar_col"))
 
   private val genStatement: Gen[String] = for {
     items <- Gen.nonEmptyListOf(genItem).map(_.take(4))
