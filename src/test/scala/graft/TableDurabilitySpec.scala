@@ -90,6 +90,42 @@ class TableDurabilitySpec extends GraftSparkSpec {
     }
   }
 
+  test("crash windows: a torn manifest .tmp is ignored; a complete .tmp " +
+      "left between delete and rename restores and republishes") {
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      TableCatalog.arm(dir)
+      Graft.registerTable(spark, "cw_t", Seq((1, "x")).toDF("id", "s"))
+      val manifest = s"$dir/tables.manifest"
+      assert(ArtifactIO.exists(manifest))
+      // crash between checkpoint's delete and rename: only a COMPLETE .tmp
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(manifest))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(manifest + ".tmp"), bytes)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(manifest))
+      Graft.forgetAllTables(spark)
+      TableCatalog.disarm()
+      assert(TableCatalog.restore(spark, dir) >= 1)
+      assert(Graft.isRegisteredTable("cw_t"))
+      assert(ArtifactIO.exists(manifest), ".tmp republished as the manifest")
+
+      // torn .tmp with no published manifest: treated as absent
+      val dir2 = freshDir()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir2/tables.manifest.tmp"),
+        "torn".getBytes)
+      TableCatalog.disarm()
+      assert(TableCatalog.restore(spark, dir2) == 0)
+    } finally {
+      Graft.dropTable(spark, "cw_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
   test("persistent-database sessions gate CREATE INDEX on the " +
       "experimental-persistence conf (reference " +
       "hnsw_experimental_persistence.test:14-17)") {
