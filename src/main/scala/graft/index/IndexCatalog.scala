@@ -415,6 +415,7 @@ object IndexCatalog {
     // the in-memory HNSW graph
     if (list.isEmpty) {
       StorageIndexCatalog.checkpoint(dir)
+      graft.TableCatalog.checkpoint(dir) // tables are ungated like storage
       return Seq.empty
     }
     // gate FIRST: a refused CHECKPOINT must leave `dir` untouched — the
@@ -432,6 +433,11 @@ object IndexCatalog {
     wl.lock()
     try {
       StorageIndexCatalog.checkpoint(dir)
+      // the table catalog rides the same checkpoint dir (a DuckDB database
+      // file holds tables AND indexes): a fresh JVM's restoreAll can then
+      // rebuild the table views the index entries resolve against, with no
+      // manual re-registration. Arms write-through for later table DML.
+      graft.TableCatalog.checkpoint(dir)
       ArtifactIO.mkdirs(dir)
       val paths = persistAll(dir)
       val manifest = list.zip(paths).map { case (e, p) =>
@@ -681,6 +687,10 @@ object IndexCatalog {
   }
 
   private def restoreAllLocked(spark: SparkSession, dir: String): Seq[IndexEntry] = {
+    // tables FIRST: the index entries below resolve spark.table(e.table),
+    // which a fresh JVM only has once the table catalog's views are back
+    // (live registrations win inside, so a same-session restore is a no-op)
+    graft.TableCatalog.restore(spark, dir)
     // a checkpoint taken with no HNSW indexes writes only the
     // storage-family manifest — restore must not require the HNSW one.
     // The .tmp fallback covers a crash between checkpoint's delete and

@@ -185,15 +185,16 @@ class ReferenceSuiteSpec extends GraftSparkSpec {
         case SqlLogic.Load(_, _) =>
           // a load-ed database is persistent: index persistence gated like
           // the reference, table durability armed (write-through manifest)
+          // at the bare-CHECKPOINT target — the one dir that IS the
+          // database (tables + indexes), which restart below restores from
           spark.conf.set(IndexCatalog.PersistentDatabaseConfKey, "true")
-          TableCatalog.arm(s"$db/tables")
+          TableCatalog.arm(s"${IndexCatalog.indexArtifactDir}/checkpoint")
         case SqlLogic.Restart(_) =>
-          // what a process restart does: all driver state gone; tables
-          // restore from the armed manifest, indexes from the checkpoint
-          // dir (bare CHECKPOINT's target) + WAL replay
+          // what a process restart does: all driver state gone; ONE call
+          // brings back tables (manifest + tombstone anti-joins), indexes
+          // (artifacts + WAL replay), and storage-family registries
           IndexCatalog.clear()
           Graft.forgetAllTables(spark)
-          TableCatalog.restore(spark, s"$db/tables")
           IndexCatalog.restoreAll(spark,
             s"${IndexCatalog.indexArtifactDir}/checkpoint")
           ()

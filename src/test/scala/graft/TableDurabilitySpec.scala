@@ -90,6 +90,43 @@ class TableDurabilitySpec extends GraftSparkSpec {
     }
   }
 
+  test("one-call lifecycle: IndexCatalog.checkpoint journals the table " +
+      "catalog too, and restoreAll alone rebuilds tables (with post-" +
+      "checkpoint deletes) then indexes (with WAL replay) in a fresh state") {
+    import graft.index.IndexCatalog
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      IndexCatalog.dropIndex("ol_idx")
+      Graft.registerTable(spark, "ol_t",
+        Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(7f, 8f, 9f)))
+          .toDF("id", "vec"))
+      IndexCatalog.createIndex(spark, "ol_idx", "ol_t", "vec")
+      spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+      val ckpt = s"$dir/ckpt"
+      IndexCatalog.checkpoint(spark, ckpt)
+      // post-checkpoint DML: the delete must come back via the table
+      // TOMBSTONE (view) and the index WAL (graph) on one restore call
+      Graft.deleteFrom(spark, "ol_t", col("id") === 1L)
+
+      IndexCatalog.clear()
+      Graft.forgetAllTables(spark)
+      TableCatalog.disarm()
+
+      IndexCatalog.restoreAll(spark, ckpt)
+      assert(Graft.isRegisteredTable("ol_t"))
+      assert(spark.table("ol_t").select("id").as[Long].collect().toSeq
+        == Seq(2L))
+      assert(IndexCatalog.get("ol_idx").get.index.size == 1)
+    } finally {
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      IndexCatalog.dropIndex("ol_idx")
+      Graft.dropTable(spark, "ol_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
   test("crash windows: a torn manifest .tmp is ignored; a complete .tmp " +
       "left between delete and rename restores and republishes") {
     val dir = freshDir()
