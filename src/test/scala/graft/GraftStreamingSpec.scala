@@ -41,6 +41,50 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
   }
 
+  test("streamed ingest is durable: micro-batches land in the checkpoint-" +
+      "armed journals and ONE restoreAll after a crash brings back table " +
+      "AND index with the streamed rows searchable") {
+    IndexCatalog.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdur").toString
+    Graft.registerTable(spark, "sdur_t",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    IndexCatalog.createIndex(spark, "sdur_idx", "sdur_t", "embedding")
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    try {
+      IndexCatalog.checkpoint(spark, dir) // arms index WAL + table journal
+      val sizeAtCkpt = IndexCatalog.get("sdur_idx").get.index.size
+
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Seq[Float], Int)]
+      val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+      val probe = Seq.fill(64)(77f)
+      mem.addData((95001L, probe, 1))
+      val q = GraftStreaming.startIndexAppend(spark, "sdur_t", stream)
+      q.processAllAvailable()
+      q.stop()
+
+      // crash: all driver state gone — streamed rows exist only in the
+      // insertInto delta (storage), the table journal, and the index WAL
+      IndexCatalog.clear()
+      Graft.forgetAllTables(spark)
+      TableCatalog.disarm()
+
+      IndexCatalog.restoreAll(spark, dir)
+      assert(Graft.isRegisteredTable("sdur_t"))
+      assert(spark.table("sdur_t").filter($"vec_id" === 95001L).count() == 1)
+      val idx = IndexCatalog.get("sdur_idx").get.index
+      assert(idx.size == sizeAtCkpt + 1)
+      assert(Graft.indexTopK(spark, "sdur_idx", probe.toArray, 1)
+        .select($"vec_id").as[Long].head() == 95001L)
+    } finally {
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+      IndexCatalog.dropIndex("sdur_idx")
+      Graft.dropTable(spark, "sdur_t")
+      TableCatalog.disarm()
+    }
+  }
+
   test("knnServeWriter: per-batch results match batch knnJoin and see live ingest") {
     IndexCatalog.clear()
     Graft.registerTable(spark, "serve_t",
