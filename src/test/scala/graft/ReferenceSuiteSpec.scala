@@ -15,9 +15,42 @@ import graft.index.IndexCatalog
   * encode the reference ENGINE'S arbitrary choices (distance-tie picks,
   * default-recall luck, unordered list() cell order) rather than SQL
   * semantics — each is patched narrowly with the reason inline. */
-class ReferenceSuiteSpec extends GraftSparkSpec {
+class ReferenceSuiteSpec extends GraftSparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   graft.plans.GraftExtensions.install(spark)
+
+  /** Per-file replay accounting, dumped as REFSUITE.json — the auditable
+    * record of what the conformance run actually executed (statements,
+    * value-checked queries, label differentials, deviations applied). */
+  private case class FileStats(file: String, records: Int, statements: Int,
+      errorStatements: Int, valueCheckedQueries: Int, labelChecks: Int,
+      deviationsApplied: Int, deviationReason: String)
+  private val stats = scala.collection.mutable.ArrayBuffer.empty[FileStats]
+
+  override def afterAll(): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val body = stats.sortBy(_.file).map { s =>
+      s"""    {"file": ${q(s.file)}, "records": ${s.records}, """ +
+        s""""statements": ${s.statements}, "error_statements": ${s.errorStatements}, """ +
+        s""""value_checked_queries": ${s.valueCheckedQueries}, """ +
+        s""""label_checks": ${s.labelChecks}, """ +
+        s""""deviations_applied": ${s.deviationsApplied}, """ +
+        s""""deviation_reason": ${q(s.deviationReason)}}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "_provenance": "written by ReferenceSuiteSpec: every reference sqllogictest file replayed through GraftSql this run, with what was checked in each. A file appears only if its test ran; all must pass for the suite to be green.",
+         |  "files_replayed": ${stats.size},
+         |  "files": [
+         |$body
+         |  ]
+         |}
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("REFSUITE.json"), json)
+    ()
+  }
 
   private val refDir = "/root/reference/test/sql/hnsw"
 
@@ -178,6 +211,8 @@ class ReferenceSuiteSpec extends GraftSparkSpec {
     spark.conf.unset(IndexCatalog.EfSearchConfKey)
     spark.conf.set(graft.plans.GraftOptimizerGate.ConfKey, "true")
     val labels = scala.collection.mutable.Map.empty[String, Seq[String]]
+    var nStmt = 0; var nErrStmt = 0; var nValueChecked = 0
+    var nLabelChecks = 0; var nDeviations = 0
     try {
       recs.foreach {
         case SqlLogic.Require(_, _) => () // vss is this engine; vector_size
@@ -200,12 +235,15 @@ class ReferenceSuiteSpec extends GraftSparkSpec {
           ()
         case SqlLogic.Statement(sql0, None, line) =>
           val sql = patch(sql0)
+          nStmt += 1
+          if (sql != sql0) nDeviations += 1
           try { GraftSql.sql(spark, sql).collect(); () }
           catch { case e: Throwable =>
             fail(s"$f:$line statement failed: $sql\n${messageChain(e)}")
           }
         case SqlLogic.Statement(sql0, Some(expectErr), line) =>
           val sql = patch(sql0)
+          nStmt += 1; nErrStmt += 1
           val e = intercept[Throwable] { GraftSql.sql(spark, sql).collect() }
           val want = normalizeExpectedError(expectErr)
           if (want.nonEmpty) {
@@ -238,10 +276,12 @@ class ReferenceSuiteSpec extends GraftSparkSpec {
                 (0 until r.length).map(j => render(r.get(j))).mkString("\t"))
             }
           val actual = if (rowsort) rendered.sorted else rendered
+          if (sql != sql0) nDeviations += 1
           expected.foreach { exp0 =>
             if (!(rngData && label.isDefined)) {
               val exp = if (rowsort) exp0.sorted else exp0
               compareBlock(ctx, exp, actual, dev.unorderedListCells)
+              nValueChecked += 1
             }
           }
           label.foreach { lb =>
@@ -252,10 +292,13 @@ class ReferenceSuiteSpec extends GraftSparkSpec {
                 assert(c(actual) == c(prev),
                   s"$ctx label '$lb' differential mismatch:\nfirst:\n" +
                     s"${prev.mkString("\n")}\nnow:\n${actual.mkString("\n")}")
+                nLabelChecks += 1
               case None => labels(lb) = actual
             }
           }
       }
+      stats += FileStats(f, recs.size, nStmt, nErrStmt, nValueChecked,
+        nLabelChecks, nDeviations, dev.reason)
     } finally {
       IndexCatalog.clear()
       TableCatalog.disarm()
