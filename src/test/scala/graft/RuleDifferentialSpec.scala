@@ -87,6 +87,50 @@ class RuleDifferentialSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("correlated-ORDER-BY lateral (the sort-below-window decorrelation " +
+      "shape, outer column projected inside): with/without-index " +
+      "differential, NULL probes included") {
+    // the reference's own lateral spelling (hnsw_lateral_join.test:19):
+    // raw correlated distance in ORDER BY + an outer column projected in
+    // the subquery — Spark lowers this to a no-order row_number window
+    // over a global Sort, the second matcher in KnnJoinToIndexJoin. The
+    // outer slice includes NULL-vector probes (every 17th id), exercising
+    // the IS NULL scan branch the rewrite unions in.
+    val sql =
+      """SELECT t.id AS qid, l.id AS nid, l.d AS d
+        |FROM diff_t t, LATERAL (
+        |  SELECT d2.id AS id, array_distance_sq(t.vec, d2.vec) AS d,
+        |         t.label AS lbl_dup
+        |  FROM diff_t d2
+        |  ORDER BY array_distance_sq(t.vec, d2.vec) LIMIT 3
+        |) l
+        |WHERE t.id < 40""".stripMargin
+    def rows() = GraftSql.sql(spark, sql).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    def grouped(rs: Array[(Long, Option[Double])]) =
+      rs.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getOrElse(-1.0))
+        .toSeq).toMap
+    val viaIdxDf = GraftSql.sql(spark, sql)
+    assert(viaIdxDf.queryExecution.executedPlan.toString.contains("HnswKnnJoin"),
+      "the differential must actually be differential: index path not taken\n" +
+        viaIdxDf.queryExecution.executedPlan.toString.take(2000))
+    val viaIdx = rows()
+    IndexCatalog.dropIndex("diff_l2sq")
+    try {
+      val brute = rows()
+      // every probe (NULL-vector ones included) keeps its k rows; per-qid
+      // distance multisets agree (tie ids may differ)
+      assert(grouped(viaIdx) == grouped(brute))
+      val nullQids = viaIdx.filter(_._2.isEmpty).map(_._1).toSet
+      assert(nullQids == (0L until 40L).filter(_ % 17 == 0).toSet,
+        "NULL probes must survive the index rewrite with all-NULL distances")
+    } finally {
+      IndexCatalog.createIndex(spark, "diff_l2sq", "diff_t", "vec",
+        Map("metric" -> "l2sq", "ef_search" -> "5000"))
+    }
+  }
+
   test("KNN-join rewrite: random k trials match the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(99)
