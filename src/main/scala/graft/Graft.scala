@@ -44,7 +44,11 @@ object Graft {
     df.withColumn(RowIdCol, monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
     retire(name, serving.put(name, List(path)).getOrElse(Nil))
-    tombstones.remove(name)
+    // superseded tombstone files retire WITH their paths (the fresh
+    // registration re-mints rowids, so old tombstones are dead weight —
+    // but still on disk until vacuumTable/dropTable reclaims them)
+    retire(name, tombstones.remove(name).getOrElse(Nil))
+    GraftSql.forgetDeclaredDims(name) // df's schema supersedes CREATE text
     TableCatalog.rewriteIfArmed()
     val withId = spark.read.parquet(path)
     withId.createOrReplaceTempView(name)
@@ -132,6 +136,7 @@ object Graft {
     serving.remove(name).getOrElse(Nil).foreach(deletePath)
     tombstones.remove(name).getOrElse(Nil).foreach(deletePath)
     vacuumTable(name)
+    GraftSql.forgetDeclaredDims(name)
     TableCatalog.rewriteIfArmed()
     ()
   }
@@ -511,8 +516,17 @@ object Graft {
     * the index/delta. Both tiers append to the post-checkpoint WAL. */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame): DataFrame = {
     val existing = spark.table(table)
-    // max(rowid) is NULL on an empty table (legal: index created before data)
-    val maxId = Option(existing.agg(max(col(RowIdCol))).head().get(0))
+    // max(rowid) over the UNFILTERED serving storage, not the live view: the
+    // view excludes deleted rows, so a deleted max-rowid row would otherwise
+    // have its rowid re-minted here — colliding with the index's tombstone
+    // set and with the durable tombstone files (a restore's anti-join would
+    // silently delete the NEW row). Rowids are never reused.
+    // (NULL on an empty table — legal: index created before data.)
+    val allMinted = serving.get(table) match {
+      case Some(paths) if paths.nonEmpty => spark.read.parquet(paths: _*)
+      case _ => existing
+    }
+    val maxId = Option(allMinted.agg(max(col(RowIdCol))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     // the DELTA is materialized to storage like the base table (rowids must
     // not be recomputed, and a cache would leak one pinned DataFrame per

@@ -29,6 +29,8 @@ object GraftSql {
   private val CreateIndexRe =
     """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+HNSW\s*\(\s*(\w+)\s*\)(?:\s+WITH\s*\((.*?)\))?\s*;?\s*""".r
   private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s*;?\s*""".r
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val CompactRe =
     """(?is)\s*PRAGMA\s+hnsw_compact_index\s*\(\s*'(\w+)'\s*\)\s*;?\s*""".r
   private val InfoRe =
@@ -43,6 +45,10 @@ object GraftSql {
   // (reference hnsw_insert.test:19 `SELECT count FROM
   // pragma_hnsw_index_info();`) — spliced out as a temp view
   private val InfoFnRe = """(?i)pragma_hnsw_index_info\s*\(\s*\)""".r
+  // pragma_database_size() as a FROM source (reference
+  // test/sql/slow/hnsw_reclaim_storage.test_slow:17) — block accounting
+  // over the engine's persistent storage, spliced out as a temp view
+  private val DbSizeFnRe = """(?i)pragma_database_size\s*\(\s*\)""".r
   private val CheckpointRe = """(?is)\s*CHECKPOINT\s+'([^']+)'\s*;?\s*""".r
   private val CheckpointBareRe = """(?is)\s*CHECKPOINT\s*;?\s*""".r
   // the reference's query-time ef knob (`SET hnsw_ef_search = N`, read at
@@ -83,9 +89,14 @@ object GraftSql {
   // `SELECT bool_and(score <= 1.0) FROM vss_join(s, t1, s_vec, vec, 3) as
   // res`); the canonical `SELECT * FROM vss_join('l','r',…)` exact form
   // above stays the fast path
+  // the trailing alias may be bare (`... vss_join(...) res`) or AS-prefixed;
+  // a bare word is an alias only when it isn't the next clause's keyword
   private val VssJoinFromRe =
     ("""(?is)FROM\s+vss_join\(\s*'?(\w+)'?\s*,\s*'?(\w+)'?\s*,\s*(\w+)\s*,\s*(\w+)\s*,""" +
-      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)(?:\s+AS\s+(\w+))?""").r
+      """\s*(\d+)\s*(?:,\s*metric\s*:=\s*'(\w+)'\s*)?\)""" +
+      """(?:\s+(?:AS\s+)?(?!(?:WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT|""" +
+      """INTERSECT|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING|QUALIFY|""" +
+      """WINDOW|OFFSET|FETCH|SEMI|ANTI)\b)(\w+))?""").r
 
   private val VssMatchFromRe =
     ("""(?is)FROM\s+(\w+)\s*,\s*vss_match\(\s*'?(\w+)'?\s*,\s*(?:(\w+)\.)?(\w+)\s*,\s*(\w+)\s*,""" +
@@ -142,12 +153,21 @@ object GraftSql {
 
   private def recordDeclaredDims(statement: String): Unit = statement match {
     case CreateTableRe(table, cols) =>
+      forgetDeclaredDims(table) // a re-CREATE replaces the declaration
       cols.split(",").foreach {
         case ColFloatDimRe(col, n) =>
           declaredDims.put((table.toLowerCase, col.toLowerCase), n.toInt)
         case _ => ()
       }
     case _ => ()
+  }
+
+  /** Drop `table`'s recorded FLOAT[n] declarations — called when the table
+    * is dropped or re-registered from a DataFrame (no CREATE TABLE text), so
+    * a stale dimension can never be injected into a later index build. */
+  private[graft] def forgetDeclaredDims(table: String): Unit = {
+    val t = table.toLowerCase
+    declaredDims.keys.filter(_._1 == t).foreach(declaredDims.remove)
   }
 
   def sql(spark: SparkSession, statement: String): DataFrame = {
@@ -209,19 +229,29 @@ object GraftSql {
 
   private def dispatch(spark: SparkSession, statement: String): DataFrame = statement match {
     case CreateIndexRe(name, table, column, opts) =>
-      // a plain catalog/temp table lacks the engine's materialized rowid
-      // (the reference indexes over DuckDB's implicit rowid) — snapshot it
-      // into a Graft registration first, so the index build and all later
-      // DML have stable ids; the registration's view shadows the original
-      if (!spark.table(table).columns.contains(Graft.RowIdCol))
-        Graft.registerTable(spark, table, spark.table(table))
       // the declared FLOAT[n] dimension backstops an empty-table build,
-      // exactly the type information the reference's binder reads
+      // exactly the type information the reference's binder reads. Read it
+      // BEFORE the registration below: snapshotting the CREATE TABLE'd
+      // table does not change its schema, but registerTable forgets the
+      // declaration (it exists for REPLACING a table with a different df)
       val withDims = {
         val o = parseWith(opts)
         if (o.contains("dimensions")) o
         else declaredDims.get((table.toLowerCase, column.toLowerCase))
           .map(d => o + ("dimensions" -> d.toString)).getOrElse(o)
+      }
+      // a plain catalog/temp table lacks the engine's materialized rowid
+      // (the reference indexes over DuckDB's implicit rowid) — snapshot it
+      // into a Graft registration first, so the index build and all later
+      // DML have stable ids; the registration's view shadows the original.
+      // The snapshot is the SAME table, so its FLOAT[n] declarations stay
+      // valid — re-record them past registerTable's invalidation (which
+      // exists for genuine replacements) for later statements' benefit.
+      if (!spark.table(table).columns.contains(Graft.RowIdCol)) {
+        val declared = declaredDims.snapshot()
+          .filter(_._1._1 == table.toLowerCase)
+        Graft.registerTable(spark, table, spark.table(table))
+        declared.foreach { case (k, v) => declaredDims.put(k, v) }
       }
       IndexCatalog.createIndex(spark, name, table, column, withDims)
       spark.emptyDataFrame
@@ -273,6 +303,28 @@ object GraftSql {
       IndexCatalog.describe(spark).createOrReplaceTempView(view)
       Graft.registerFunctions(spark)
       spark.sql(InfoFnRe.replaceAllIn(stmt, view))
+    case stmt if DbSizeFnRe.findFirstIn(stmt).isDefined =>
+      // DuckDB's pragma_database_size() block accounting (reference
+      // test/sql/slow/hnsw_reclaim_storage.test_slow): the database here is
+      // the engine's persistent storage — table registrations plus index
+      // artifacts — measured in DuckDB-default 256 KiB blocks. The reclaim
+      // test's invariants (DROP INDEX + CHECKPOINT returns the count to its
+      // pre-index level; recreate reuses rather than grows) hold exactly
+      // when checkpoint deletes dropped artifacts and republishes live ones
+      // at stable paths.
+      val bytes = graft.index.ArtifactIO.sizeBytes(IndexCatalog.indexArtifactDir) +
+        graft.index.ArtifactIO.sizeBytes(Graft.defaultTableDir)
+      val blockSize = 262144L
+      val total = (bytes + blockSize - 1) / blockSize
+      val row = Seq(("graft", s"$bytes bytes", blockSize, total, total, 0L,
+        "0 bytes", "0 bytes", "unlimited"))
+      val df = spark.createDataFrame(row).toDF("database_name",
+        "database_size", "block_size", "total_blocks", "used_blocks",
+        "free_blocks", "wal_size", "memory_usage", "memory_limit")
+      val view = "graft_pragma_database_size"
+      df.createOrReplaceTempView(view)
+      Graft.registerFunctions(spark)
+      spark.sql(DbSizeFnRe.replaceAllIn(stmt, view))
     case CheckpointRe(dir) =>
       IndexCatalog.checkpoint(spark, dir)
       spark.emptyDataFrame
@@ -337,6 +389,13 @@ object GraftSql {
       spark.sql(stmt.substring(0, m.start) + s"FROM $view AS $alias" + stmt.substring(m.end))
     case other =>
       Graft.registerFunctions(spark)
+      // a dropped table's FLOAT[n] declarations must not outlive it (a
+      // later same-name CREATE INDEX would inject them); pass-through DDL
+      // otherwise untouched
+      other match {
+        case DropTableRe(t) => forgetDeclaredDims(t)
+        case _ => ()
+      }
       val out = spark.sql(other)
       // DuckDB keeps rowid out of star expansion but addressable by name;
       // mirror that for the engine's materialized __rowid (whole-identifier

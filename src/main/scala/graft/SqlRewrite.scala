@@ -33,15 +33,21 @@ package graft
   *  - DuckDB's `list` aggregate (reference
   *    test/sql/hnsw/hnsw_lateral_join_group.test:35,62):
   *    {{{
-  *      list(x)                    =>  collect_list(x)
-  *      list(x ORDER BY k1, k2)    =>  transform(sort_array(collect_list(
-  *                                       named_struct('__o1', k1, '__o2', k2,
-  *                                                    '__ov', x))),
-  *                                       __ls -> __ls.__ov)
+  *      list(x)                 =>  transform(collect_list(named_struct(
+  *                                    '__ov', x)), __ls -> __ls.__ov)
+  *      list(x ORDER BY k1)     =>  transform(sort_array(collect_list(
+  *                                    named_struct('__n1', (k1) IS NULL,
+  *                                                 '__o1', k1,
+  *                                                 '__ov', x))),
+  *                                    __ls -> __ls.__ov)
   *    }}}
-  *    The ORDER BY keys become leading struct fields so `sort_array`'s
-  *    lexicographic struct order IS the requested sort — one aggregate,
-  *    no window. Ascending keys only (a bare trailing `ASC` is dropped);
+  *    The never-null struct wrapper preserves NULL elements (DuckDB's
+  *    list() keeps them; bare collect_list drops them). The ORDER BY keys
+  *    become leading struct fields so `sort_array`'s lexicographic struct
+  *    order IS the requested sort — one aggregate, no window — with a
+  *    `(k) IS NULL` boolean ahead of each key so NULL keys sort LAST
+  *    (DuckDB's default_null_order; Spark's struct compare would put them
+  *    first). Ascending keys only (a bare trailing `ASC` is dropped);
   *    `DESC`/`NULLS FIRST|LAST` keys leave the call unchanged for Spark's
   *    parser to report, per the cannot-delimit contract.
   *  - DuckDB's default null ordering: every `ORDER BY` sort key without an
@@ -561,6 +567,7 @@ object SqlRewrite {
   private val OrderBy = """(?i)order\s+by\b""".r
   private val TrailingAsc = """(?i)\s+asc\s*$""".r
   private val UnsupportedSortMod = """(?i)\b(desc|nulls)\b""".r
+  private val LeadingDistinct = """(?i)distinct\b""".r
 
   /** DuckDB `list(x [ORDER BY keys])` — see the object Scaladoc. The
     * `list` token must head a call (no identifier char, `.` or `:` before
@@ -583,10 +590,25 @@ object SqlRewrite {
           if (close < 0) return s // unbalanced: leave for Spark's parser
           val ob = topLevelIndexOf(s, open + 1, close, OrderBy)
           if (ob < 0) {
-            // plain DuckDB list aggregate — Spark's spelling, arguments
-            // (incl. DISTINCT) verbatim
-            s = s.substring(0, mm.start) + "collect_list" + s.substring(open)
-            from = mm.start + "collect_list".length
+            // plain DuckDB list aggregate. NOT bare collect_list: DuckDB's
+            // list() KEEPS NULL elements while collect_list drops them —
+            // wrapping the element in a (never-null) struct preserves them.
+            // A leading DISTINCT stays on the aggregate (struct equality
+            // treats the null elements as equal, like DuckDB's DISTINCT).
+            val inner = s.substring(open + 1, close).trim
+            val dm = LeadingDistinct.findPrefixMatchOf(inner)
+            val (distinct, expr) = dm match {
+              case Some(d) => ("DISTINCT ", inner.substring(d.end).trim)
+              case None => ("", inner)
+            }
+            if (expr.isEmpty) from = open + 1 // list() — Spark reports it
+            else {
+              val call = s"transform(collect_list(${distinct}named_struct(" +
+                s"'__ov', $expr)), __ls -> __ls.__ov)"
+              s = s.substring(0, mm.start) + call + s.substring(close + 1)
+              from = mm.start + 1 // a nested list(...) inside expr rewrites
+              // on a later iteration (spliced heads are underscore-preceded)
+            }
           } else {
             val expr = s.substring(open + 1, ob).trim
             val keysEnd = ob + OrderBy.findPrefixMatchOf(
@@ -597,8 +619,12 @@ object SqlRewrite {
               k.isEmpty || UnsupportedSortMod.findFirstIn(k).isDefined)
             if (unsupported) from = open + 1 // leave unchanged, keep going
             else {
+              // each key gets a leading `(k) IS NULL` boolean field: struct
+              // comparison sorts false (non-NULL key) before true, so NULL
+              // keys land LAST — DuckDB's default_null_order, which plain
+              // struct ordering would invert (Spark sorts null fields first)
               val fields = keys.zipWithIndex
-                .map { case (k, i) => s"'__o${i + 1}', $k" }
+                .map { case (k, i) => s"'__n${i + 1}', ($k) IS NULL, '__o${i + 1}', $k" }
                 .mkString("", ", ", s", '__ov', $expr")
               val call = s"transform(sort_array(collect_list(named_struct(" +
                 s"$fields))), __ls -> __ls.__ov)"

@@ -132,6 +132,14 @@ object ArtifactIO {
       throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
 
+  /** Recursive byte size of `path` (0 when absent) — the storage-accounting
+    * primitive behind `pragma_database_size()` (DuckDB's block accounting,
+    * reference test/sql/slow/hnsw_reclaim_storage.test_slow). */
+  def sizeBytes(path: String): Long = {
+    val (fs, p) = resolve(path)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** Child paths of `dir` (non-recursive, full URI strings); empty when the
     * directory does not exist. */
   def list(dir: String): Seq[String] = {

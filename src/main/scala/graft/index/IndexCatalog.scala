@@ -207,12 +207,14 @@ object IndexCatalog {
         } else buildSingle(it, opts)
       }
 
-    // withCachedData: the rules compare against the plan AFTER Spark's cache
-    // substitution, which is the shape query plans have by the time custom
-    // optimizer rules run. (registerTable itself serves write-once parquet —
-    // nothing here relies on Dataset caching.)
+    // optimizedPlan, matching refreshTablePlans/restore: an index created on
+    // a table that already carries DML (a post-insert union view, a delete
+    // filter) must store the same OPTIMIZED shape the rewrite rules see in
+    // query subtrees — the analyzed view would never sameResult-match and the
+    // index would silently fall back to full scans until the next DML
+    // happened to refresh it.
     val entry = IndexEntry(name, table, column, opts, index,
-      df.queryExecution.withCachedData, rowidCol)
+      df.queryExecution.optimizedPlan, rowidCol)
     entries(name) = entry
     entry
   }
@@ -416,6 +418,13 @@ object IndexCatalog {
     if (list.isEmpty) {
       StorageIndexCatalog.checkpoint(dir)
       graft.TableCatalog.checkpoint(dir) // tables are ungated like storage
+      // every HNSW index is gone: reclaim what the previous checkpoint
+      // persisted (artifacts + WAL dirs) and retire its manifest — the
+      // durable state becomes "no indexes" rather than a manifest whose
+      // entries only WAL drop-records keep dead. Bookkeeping, not graph
+      // serialization, so it stays ungated like the storage families.
+      reclaimDropped(dir, liveNames = Set.empty, livePaths = Set.empty)
+      ArtifactIO.deleteIfExists(s"$dir/catalog.manifest")
       return Seq.empty
     }
     // gate FIRST: a refused CHECKPOINT must leave `dir` untouched — the
@@ -456,13 +465,63 @@ object IndexCatalog {
       val dst = s"$dir/catalog.manifest"
       val out = new java.io.ObjectOutputStream(ArtifactIO.create(dst + ".tmp"))
       try out.writeObject((epoch, manifest)) finally out.close()
+      // reclaim BEFORE the old manifest is replaced: read what the previous
+      // checkpoint persisted, then overwrite. A dropped index's artifact
+      // and WAL dir would otherwise leak on shared storage forever —
+      // DuckDB's analog reclaims the blocks at CHECKPOINT
+      // (test/sql/slow/hnsw_reclaim_storage.test_slow asserts the database
+      // returns to its pre-index block count after DROP INDEX+CHECKPOINT).
+      val prevPersisted: Seq[(String, String)] =
+        if (ArtifactIO.exists(dst))
+          scala.util.Try(readManifest(dst)._2.map(m => (m._1, m._6)))
+            .getOrElse(Nil)
+        else Nil
       ArtifactIO.deleteIfExists(dst)
       ArtifactIO.rename(dst + ".tmp", dst)
       list.foreach(e => ArtifactIO.deleteRecursive(s"$dir/${e.name}.wal"))
+      reclaimDropped(dir, list.map(_.name).toSet, paths.toSet, prevPersisted)
       walDir = Some(dir)
       walEpoch = epoch
       paths
     } finally wl.unlock()
+  }
+
+  private type Entries =
+    Seq[(String, String, String, HnswOptions, String, String)]
+
+  /** Parse a catalog manifest: (epoch, entries). Pre-epoch manifests were
+    * the bare entry Seq, with WAL segments directly under `<name>.wal/` —
+    * epoch 0 routes replay there. Closes the raw stream even when the
+    * ObjectInputStream header parse itself throws on a torn file. */
+  private def readManifest(p: String): (Long, Entries) = {
+    val raw = ArtifactIO.open(p)
+    try {
+      new java.io.ObjectInputStream(raw).readObject() match {
+        case (e: Long, entries: Seq[_]) => (e, entries.asInstanceOf[Entries])
+        case legacy: Seq[_] => (0L, legacy.asInstanceOf[Entries])
+      }
+    } finally raw.close()
+  }
+
+  /** Delete previous-checkpoint state no live entry claims: artifact paths
+    * absent from `livePaths`, WAL dirs of names absent from `liveNames`.
+    * `prev` defaults to reading `dir`'s manifest (the empty-list caller,
+    * which reclaims before deleting that manifest). Crash-safe by ordering:
+    * reclaim runs only after the NEW manifest is published, so a crash
+    * mid-reclaim leaves unreferenced files for the next checkpoint, never
+    * a manifest pointing at deleted artifacts. */
+  private def reclaimDropped(dir: String, liveNames: Set[String],
+      livePaths: Set[String], prev: Seq[(String, String)] = null): Unit = {
+    val dst = s"$dir/catalog.manifest"
+    val old: Seq[(String, String)] =
+      if (prev != null) prev
+      else if (ArtifactIO.exists(dst))
+        scala.util.Try(readManifest(dst)._2.map(m => (m._1, m._6))).getOrElse(Nil)
+      else Nil
+    old.foreach { case (name, path) =>
+      if (!livePaths.contains(path)) ArtifactIO.deleteRecursive(path)
+      if (!liveNames.contains(name)) ArtifactIO.deleteRecursive(s"$dir/$name.wal")
+    }
   }
 
   // --- WAL-analog incremental persistence --------------------------------
@@ -699,18 +758,6 @@ object IndexCatalog {
     // absent rather than poisoning the whole restore. A successfully-read
     // .tmp is REPUBLISHED as the manifest so the next checkpoint's
     // tmp-overwrite can't destroy the only surviving copy.
-    type Entries = Seq[(String, String, String, HnswOptions, String, String)]
-    def readManifest(p: String): (Long, Entries) = {
-      val raw = ArtifactIO.open(p) // close the raw stream even when the
-      try { // ObjectInputStream header parse itself throws on a torn file
-        new java.io.ObjectInputStream(raw).readObject() match {
-          case (e: Long, entries: Seq[_]) => (e, entries.asInstanceOf[Entries])
-          // pre-epoch manifests were the bare entry Seq, with WAL segments
-          // directly under <name>.wal/ — epoch 0 routes replay there
-          case legacy: Seq[_] => (0L, legacy.asInstanceOf[Entries])
-        }
-      } finally raw.close()
-    }
     val dst = s"$dir/catalog.manifest"
     val tmp = dst + ".tmp"
     val (epoch, manifest) =

@@ -128,6 +128,26 @@ class DuckDialectSpec extends GraftSparkSpec {
     }
   }
 
+  test("list() keeps NULL elements (DuckDB semantics; collect_list would " +
+      "drop them) and DISTINCT treats NULLs as equal") {
+    val r = one("SELECT list(x) AS l FROM " +
+      "(SELECT * FROM VALUES (1),(NULL),(2) AS v(x) ORDER BY x NULLS FIRST)")
+    val l = r.getSeq[Any](0)
+    assert(l.size == 3, s"NULL element must survive: $l")
+    assert(l.count(_ == null) == 1)
+    assert(l.filter(_ != null).toSet == Set(1, 2))
+    val d = one("SELECT list(DISTINCT x) AS l FROM " +
+      "VALUES (1),(NULL),(1),(NULL) AS v(x)").getSeq[Any](0)
+    assert(d.size == 2 && d.count(_ == null) == 1, s"DISTINCT over NULLs: $d")
+  }
+
+  test("list(x ORDER BY k): NULL keys sort LAST (DuckDB default_null_order), " +
+      "not first as Spark's struct compare would") {
+    val l = one("SELECT list(x ORDER BY k) AS l FROM VALUES " +
+      "(10, 2), (20, CAST(NULL AS INT)), (30, 1) AS v(x, k)").getSeq[Int](0)
+    assert(l == Seq(30, 10, 20), s"NULL-key element must come last: $l")
+  }
+
   test("pragma_hnsw_index_info() as a FROM source in an arbitrary query " +
       "(reference hnsw_insert.test:19)") {
     // no HNSW index registered under this name → projecting count over the

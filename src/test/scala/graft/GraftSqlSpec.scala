@@ -61,6 +61,18 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     val cos = GraftSql.sql(spark,
       "SELECT * FROM vss_join('sql_q', 'sql_emb', qvec, embedding, 1, metric := 'cosine')")
     assert(cos.count() == 3)
+    // general FROM form with a projection; alias AS-prefixed or bare
+    // (reference hnsw_join_macro.test:24 uses `as res` — SQL allows bare)
+    val asAlias = GraftSql.sql(spark,
+      "SELECT bool_and(score >= 0.0) FROM vss_join(sql_q, sql_emb, qvec, embedding, 3) AS res")
+    assert(asAlias.head().getBoolean(0)) // l2sq is non-negative
+    val bareAlias = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM vss_join(sql_q, sql_emb, qvec, embedding, 3) res")
+    assert(bareAlias.head().getLong(0) == 9)
+    // a clause keyword after the call is NOT an alias
+    val noAlias = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM vss_join(sql_q, sql_emb, qvec, embedding, 3) WHERE rank = 1")
+    assert(noAlias.head().getLong(0) == 3)
   }
 
   test("vss_match correlated macro invocation form (hnsw_join_macro.test:27)") {
@@ -415,5 +427,37 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(Graft.vacuumTable("vac_t") == 0, "vacuum is idempotent")
     Graft.dropTable(spark, "vac_t")
     intercept[Exception](spark.table("vac_t").count())
+  }
+
+  test("a stale FLOAT[n] declaration is forgotten when the table is " +
+      "re-registered or dropped — never injected into a later index build") {
+    import org.apache.spark.sql.types._
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS stale_t")
+    try {
+      GraftSql.sql(spark, "CREATE TABLE stale_t (v FLOAT[3])")
+      // replace via DataFrame registration: 5-dim column, still empty —
+      // the old dims=3 declaration must NOT leak into the build
+      val empty5 = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("v", ArrayType(FloatType, true)))))
+      Graft.registerTable(spark, "stale_t", empty5)
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "CREATE INDEX stale_idx ON stale_t USING HNSW (v)")
+      }
+      assert(e.getMessage.contains("no non-NULL vectors to index"),
+        s"stale dims=3 was injected: ${e.getMessage}")
+      // but the legit flow still works: CREATE TABLE then index-on-empty
+      GraftSql.sql(spark, "DROP TABLE IF EXISTS fresh_t")
+      GraftSql.sql(spark, "CREATE TABLE fresh_t (v FLOAT[4])")
+      GraftSql.sql(spark, "CREATE INDEX fresh_idx ON fresh_t USING HNSW (v)")
+      assert(IndexCatalog.get("fresh_idx").get.index.size == 0)
+    } finally {
+      IndexCatalog.dropIndex("stale_idx"); IndexCatalog.dropIndex("fresh_idx")
+      if (Graft.isRegisteredTable("stale_t")) Graft.dropTable(spark, "stale_t")
+      if (Graft.isRegisteredTable("fresh_t")) Graft.dropTable(spark, "fresh_t")
+      GraftSql.sql(spark, "DROP TABLE IF EXISTS stale_t")
+      GraftSql.sql(spark, "DROP TABLE IF EXISTS fresh_t")
+      ()
+    }
   }
 }

@@ -315,4 +315,32 @@ class IndexCatalogSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(IndexCatalog.get("crud_idx").get.index.deletedCount == 0)
     assert(IndexCatalog.get("crud_idx").get.index.size == sizeBefore)
   }
+
+  test("an index created AFTER DML still accelerates queries (entry stores " +
+      "the optimized post-insert view, same as refreshTablePlans)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, "emb_postdml_t", emb)
+    try {
+      // deepen the view FIRST: union-with-delta plus a delete filter
+      val probe = Array.fill(64)(8.5f)
+      Graft.insertInto(spark, "emb_postdml_t",
+        Seq((8888L, probe.toSeq, 0)).toDF("vec_id", "embedding", "label")
+          .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      Graft.deleteFrom(spark, "emb_postdml_t", $"vec_id" === 3L)
+      // NOW create the index — its stored plan must match query subtrees
+      IndexCatalog.createIndex(spark, "postdml_idx", "emb_postdml_t",
+        "embedding", Map("ef_search" -> "600"))
+      val df = spark.table("emb_postdml_t")
+        .orderBy(graft.functions.vector.array_distance_sq($"embedding",
+          lit(probe)).asc_nulls_last)
+        .limit(3)
+      assert(df.queryExecution.executedPlan.toString.contains("HnswIndexScan"),
+        "index created after insert/delete never matched the view:\n" +
+          df.queryExecution.optimizedPlan.toString.take(2000))
+      assert(df.select($"vec_id").as[Long].head() == 8888L)
+    } finally {
+      IndexCatalog.dropIndex("postdml_idx")
+      Graft.dropTable(spark, "emb_postdml_t")
+    }
+  }
 }

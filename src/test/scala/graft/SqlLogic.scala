@@ -48,6 +48,30 @@ object SqlLogic {
         val words = header.split("\\s+").toSeq
         i += 1
         words.head match {
+          case "loop" =>
+            // `loop i 0 4` … `endloop`: replay the body (end-start) times
+            // with ${i} substituted (duckdb's runner; reference
+            // test/sql/slow/hnsw_reclaim_storage.test_slow:61). Nested
+            // loops tracked by depth.
+            val (v, lo, hi) = (words(1), words(2).toInt, words(3).toInt)
+            val body = scala.collection.mutable.ArrayBuffer.empty[String]
+            var depth = 1
+            while (i < lines.length && depth > 0) {
+              val w = lines(i).trim.split("\\s+").head
+              if (w == "loop") depth += 1
+              else if (w == "endloop") depth -= 1
+              if (depth > 0) { body += lines(i); i += 1 }
+            }
+            if (depth > 0) throw new IllegalArgumentException(
+              s"sqllogictest: unterminated loop at line $hline")
+            i += 1 // consume endloop
+            val text = body.mkString("\n")
+            (lo until hi).foreach { it =>
+              out ++= parse(text.replace("${" + v + "}", it.toString))
+            }
+          case "endloop" =>
+            throw new IllegalArgumentException(
+              s"sqllogictest: endloop without loop at line $hline")
           case "require" =>
             out += Require(words.tail.mkString(" "), hline)
           case "load" =>

@@ -179,9 +179,14 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
   }
 
   test("DuckDB list aggregate: bare form, ORDER BY form, guards") {
-    // bare list => collect_list; call-head only
+    // bare list: struct-wrapped collect_list (NULL elements survive the
+    // aggregate, as DuckDB's list() keeps them); call-head only
     assert(SqlRewrite.preprocess("SELECT list(x) FROM t GROUP BY g") ==
-      "SELECT collect_list(x) FROM t GROUP BY g")
+      "SELECT transform(collect_list(named_struct('__ov', x)), " +
+        "__ls -> __ls.__ov) FROM t GROUP BY g")
+    assert(SqlRewrite.preprocess("SELECT list(DISTINCT x) FROM t") ==
+      "SELECT transform(collect_list(DISTINCT named_struct('__ov', x)), " +
+        "__ls -> __ls.__ov) FROM t")
     assert(SqlRewrite.preprocess("SELECT collect_list(x) FROM t") ==
       "SELECT collect_list(x) FROM t")
     assert(SqlRewrite.preprocess("SELECT t.list(x) FROM t") ==
@@ -190,19 +195,22 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "SELECT 'list(x)' FROM t")
     // the reference's grouped-lateral spelling
     // (hnsw_lateral_join_group.test:35): keys become leading struct
-    // fields, sort_array's struct order is the requested sort
+    // fields, sort_array's struct order is the requested sort, and each
+    // key's (k) IS NULL prefix field puts NULL keys LAST (DuckDB default)
     assert(SqlRewrite.preprocess("SELECT list(nbr ORDER BY dist, nbr)") ==
       "SELECT transform(sort_array(collect_list(named_struct(" +
-        "'__o1', dist, '__o2', nbr, '__ov', nbr))), __ls -> __ls.__ov)")
+        "'__n1', (dist) IS NULL, '__o1', dist, " +
+        "'__n2', (nbr) IS NULL, '__o2', nbr, '__ov', nbr))), __ls -> __ls.__ov)")
     // trailing ASC is the default — dropped; case-insensitive heads
     assert(SqlRewrite.preprocess("SELECT LIST(x ORDER BY k ASC) FROM t") ==
       "SELECT transform(sort_array(collect_list(named_struct(" +
-        "'__o1', k, '__ov', x))), __ls -> __ls.__ov) FROM t")
+        "'__n1', (k) IS NULL, '__o1', k, '__ov', x))), __ls -> __ls.__ov) FROM t")
     // nested call commas don't split keys
     assert(SqlRewrite.preprocess(
       "SELECT list(x ORDER BY coalesce(a, b), c)") ==
       "SELECT transform(sort_array(collect_list(named_struct(" +
-        "'__o1', coalesce(a, b), '__o2', c, '__ov', x))), __ls -> __ls.__ov)")
+        "'__n1', (coalesce(a, b)) IS NULL, '__o1', coalesce(a, b), " +
+        "'__n2', (c) IS NULL, '__o2', c, '__ov', x))), __ls -> __ls.__ov)")
     // DESC / NULLS modifiers: not expressible via sort_array — the call
     // is left verbatim for Spark's parser to report
     assert(SqlRewrite.preprocess("SELECT list(x ORDER BY k DESC) FROM t") ==
@@ -213,6 +221,7 @@ class SqlRewriteSpec extends GraftSparkSpec with BeforeAndAfterAll {
     // an infix key still rewrites (listAgg runs before the infix pass)
     assert(SqlRewrite.preprocess("SELECT list(id ORDER BY v <-> q)") ==
       "SELECT transform(sort_array(collect_list(named_struct(" +
+        "'__n1', (array_distance(v, q)) IS NULL, " +
         "'__o1', array_distance(v, q), '__ov', id))), __ls -> __ls.__ov)")
   }
 

@@ -189,4 +189,67 @@ class TableDurabilitySpec extends GraftSparkSpec {
       Graft.dropTable(spark, "gate_t")
     }
   }
+
+  test("rowids are never reused: deleting the max-rowid row then inserting " +
+      "must not mint the tombstoned rowid (restore would anti-join the new " +
+      "row away)") {
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      TableCatalog.arm(dir)
+      Graft.registerTable(spark, "reuse_t",
+        (1 to 5).map(i => (i, s"v$i")).toDF("id", "s"))
+      val maxRowid = spark.table("reuse_t")
+        .agg(max(col(Graft.RowIdCol))).head().getLong(0)
+      // tombstone the row HOLDING the max rowid, then insert a new row
+      Graft.deleteFrom(spark, "reuse_t",
+        col(Graft.RowIdCol) === maxRowid)
+      Graft.insertInto(spark, "reuse_t", Seq((99, "new")).toDF("id", "s"))
+      val newRowid = spark.table("reuse_t").where(col("id") === 99)
+        .select(Graft.RowIdCol).head().getLong(0)
+      assert(newRowid > maxRowid,
+        s"minted rowid $newRowid must exceed every rowid ever minted " +
+          s"($maxRowid was tombstoned)")
+      val before = spark.table("reuse_t").select("id").as[Int]
+        .collect().sorted.toSeq
+
+      // crash + restore: the new row must survive the tombstone anti-join
+      Graft.forgetAllTables(spark)
+      TableCatalog.restore(spark, dir)
+      val after = spark.table("reuse_t").select("id").as[Int]
+        .collect().sorted.toSeq
+      assert(after == before,
+        "restore lost or resurrected rows — rowid was reused")
+      assert(after.contains(99))
+    } finally {
+      Graft.dropTable(spark, "reuse_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
+
+  test("re-registering a table retires its tombstone files for vacuum " +
+      "instead of leaking them") {
+    val dir = freshDir()
+    sys.props("graft.tables.dir") = dir
+    try {
+      TableCatalog.arm(dir) // armed so deleteFrom writes a tombstone file
+      Graft.registerTable(spark, "leak_t",
+        (1 to 5).map(i => (i, s"v$i")).toDF("id", "s"))
+      Graft.deleteFrom(spark, "leak_t", col("id") === 2)
+      val tombs = ArtifactIO.list(dir).filter(_.contains("-tomb-"))
+      assert(tombs.nonEmpty, "armed delete must write a tombstone file")
+      // shadowing re-registration: fresh rowid space, old tombstones dead
+      Graft.registerTable(spark, "leak_t",
+        (10 to 12).map(i => (i, s"v$i")).toDF("id", "s"))
+      assert(Graft.vacuumTable("leak_t") >= 2,
+        "vacuum must reclaim the superseded serving path AND tombstones")
+      assert(!ArtifactIO.list(dir).exists(_.contains("-tomb-")),
+        "tombstone files must not survive vacuum after re-registration")
+    } finally {
+      Graft.dropTable(spark, "leak_t")
+      TableCatalog.disarm()
+      sys.props.remove("graft.tables.dir")
+    }
+  }
 }
