@@ -517,4 +517,50 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
       spark.conf.unset(IndexCatalog.PersistenceConfKey)
     }
   }
+
+  test("CHECKPOINT reclaims a dropped index's artifact and WAL dir " +
+      "(hnsw_reclaim_storage.test_slow); live indexes keep theirs") {
+    import graft.index.ArtifactIO
+    spark.conf.set(IndexCatalog.PersistenceConfKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclaim").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, "reclaim_t", emb)
+    try {
+      IndexCatalog.createIndex(spark, "rc_a", "reclaim_t", "embedding")
+      IndexCatalog.createIndex(spark, "rc_b", "reclaim_t", "embedding")
+      IndexCatalog.checkpoint(spark, dir)
+      assert(ArtifactIO.exists(s"$dir/rc_a.hnsw"))
+      assert(ArtifactIO.exists(s"$dir/rc_b.hnsw"))
+
+      // drop ONE: its artifact and WAL dir go at the next checkpoint, the
+      // survivor's stay; the dropped name is gone from the manifest so a
+      // restore never needs the WAL drop-record to keep it dead
+      IndexCatalog.dropIndex("rc_a")
+      assert(ArtifactIO.exists(s"$dir/rc_a.wal"), "drop record armed")
+      IndexCatalog.checkpoint(spark, dir)
+      assert(!ArtifactIO.exists(s"$dir/rc_a.hnsw"), "dropped artifact leaked")
+      assert(!ArtifactIO.exists(s"$dir/rc_a.wal"), "dropped WAL dir leaked")
+      assert(ArtifactIO.exists(s"$dir/rc_b.hnsw"))
+
+      // drop the other too (the suite's life_idx is still live, so this
+      // checkpoint takes the non-empty path and reclaims rc_b)
+      IndexCatalog.dropIndex("rc_b")
+      IndexCatalog.checkpoint(spark, dir)
+      assert(!ArtifactIO.exists(s"$dir/rc_b.hnsw"))
+
+      // with NO live HNSW indexes at all, CHECKPOINT reclaims what the
+      // previous manifest persisted and retires the manifest itself —
+      // durable state is "no indexes", with no WAL drop-record needed
+      IndexCatalog.clear()
+      IndexCatalog.checkpoint(spark, dir)
+      assert(!ArtifactIO.exists(s"$dir/catalog.manifest"))
+      assert(ArtifactIO.list(dir).forall(p => !p.endsWith(".hnsw")),
+        "empty-catalog checkpoint must reclaim every persisted artifact")
+      assert(IndexCatalog.restoreAll(spark, dir).isEmpty)
+    } finally {
+      IndexCatalog.dropIndex("rc_a"); IndexCatalog.dropIndex("rc_b")
+      Graft.dropTable(spark, "reclaim_t")
+      spark.conf.unset(IndexCatalog.PersistenceConfKey)
+    }
+  }
 }
