@@ -423,8 +423,26 @@ object IndexCatalog {
       // durable state becomes "no indexes" rather than a manifest whose
       // entries only WAL drop-records keep dead. Bookkeeping, not graph
       // serialization, so it stays ungated like the storage families.
-      reclaimDropped(dir, liveNames = Set.empty, livePaths = Set.empty)
-      ArtifactIO.deleteIfExists(s"$dir/catalog.manifest")
+      // Destructive ONLY when this session owns dir's index state (it
+      // checkpointed to or restored from dir): a fresh session that never
+      // saw dir must not erase another deployment's persisted indexes by
+      // issuing an incidental empty-catalog CHECKPOINT against it.
+      if (walDir.contains(dir)) {
+        val dst = s"$dir/catalog.manifest"
+        val prev: Seq[(String, String)] =
+          if (ArtifactIO.exists(dst))
+            scala.util.Try(readManifest(dst)._2.map(m => (m._1, m._6)))
+              .getOrElse(Nil)
+          else Nil
+        // manifest retired FIRST: a crash after this line leaks
+        // unreferenced artifact files (the next checkpoint's orphan sweep
+        // collects them) — never a published manifest referencing
+        // already-deleted artifacts, which a later restoreAll would turn
+        // into LazyLoadedIndex entries that fail at first access.
+        ArtifactIO.deleteIfExists(dst)
+        reclaimDropped(dir, liveNames = Set.empty, livePaths = Set.empty,
+          prev = prev)
+      }
       return Seq.empty
     }
     // gate FIRST: a refused CHECKPOINT must leave `dir` untouched — the
@@ -521,6 +539,21 @@ object IndexCatalog {
     old.foreach { case (name, path) =>
       if (!livePaths.contains(path)) ArtifactIO.deleteRecursive(path)
       if (!liveNames.contains(name)) ArtifactIO.deleteRecursive(s"$dir/$name.wal")
+    }
+    // Orphan sweep: an index created AND dropped between checkpoints was
+    // never in any manifest, so the entry-driven reclaim above cannot see
+    // its WAL drop-record dir — it would leak until a same-name recreate.
+    // Delete every *.wal (and crash-leftover *.wal.legacy) whose index name
+    // is not live; live entries' WAL dirs were already truncated by the
+    // checkpoint caller and re-appear at the next DML batch.
+    ArtifactIO.list(dir).foreach { p =>
+      val base = p.substring(p.lastIndexOf('/') + 1)
+      val name =
+        if (base.endsWith(".wal.legacy")) base.stripSuffix(".wal.legacy")
+        else if (base.endsWith(".wal")) base.stripSuffix(".wal")
+        else null
+      if (name != null && !liveNames.contains(name))
+        ArtifactIO.deleteRecursive(p)
     }
   }
 

@@ -548,14 +548,27 @@ class PersistenceLifecycleSpec extends GraftSparkSpec with BeforeAndAfterAll {
       IndexCatalog.checkpoint(spark, dir)
       assert(!ArtifactIO.exists(s"$dir/rc_b.hnsw"))
 
-      // with NO live HNSW indexes at all, CHECKPOINT reclaims what the
-      // previous manifest persisted and retires the manifest itself —
-      // durable state is "no indexes", with no WAL drop-record needed
+      // a FRESH session (never checkpointed to or restored from dir) with
+      // an empty catalog must NOT destroy dir's durable state: its empty
+      // CHECKPOINT is an unrelated session's, not a statement that dir's
+      // indexes are gone
       IndexCatalog.clear()
+      IndexCatalog.checkpoint(spark, dir)
+      assert(ArtifactIO.exists(s"$dir/catalog.manifest"),
+        "un-owning session's empty checkpoint must not erase the manifest")
+
+      // an OWNING session (restored from dir) that drops every index and
+      // checkpoints reclaims what the previous manifest persisted and
+      // retires the manifest itself — durable state is "no indexes", with
+      // no WAL drop-record needed
+      val restored = IndexCatalog.restoreAll(spark, dir)
+      restored.foreach(e => IndexCatalog.dropIndex(e.name))
       IndexCatalog.checkpoint(spark, dir)
       assert(!ArtifactIO.exists(s"$dir/catalog.manifest"))
       assert(ArtifactIO.list(dir).forall(p => !p.endsWith(".hnsw")),
         "empty-catalog checkpoint must reclaim every persisted artifact")
+      assert(ArtifactIO.list(dir).forall(p => !p.endsWith(".wal")),
+        "empty-catalog checkpoint must sweep every WAL dir")
       assert(IndexCatalog.restoreAll(spark, dir).isEmpty)
     } finally {
       IndexCatalog.dropIndex("rc_a"); IndexCatalog.dropIndex("rc_b")

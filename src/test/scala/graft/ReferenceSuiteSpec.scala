@@ -57,7 +57,8 @@ class ReferenceSuiteSpec extends GraftSparkSpec
   private val refDir = "/root/reference/test/sql/hnsw"
 
   private case class Deviation(patches: Seq[(String, String)] = Nil,
-      unorderedListCells: Boolean = false, reason: String = "")
+      unorderedListCells: Boolean = false, sqliteBooleans: Boolean = false,
+      reason: String = "")
 
   private val deviations: Map[String, Deviation] = Map(
     "hnsw_topk.test" -> Deviation(
@@ -79,6 +80,7 @@ class ReferenceSuiteSpec extends GraftSparkSpec
       patches = Seq(
         "range(1000000)" -> "range(50000)",
         "500000" -> "25000"),
+      sqliteBooleans = true,
       reason = "scaled 1M rows -> 50k for wall-clock (a driver-built " +
         "single-graph build x6); the file's assertions are scale-FREE — " +
         "each compares the live block count against a same-run savepoint " +
@@ -142,13 +144,16 @@ class ReferenceSuiteSpec extends GraftSparkSpec
     case other => other.toString
   }
 
-  private def canonLine(line: String, unorderedLists: Boolean): String = {
+  private def canonLine(line: String, unorderedLists: Boolean,
+      sqliteBooleans: Boolean): String = {
     val cells = line.split("\t", -1).map {
-      // duckdb's runner accepts sqlite-style 1/0 for booleans (the slow
+      // duckdb's runner accepts sqlite-style 1/0 for booleans (the reclaim
       // suite's block-count comparisons expect `1`); canonicalize both
-      // spellings so rendered `true` matches an expected `1`
-      case "true" => "1"
-      case "false" => "0"
+      // spellings so rendered `true` matches an expected `1` — but ONLY
+      // where the file's Deviation opts in, so a type regression rendering
+      // booleans where ints are expected still fails everywhere else
+      case "true" if sqliteBooleans => "1"
+      case "false" if sqliteBooleans => "0"
       case cell if unorderedLists && cell.length >= 2 &&
           cell.head == '[' && cell.last == ']' =>
         "[" + cell.substring(1, cell.length - 1).split(", ", -1).sorted
@@ -176,7 +181,8 @@ class ReferenceSuiteSpec extends GraftSparkSpec
     }
 
   private def compareBlock(ctx: String, expected: Seq[String],
-      actual: Seq[String], unorderedLists: Boolean): Unit = {
+      actual: Seq[String], unorderedLists: Boolean,
+      sqliteBooleans: Boolean): Unit = {
     assert(expected.size == actual.size,
       s"$ctx row count ${actual.size} != expected ${expected.size}\n" +
         s"expected:\n${expected.mkString("\n")}\nactual:\n${actual.mkString("\n")}")
@@ -191,8 +197,9 @@ class ReferenceSuiteSpec extends GraftSparkSpec
           assert(p.matcher(cellA).matches(),
             s"$ctx regex '${cellE.stripPrefix("<REGEX>:")}' " +
               s"did not match:\n$cellA")
-        } else assert(canonLine(cellE, unorderedLists) ==
-          canonLine(cellA, unorderedLists), s"$ctx cell '$cellA' != '$cellE'")
+        } else assert(canonLine(cellE, unorderedLists, sqliteBooleans) ==
+          canonLine(cellA, unorderedLists, sqliteBooleans),
+          s"$ctx cell '$cellA' != '$cellE'")
       }
     }
   }
@@ -308,7 +315,8 @@ class ReferenceSuiteSpec extends GraftSparkSpec
               // produce — e.g. the reclaim test's probe row)
               val expP = exp0.map(patch)
               val exp = if (rowsort) expP.sorted else expP
-              compareBlock(ctx, exp, actual, dev.unorderedListCells)
+              compareBlock(ctx, exp, actual, dev.unorderedListCells,
+                dev.sqliteBooleans)
               nValueChecked += 1
             }
           }
@@ -316,7 +324,8 @@ class ReferenceSuiteSpec extends GraftSparkSpec
             labels.get(lb) match {
               case Some(prev) =>
                 val c = (s: Seq[String]) =>
-                  s.map(canonLine(_, dev.unorderedListCells))
+                  s.map(canonLine(_, dev.unorderedListCells,
+                    dev.sqliteBooleans))
                 assert(c(actual) == c(prev),
                   s"$ctx label '$lb' differential mismatch:\nfirst:\n" +
                     s"${prev.mkString("\n")}\nnow:\n${actual.mkString("\n")}")
