@@ -131,6 +131,79 @@ class RuleDifferentialSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("lateral decorrelation shapes: randomized with/without-index " +
+      "differential over (shape, metric, k, NULL probes, projected outer " +
+      "columns, sort direction)") {
+    // Both decorrelation forms Spark produces for the reference's lateral
+    // kNN spelling (hnsw_lateral_join.test:32-67), generated randomly:
+    //  - projecting outer columns inside the subquery yields the
+    //    sort-below-window shape (Sort below a no-order row_number Window),
+    //  - projecting none yields the window-order shape (row_number Window
+    //    ordered by the correlated distance).
+    // Each trial runs the SAME SQL with the index present and absent and
+    // compares per-probe distance multisets; DESC trials must NOT rewrite
+    // (farthest-k is not a kNN scan) but must still agree with brute force.
+    val rnd = new scala.util.Random(20260814)
+    val metrics = Seq(
+      ("l2sq", "array_distance_sq"),
+      ("cosine", "array_cosine_distance"))
+    (0 until 10).foreach { trial =>
+      val (metric, fn) = metrics(rnd.nextInt(metrics.size))
+      val k = 1 + rnd.nextInt(8)
+      val m = 20 + rnd.nextInt(40) // outer slice size
+      val desc = trial % 3 == 2 // every third trial: DESC, must not match
+      val nOuterCols = rnd.nextInt(3) // 0 → window-order shape
+      val includeNullProbes = rnd.nextBoolean()
+      val outerProj = Seq("t.label AS lbl_dup", "t.id AS id_dup")
+        .take(nOuterCols)
+      val innerCols =
+        (Seq(s"d2.id AS id", s"$fn(t.vec, d2.vec) AS d") ++ outerProj)
+          .mkString(", ")
+      val dir = if (desc) " DESC" else ""
+      val nullPred = if (includeNullProbes) "" else " AND t.vec IS NOT NULL"
+      val sql =
+        s"""SELECT t.id AS qid, l.d AS d
+           |FROM diff_t t, LATERAL (
+           |  SELECT $innerCols FROM diff_t d2
+           |  ORDER BY $fn(t.vec, d2.vec)$dir LIMIT $k
+           |) l
+           |WHERE t.id < $m$nullPred""".stripMargin
+      val ctx = s"trial $trial shape=${if (nOuterCols == 0) "window-order"
+        else "sort-below-window"} metric=$metric k=$k m=$m desc=$desc " +
+        s"nullProbes=$includeNullProbes"
+      def rows() = GraftSql.sql(spark, sql).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      def grouped(rs: Array[(Long, Option[Double])]) =
+        rs.groupBy(_._1).view
+          .mapValues(_.map(_._2).sortBy(_.getOrElse(-1.0)).toSeq).toMap
+      val plan = GraftSql.sql(spark, sql)
+        .queryExecution.executedPlan.toString
+      if (desc)
+        assert(!plan.contains("HnswKnnJoin"),
+          s"$ctx: DESC (farthest-k) must NOT take the index join\n" +
+            plan.take(2000))
+      else
+        assert(plan.contains("HnswKnnJoin"),
+          s"$ctx: index join not taken\n" + plan.take(2000))
+      val viaIdx = rows()
+      IndexCatalog.dropIndex(s"diff_$metric")
+      try {
+        val brute = rows()
+        assert(grouped(viaIdx) == grouped(brute), ctx)
+        if (includeNullProbes && !desc) {
+          val nullQids = viaIdx.filter(_._2.isEmpty).map(_._1).toSet
+          assert(nullQids == (0L until m.toLong).filter(_ % 17 == 0).toSet,
+            s"$ctx: NULL probes must survive the rewrite with all-NULL " +
+              "distances")
+        }
+      } finally {
+        IndexCatalog.createIndex(spark, s"diff_$metric", "diff_t", "vec",
+          Map("metric" -> metric, "ef_search" -> "5000"))
+      }
+    }
+  }
+
   test("KNN-join rewrite: random k trials match the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(99)
