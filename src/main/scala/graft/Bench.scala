@@ -263,6 +263,8 @@ object Bench {
     // just absence-of-exception.
     val recallMetrics = SparkEntry.graphRecall(spark).toSeq.flatMap {
       case (r79, r80) => Seq("recall79" -> r79, "recall80" -> r80)
+    } ++ SparkEntry.shardedGraphRecall(spark).toSeq.flatMap {
+      case (r81, r82) => Seq("recall81" -> r81, "recall82" -> r82)
     }
     val all = results ++ buildMetrics ++ recallMetrics
     val total = results.map(_._2).sum
@@ -338,5 +340,6 @@ object Bench {
     ("q24_jaccard_pairs", "build_shingle_index", "b24"),
     ("q23_simhash", "build_simhash_index", "b23"),
     ("q71_dedup_spans", "build_clean_corpus", "b71"),
-    ("q79_graph_topk", "build_graph_index", "b79"))
+    ("q79_graph_topk", "build_graph_index", "b79"),
+    ("q81_sharded_graph_topk", "build_sharded_graph_index", "b81"))
 }

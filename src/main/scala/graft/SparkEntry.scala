@@ -489,6 +489,27 @@ object SparkEntry {
       (table, index)
     }
 
+    /** Read-only SHARDED GRAPH-MODE index shared by q81/q82 — the 100 TB
+      * ANN shape with per-shard APPROXIMATE descent: 16 sub-graphs (twice
+      * q35's shard count, one per storage partition at scale), each
+      * searched at the graph default ef rather than q35's exhaustive
+      * ef_search >= N, k-way-merged across shards. Sharding can only
+      * IMPROVE recall at fixed ef (each sub-graph is exhaustively-entered
+      * with its own entry point; the union of per-shard top-k supersets
+      * the single-graph candidate set), and the q81/q82 recall gate
+      * measures that claim per run instead of assuming it. */
+    private def sharedShardedGraphIndex(s: SparkSession, dir: String): (String, String) = {
+      graft.plans.GraftExtensions.install(s)
+      val tag = Integer.toHexString(dir.hashCode)
+      val (table, index) = (s"qsgraph_emb_$tag", s"qsgraph_idx_$tag")
+      if (graft.index.IndexCatalog.get(index).isEmpty) {
+        Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
+        graft.index.IndexCatalog.createIndex(s, index, table, "embedding",
+          Map.empty, sharded = true, numShards = 16)
+      }
+      (table, index)
+    }
+
     /** q16's TopN shape in true graph mode (ef=64). APPROXIMATE by design —
       * no SQL oracle (rows-only check); instead `assertGraphRecall` gates
       * every driver run: the executed answers are compared against the
@@ -532,6 +553,47 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }
 
+    /** q79's TopN shape through the SHARDED graph-mode index (16 shards,
+      * graph ef): one task per shard, per-shard graph descent, k-way merge.
+      * Same probe as q79, so the bench's q79-vs-q81 latency delta and the
+      * recall79-vs-recall81 pair read directly as single-graph vs sharded
+      * fan-out at identical work. Recall-gated per run (recall81/82). */
+    def q81ShardedGraphTopK(s: SparkSession, dir: String): DataFrame = {
+      val df = q81Plan(s, dir)
+      assertShardedGraphRecall(s, dir)
+      df
+    }
+
+    private def q81Plan(s: SparkSession, dir: String): DataFrame = {
+      val (table, _) = sharedShardedGraphIndex(s, dir)
+      val qv = embQueryVec(s, table, 0)
+      s.table(table)
+        .withColumn("dist", vector.array_distance_sq(col("embedding"), lit(qv)))
+        .orderBy(col("dist").asc_nulls_last).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    /** q80's KNN-join shape through the SHARDED graph-mode index: 100
+      * probes, k=3, shard paths + stats broadcast, executors pull shard
+      * graphs through the per-JVM ShardCache and descend each at graph ef.
+      * Recall-gated per run like q80. */
+    def q82ShardedGraphKnnJoin(s: SparkSession, dir: String): DataFrame = {
+      val df = q82Plan(s, dir)
+      assertShardedGraphRecall(s, dir)
+      df
+    }
+
+    private def q82Plan(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedShardedGraphIndex(s, dir)
+      val outer = s.table(table)
+        .filter(col("vec_id") < 100 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.knnJoin(s, outer, "qvec", index, 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
+        .orderBy(col("qid"), col("rank"))
+    }
+
     /** Per-run correctness gate for the oracle-less graph-mode entries:
       * collect what the REAL q79/q80 plans (index rewrite, broadcast
       * descent, join plumbing — the executed path, not a shadow of it)
@@ -564,15 +626,43 @@ object SparkEntry {
       * pairs), from the most recent passing gate. None until a gated query
       * executes. */
     def graphRecall(s: SparkSession): Option[(Double, Double)] =
+      lastRecallFor(s, "graph")
+
+    /** Measured SHARDED graph-mode recall (q81/q82 gate — the 16-shard
+      * fan-out at graph ef), same shape as [[graphRecall]]. */
+    def shardedGraphRecall(s: SparkSession): Option[(Double, Double)] =
+      lastRecallFor(s, "sgraph")
+
+    private def lastRecallFor(s: SparkSession,
+        prefix: String): Option[(Double, Double)] =
       graphRecallChecked.synchronized {
-        Option(graphRecallChecked.get(s)).flatMap(_.lastOption).map(_._2)
+        Option(graphRecallChecked.get(s)).flatMap(_.toSeq.reverse.collectFirst {
+          case (k, v) if k.startsWith(prefix + ":") => v
+        })
       }
 
     private def assertGraphRecall(s: SparkSession, dir: String): Unit = {
       val (table, index) = sharedGraphIndex(s, dir)
+      recallGate(s, dir, table, index, "graph",
+        q79Plan(s, dir), q80Plan(s, dir))
+    }
+
+    private def assertShardedGraphRecall(s: SparkSession, dir: String): Unit = {
+      val (table, index) = sharedShardedGraphIndex(s, dir)
+      recallGate(s, dir, table, index, "sgraph",
+        q81Plan(s, dir), q82Plan(s, dir))
+    }
+
+    /** The gate body, shared by the single-graph (q79/q80) and sharded
+      * (q81/q82) pairs: `topkPlan`/`knnPlan` are the REAL executed plans
+      * whose answers are compared against the exact top-k through the same
+      * index's exhaustive path. */
+    private def recallGate(s: SparkSession, dir: String, table: String,
+        index: String, keyPrefix: String,
+        topkPlan: => DataFrame, knnPlan: => DataFrame): Unit = {
       val entry = graft.index.IndexCatalog.get(index).get
       val gateEf = graft.index.IndexCatalog.effectiveEf(s, entry)
-      val gateKey = s"$dir:$gateEf"
+      val gateKey = s"$keyPrefix:$dir:$gateEf"
       // memoized only AFTER a PASSING run (below): a failed gate throws
       // without recording, so the next q79/q80 call re-checks instead of
       // silently skipping a known-bad index. (Two concurrent FIRST calls
@@ -595,7 +685,7 @@ object SparkEntry {
         // inflated.
         val qv79 = embQueryVec(s, table, 0)
         val exact79 = idx.search(qv79, 10, exhaustiveEf)
-        val approx79 = q79Plan(s, dir).collect()
+        val approx79 = topkPlan.collect()
           .filterNot(_.isNullAt(1)).map(_.getDouble(1)).toSeq
         val recall79 = hits(approx79, exact79.last._2) / 10.0
 
@@ -607,7 +697,7 @@ object SparkEntry {
         val exactKth80 = probes.map { case (qid, v) =>
           qid -> idx.search(v, 3, exhaustiveEf).last._2
         }
-        val approx80 = q80Plan(s, dir).collect()
+        val approx80 = knnPlan.collect()
           .filterNot(_.isNullAt(3)).map(r => (r.getLong(0), r.getDouble(3)))
         val hit80 = approx80.count { case (qid, d) =>
           d <= exactKth80(qid) * (1 + 1e-9) + 1e-12
@@ -616,9 +706,9 @@ object SparkEntry {
 
         if (recall79 < 0.9 - 1e-9 || recall80 < 0.95 - 1e-9)
           throw new IllegalStateException(
-            f"graph-mode recall gate failed: q79 recall@10=$recall79%.3f " +
-              f"(need >=0.9), q80 recall@3=$recall80%.3f (need >=0.95) " +
-              s"at ef=$gateEf")
+            f"$keyPrefix-mode recall gate failed: topk recall@10=" +
+              f"$recall79%.3f (need >=0.9), knn recall@3=$recall80%.3f " +
+              s"(need >=0.95) at ef=$gateEf")
         graphRecallChecked.synchronized {
           val m = Option(graphRecallChecked.get(s)).getOrElse {
             val fresh =
@@ -1537,6 +1627,11 @@ object SparkEntry {
   def graphRecall(s: SparkSession): Option[(Double, Double)] =
     Queries.graphRecall(s)
 
+  /** Measured SHARDED graph-mode recall for `s` (the q81/q82 gate —
+    * 16-shard fan-out at graph ef), for the bench's recall81/recall82. */
+  def shardedGraphRecall(s: SparkSession): Option[(Double, Double)] =
+    Queries.shardedGraphRecall(s)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Queries.q01PricingSummary _),
@@ -1621,6 +1716,8 @@ object SparkEntry {
     // so no SQL oracle (driver rows-only check); RecallSpec pins quality
     "q79_graph_topk" -> (Queries.q79GraphTopK _),
     "q80_graph_knn_join" -> (Queries.q80GraphKnnJoin _),
+    "q81_sharded_graph_topk" -> (Queries.q81ShardedGraphTopK _),
+    "q82_sharded_graph_knn_join" -> (Queries.q82ShardedGraphKnnJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
