@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-by-stage profile of q19's CRUD lifecycle (iteration tool,
+  * like TimeQuery — not part of the driver contract). */
+object ProfileCrud {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    (1 to 3).foreach { round =>
+      println(s"--- round $round ---")
+      time("total") {
+        time("setupIndex (drop+build)") {
+          graft.plans.GraftExtensions.install(spark)
+          time("  registerTable") {
+            Graft.registerTable(spark, "q19_emb",
+              spark.read.parquet(s"$sfDir/embeddings.parquet"))
+          }
+          graft.index.IndexCatalog.dropIndex("q19_idx")
+          time("  createIndex") {
+            graft.index.IndexCatalog.createIndex(spark, "q19_idx", "q19_emb",
+              "embedding", Map("ef_search" -> "100000"))
+          }
+        }
+        val ins = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < 3)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+            col("label"))
+        time("insertInto") { Graft.insertInto(spark, "q19_emb", ins) }
+        time("deleteFrom") {
+          Graft.deleteFrom(spark, "q19_emb", col("vec_id") % 7 === 0)
+        }
+        time("compactIndex") {
+          graft.index.IndexCatalog.compactIndex("q19_idx")
+        }
+        time("compactIndex again") {
+          graft.index.IndexCatalog.compactIndex("q19_idx")
+        }
+        val qv = time("embQueryVec") {
+          spark.table("q19_emb").filter(col("vec_id") === 1)
+            .select(col("embedding")).head().getSeq[Float](0).toArray
+        }
+        time("indexTopK+collect") {
+          Graft.indexTopK(spark, "q19_idx", qv, 10)
+            .select(col("vec_id"), col("dist"))
+            .orderBy(col("dist"), col("vec_id")).collect()
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -8,6 +8,76 @@ import scala.collection.mutable
   * (reference src/hnsw/hnsw_index_pragmas.cpp:54-58). */
 case class LevelStats(nodes: Long, edges: Long, maxEdges: Long, allocatedBytes: Long)
 
+/** Growable primitive int list for neighbor storage. `ArrayBuffer[Int]`
+  * boxes every element (generic backing array), which made each beam-search
+  * visit allocate and unbox — neighbor lists are THE hot data structure of
+  * both construct and search, so they live in flat int arrays. */
+private[index] final class IntVec(initCap: Int = 8) extends Serializable {
+  private var arr = new Array[Int](math.max(initCap, 4))
+  private var n = 0
+  def length: Int = n
+  def apply(i: Int): Int = arr(i)
+  def add(v: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n << 1)
+    arr(n) = v; n += 1
+  }
+  def clear(): Unit = n = 0
+  def contains(v: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (arr(i) == v) return true; i += 1 }
+    false
+  }
+  def foreach(f: Int => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(arr(i)); i += 1 }
+  }
+}
+
+private[index] object IntVec {
+  /** Shared immutable empty — returned for levels a node does not have. */
+  val empty = new IntVec(4)
+}
+
+/** Binary heap over (distance, id) pairs in parallel primitive arrays —
+  * no boxing, no tuple allocation. `min = true` → smallest distance on
+  * top; `min = false` → largest. */
+private[index] final class PairHeap(initCap: Int, min: Boolean) {
+  private var ds = new Array[Double](math.max(initCap, 4))
+  private var ids = new Array[Int](ds.length)
+  private var n = 0
+  def size: Int = n
+  def topDist: Double = ds(0)
+  def topId: Int = ids(0)
+  private def before(a: Double, b: Double): Boolean = if (min) a < b else a > b
+  def push(d: Double, id: Int): Unit = {
+    if (n == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, n << 1)
+      ids = java.util.Arrays.copyOf(ids, n << 1)
+    }
+    var i = n
+    n += 1
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (before(d, ds(p))) { ds(i) = ds(p); ids(i) = ids(p); i = p }
+      else { ds(i) = d; ids(i) = id; return }
+    }
+    ds(0) = d; ids(0) = id
+  }
+  def pop(): Unit = {
+    n -= 1
+    val d = ds(n)
+    val id = ids(n)
+    var i = 0
+    var c = 1
+    while (c < n) {
+      if (c + 1 < n && before(ds(c + 1), ds(c))) c += 1
+      if (before(ds(c), d)) { ds(i) = ds(c); ids(i) = ids(c); i = c; c = 2 * i + 1 }
+      else c = n // settle here
+    }
+    if (n > 0) { ds(i) = d; ids(i) = id }
+  }
+}
+
 /** A clean-room JVM implementation of the HNSW approximate-nearest-neighbor
   * graph (Malkov & Yashunin 2016, "Efficient and robust approximate nearest
   * neighbor search using Hierarchical Navigable Small World graphs").
@@ -18,12 +88,15 @@ case class LevelStats(nodes: Long, edges: Long, maxEdges: Long, allocatedBytes: 
   * defaults follow the reference: M=16, M0=2·M, ef_construction=128,
   * ef_search=64 (reference src/include/usearch/index.hpp:1097-1125).
   *
-  * Keys are engine rowids (Long). Level assignment uses a seeded RNG so a
-  * build over the same insertion order is deterministic. The structure is
-  * single-writer / multi-reader: searches are safe concurrently with each
-  * other but not with add/remove (callers — the engine's IndexCatalog —
-  * serialize mutation, as the reference does with its rwlock,
-  * reference src/hnsw/hnsw_index.cpp:302,440).
+  * Keys are engine rowids (Long). Level assignment is a seeded HASH of the
+  * key (see levelFor): the same key set always yields the same levels, no
+  * matter the insertion order or parallel interleaving — which, with the
+  * capacity-padded artifact format, makes artifact size a pure function of
+  * the indexed rows (the reclaim test's block-count invariant). The
+  * structure is single-writer / multi-reader: searches are safe
+  * concurrently with each other but not with add/remove (callers — the
+  * engine's IndexCatalog — serialize mutation, as the reference does with
+  * its rwlock, reference src/hnsw/hnsw_index.cpp:302,440).
   */
 class HnswIndex(
     val dim: Int,
@@ -39,18 +112,54 @@ class HnswIndex(
   require(efConstruction >= 1 && efSearch >= 1, "ef parameters must be at least 1")
   require(DistanceKernels.forMetric(metric) != null)
 
-  @transient private lazy val dist: (Array[Float], Array[Float]) => Double =
-    DistanceKernels.forMetric(metric)
+  // static-dispatch distance: a Function2[Array[Float],Array[Float],Double]
+  // field boxes its Double return on every call (the generic apply path) —
+  // at ~1k distance evals per insert/search that allocation dominated the
+  // construct phase. An int switch over the metric inlines to the concrete
+  // kernels with primitive returns.
+  @transient private lazy val metricId: Int = metric match {
+    case "l2sq" => 0
+    case "l2" => 1
+    case "cosine" => 2
+    case "ip" => 3
+    case other => throw new IllegalArgumentException(s"Unknown metric '$other'")
+  }
+  private def dist(a: Array[Float], b: Array[Float]): Double =
+    metricId match {
+      case 0 => DistanceKernels.l2sq(a, b)
+      case 1 => DistanceKernels.l2(a, b)
+      case 2 => DistanceKernels.cosineDistance(a, b)
+      case _ => -DistanceKernels.dot(a, b)
+    }
 
   private val mL: Double = 1.0 / math.log(m.toDouble)
-  private val rng = new java.util.Random(seed)
+
+  /** Level draw for a key: the paper's geometric draw, but from a splitmix64
+    * hash of (seed, key) instead of a shared sequential RNG. Same marginal
+    * distribution; the difference is that a node's level is a pure function
+    * of its key, independent of insertion order and of parallel-build thread
+    * interleaving — so rebuilding an index over the same key set yields the
+    * same level assignment and (with the capacity-padded v2 artifact format)
+    * byte-identical artifact SIZE, the invariant DuckDB's block manager
+    * gives the reference's storage-reclaim test
+    * (test/sql/slow/hnsw_reclaim_storage.test_slow: recreate must stay
+    * within +5 blocks of the first build). */
+  private def levelFor(key: Long): Int = {
+    var z = seed ^ key
+    z += 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 0.5) / 9007199254740992.0 // uniform (0,1)
+    math.min(math.floor(-math.log(u) * mL).toInt, 63)
+  }
 
   // node storage: internal id -> payload
   private val keys = mutable.ArrayBuffer.empty[Long]
   private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
   private val nodeLevel = mutable.ArrayBuffer.empty[Int]
-  // neighbors(id)(level) = ArrayBuffer[internal id]
-  private val neighbors = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  // neighbors(id)(level) = flat int list of internal ids
+  private val neighbors = mutable.ArrayBuffer.empty[Array[IntVec]]
   private val keyToId = mutable.HashMap.empty[Long, Int]
   private val tombstones = mutable.BitSet.empty
   private var entryPoint: Int = -1
@@ -80,11 +189,11 @@ class HnswIndex(
       throw new IllegalArgumentException(s"duplicate key $key")
     }
     val id = keys.size
-    val level = math.min(math.floor(-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 63)
+    val level = levelFor(key)
     keys += key
     vecs += vec
     nodeLevel += level
-    neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    neighbors += Array.fill(level + 1)(new IntVec)
     keyToId(key) = id
 
     if (entryPoint < 0) {
@@ -120,18 +229,13 @@ class HnswIndex(
       val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
       val selected = selectNeighborsHeuristic(vec, found, m)
       val nbrs = neighbors(id)(lev)
-      selected.foreach { case (_, nid) => nbrs += nid }
+      selected.foreach { case (_, nid) => nbrs.add(nid) }
       // bidirectional links + shrink
       selected.foreach { case (_, nid) =>
         val theirNbrs = neighbors(nid)(lev)
-        theirNbrs += id
+        theirNbrs.add(id)
         val cap = maxNeighbors(lev)
-        if (theirNbrs.length > cap) {
-          val pruned = selectNeighborsHeuristic(
-            vecs(nid), theirNbrs.map(x => (dist(vecs(nid), vecs(x)), x)).toList, cap)
-          theirNbrs.clear()
-          pruned.foreach { case (_, x) => theirNbrs += x }
-        }
+        if (theirNbrs.length > cap) pruneNeighbors(nid, theirNbrs, cap)
       }
       eps = found
       lev -= 1
@@ -158,16 +262,30 @@ class HnswIndex(
     val pool = java.util.concurrent.Executors.newFixedThreadPool(numThreads)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val lockObj = new Object
-    def nextItem(): (Long, Array[Float]) = lockObj.synchronized {
-      if (items.hasNext) items.next() else null
+    // Batched pulls: each worker inserts BatchSize items per lock cycle
+    // (one write-lock allocation, one read-lock search pass, one write-lock
+    // link pass for the whole batch). Per-item lock acquisitions were the
+    // scaling ceiling once the prune moved out of the lock — the rwLock's
+    // CAS/queue traffic at ~3 acquisitions per insert throttled 16 threads
+    // down to ~4×. Items within a batch don't see each other during their
+    // search (they are unlinked and invisible), the standard parallel-HNSW
+    // relaxation.
+    val BatchSize = 8
+    def nextBatch(): Array[(Long, Array[Float])] = lockObj.synchronized {
+      if (!items.hasNext) null
+      else {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](BatchSize)
+        while (buf.length < BatchSize && items.hasNext) buf += items.next()
+        buf.toArray
+      }
     }
     (0 until numThreads).foreach { _ =>
       pool.execute(new Runnable {
         def run(): Unit = try {
-          var item = nextItem()
-          while (item != null && err.get() == null) {
-            addConcurrent(item._1, item._2)
-            item = nextItem()
+          var batch = nextBatch()
+          while (batch != null && err.get() == null) {
+            addBatchConcurrent(batch)
+            batch = nextBatch()
           }
         } catch { case t: Throwable => err.compareAndSet(null, t) }
       })
@@ -177,119 +295,212 @@ class HnswIndex(
     // would let unlocked readers race in-flight inserts
     while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
     if (err.get() != null) throw err.get()
+    // Final prune sweep, parallel and lock-free: builder threads are done,
+    // each task prunes only ITS nodes' own lists (reads of other nodes'
+    // vectors are immutable), restoring the ≤cap invariant the incremental
+    // path maintains — with full candidate sets, so quality matches or
+    // beats prune-on-every-overflow.
+    val sweepPool = java.util.concurrent.Executors.newFixedThreadPool(numThreads)
+    val nNodes = keys.size
+    (0 until numThreads).foreach { t =>
+      sweepPool.execute(new Runnable {
+        def run(): Unit = try {
+          var id = t
+          while (id < nNodes && err.get() == null) {
+            val nb = neighbors(id)
+            var l = 0
+            while (l < nb.length) {
+              val cap = maxNeighbors(l)
+              if (nb(l).length > cap) pruneNeighbors(id, nb(l), cap)
+              l += 1
+            }
+            id += numThreads
+          }
+        } catch { case th: Throwable => err.compareAndSet(null, th) }
+      })
+    }
+    sweepPool.shutdown()
+    while (!sweepPool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
+    if (err.get() != null) throw err.get()
   }
 
-  private def addConcurrent(key: Long, vec: Array[Float]): Unit = {
-    require(vec.length == dim, s"vector dimension ${vec.length} != index dimension $dim")
+  /** One batch through the three-phase concurrent insert: allocate every
+    * node (write lock), beam-search + neighbor-select every node over the
+    * read-locked snapshot — the dominant cost, fully parallel across
+    * batches — then link every node (write lock). Batching amortizes lock
+    * acquisitions ~BatchSize-fold; the heavy per-backlink overflow prune
+    * is deferred to addAll's end sweep (see phase-3 comment). */
+  private def addBatchConcurrent(batch: Array[(Long, Array[Float])]): Unit = {
     val w = rwLock.writeLock(); val r = rwLock.readLock()
+    val nb = batch.length
+    val idsArr = new Array[Int](nb)
+    val levelsArr = new Array[Int](nb)
+    var firstEntry = -1 // batch position that seeded an empty graph's entry
 
-    // phase 1: allocate the node (invisible until linked)
-    var id = -1
-    var level = 0
+    // phase 1: allocate all nodes (invisible until linked)
     w.lock()
     try {
-      if (keyToId.contains(key)) {
-        throw new IllegalArgumentException(s"duplicate key $key")
-      }
-      id = keys.size
-      level = math.min(
-        math.floor(-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 63)
-      keys += key
-      vecs += vec
-      nodeLevel += level
-      neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
-      keyToId(key) = id
-      if (entryPoint < 0) {
-        entryPoint = id
-        topLevel = level
-        return
+      var i = 0
+      while (i < nb) {
+        val (key, vec) = batch(i)
+        require(vec.length == dim,
+          s"vector dimension ${vec.length} != index dimension $dim")
+        if (keyToId.contains(key)) {
+          throw new IllegalArgumentException(s"duplicate key $key")
+        }
+        val id = keys.size
+        val level = levelFor(key)
+        keys += key
+        vecs += vec
+        nodeLevel += level
+        neighbors += Array.fill(level + 1)(new IntVec)
+        keyToId(key) = id
+        idsArr(i) = id
+        levelsArr(i) = level
+        if (entryPoint < 0) {
+          entryPoint = id
+          topLevel = level
+          firstEntry = i
+        }
+        i += 1
       }
     } finally w.unlock()
 
-    // phase 2: beam-search candidate neighbors per level (parallel)
-    val perLevel = mutable.ArrayBuffer.empty[(Int, List[(Double, Int)])]
+    // phase 2: beam-search candidate neighbors per level AND run the
+    // selection heuristic on the found sets — both read-only over the
+    // snapshot, so they parallelize under the read lock. (Selection used to
+    // run in phase 3 under the WRITE lock; its O(ef·M) distance evals made
+    // the serial section ~comparable to the search and capped parallel
+    // build speedup at ~2× regardless of thread count.) Batch members are
+    // unlinked and therefore invisible to each other's searches.
+    val perItem = new Array[List[(Int, List[(Double, Int)])]](nb)
     r.lock()
     try {
-      var ep = entryPoint
-      var epDist = dist(vec, vecs(ep))
-      var l = topLevel
-      while (l > level) {
-        var changed = true
-        while (changed) {
-          changed = false
-          val nbrs = neighborsAt(ep, l)
-          var i = 0
-          while (i < nbrs.length) {
-            val cand = nbrs(i)
-            val d = dist(vec, vecs(cand))
-            if (d < epDist) { ep = cand; epDist = d; changed = true }
-            i += 1
+      var i = 0
+      while (i < nb) {
+        if (i != firstEntry) {
+          val vec = batch(i)._2
+          val id = idsArr(i)
+          val level = levelsArr(i)
+          var ep = entryPoint
+          var epDist = dist(vec, vecs(ep))
+          var l = topLevel
+          while (l > level) {
+            var changed = true
+            while (changed) {
+              changed = false
+              val nbrs = neighborsAt(ep, l)
+              var j = 0
+              while (j < nbrs.length) {
+                val cand = nbrs(j)
+                val d = dist(vec, vecs(cand))
+                if (d < epDist) { ep = cand; epDist = d; changed = true }
+                j += 1
+              }
+            }
+            l -= 1
           }
+          var lev = math.min(level, topLevel)
+          var eps = List((epDist, ep))
+          var acc: List[(Int, List[(Double, Int)])] = Nil
+          while (lev >= 0) {
+            val found =
+              searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
+            val selected =
+              selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m)
+            acc = (lev, selected) :: acc
+            eps = found
+            lev -= 1
+          }
+          perItem(i) = acc
         }
-        l -= 1
-      }
-      var lev = math.min(level, topLevel)
-      var eps = List((epDist, ep))
-      while (lev >= 0) {
-        val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
-        perLevel += ((lev, found))
-        eps = found
-        lev -= 1
+        i += 1
       }
     } finally r.unlock()
 
-    // phase 3: link (serial, but much cheaper than the search)
+    // phase 3: link — only the structural mutation holds the write lock.
+    // Amortized overflow pruning: the O(cap²)-distance heuristic prune is
+    // THE serial bottleneck of the parallel build when run on every
+    // saturated backlink (profiled: all sibling threads park on the write
+    // lock while one prunes). During bulk build, lists may run to 2×cap
+    // and addAll prunes everything back to cap in a lock-free parallel
+    // sweep at the end — searches against an over-full list only see
+    // extra routing edges.
     w.lock()
     try {
-      perLevel.foreach { case (lev, found0) =>
-        val found = found0.filterNot(_._2 == id)
-        val selected = selectNeighborsHeuristic(vec, found, m)
-        val nbrs = neighbors(id)(lev)
-        selected.foreach { case (_, nid) => if (!nbrs.contains(nid)) nbrs += nid }
-        selected.foreach { case (_, nid) =>
-          val theirNbrs = neighbors(nid)(lev)
-          if (!theirNbrs.contains(id)) theirNbrs += id
-          val cap = maxNeighbors(lev)
-          if (theirNbrs.length > cap) {
-            val pruned = selectNeighborsHeuristic(
-              vecs(nid), theirNbrs.map(x => (dist(vecs(nid), vecs(x)), x)).toList, cap)
-            theirNbrs.clear()
-            pruned.foreach { case (_, x) => theirNbrs += x }
+      var i = 0
+      while (i < nb) {
+        if (i != firstEntry) {
+          val id = idsArr(i)
+          val level = levelsArr(i)
+          perItem(i).foreach { case (lev, selected) =>
+            val own = neighbors(id)(lev)
+            selected.foreach { case (_, nid) =>
+              if (!own.contains(nid)) own.add(nid)
+            }
+            selected.foreach { case (_, nid) =>
+              val theirNbrs = neighbors(nid)(lev)
+              if (!theirNbrs.contains(id)) theirNbrs.add(id)
+              val cap = maxNeighbors(lev)
+              if (theirNbrs.length > cap * 2) pruneNeighbors(nid, theirNbrs, cap)
+            }
+          }
+          if (level > topLevel) {
+            topLevel = level
+            entryPoint = id
           }
         }
-      }
-      if (level > topLevel) {
-        topLevel = level
-        entryPoint = id
+        i += 1
       }
     } finally w.unlock()
   }
 
-  private def neighborsAt(id: Int, level: Int): Array[Int] = {
+  /** Shrink `nbrs` (node `nid`'s level list) to `cap` with the diversity
+    * heuristic — shared by the serial and concurrent insert paths. */
+  private def pruneNeighbors(nid: Int, nbrs: IntVec, cap: Int): Unit = {
+    val nv = vecs(nid)
+    var cands: List[(Double, Int)] = Nil
+    var i = 0
+    while (i < nbrs.length) {
+      val x = nbrs(i)
+      cands = (dist(nv, vecs(x)), x) :: cands
+      i += 1
+    }
+    val pruned = selectNeighborsHeuristic(nv, cands, cap)
+    nbrs.clear()
+    pruned.foreach { case (_, x) => nbrs.add(x) }
+  }
+
+  private def neighborsAt(id: Int, level: Int): IntVec = {
     val arr = neighbors(id)
-    if (level < arr.length) arr(level).toArray else Array.emptyIntArray
+    if (level < arr.length) arr(level) else IntVec.empty
   }
 
   /** Best-first beam search on one layer (Algorithm 2 of the paper). Returns
     * up to ef (distance, id) pairs, ascending by distance. */
   private def searchLayer(q: Array[Float], entryPoints: List[(Double, Int)], ef: Int,
       level: Int, includeTombstones: Boolean): List[(Double, Int)] = {
+    // Primitive parallel-array heaps (boxed tuple PriorityQueues allocated
+    // per visited node and dominated the construct phase):
+    // candidates = min-heap by distance, results = max-heap capped at ef.
     val visited = mutable.BitSet.empty
-    // candidates: min-heap by distance; results: max-heap by distance, capped at ef
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1).reverse)
-    val results = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by[(Double, Int), Double](_._1))
+    val cand = new PairHeap(64, min = true)
+    val res = new PairHeap(ef + 1, min = false)
     entryPoints.foreach { case (d, id) =>
       if (!visited.contains(id)) {
         visited += id
-        candidates.enqueue((d, id))
-        results.enqueue((d, id))
+        cand.push(d, id)
+        res.push(d, id)
       }
     }
-    while (results.size > ef) results.dequeue()
-    while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
-      if (results.size >= ef && cd > results.head._1) {
-        candidates.clear()
+    while (res.size > ef) res.pop()
+    var done = false
+    while (!done && cand.size > 0) {
+      val cd = cand.topDist
+      val c = cand.topId
+      cand.pop()
+      if (res.size >= ef && cd > res.topDist) {
+        done = true
       } else {
         val nbrs = neighborsAt(c, level)
         var i = 0
@@ -298,17 +509,23 @@ class HnswIndex(
           if (!visited.contains(nid)) {
             visited += nid
             val d = dist(q, vecs(nid))
-            if (results.size < ef || d < results.head._1) {
-              candidates.enqueue((d, nid))
-              results.enqueue((d, nid))
-              if (results.size > ef) results.dequeue()
+            if (res.size < ef || d < res.topDist) {
+              cand.push(d, nid)
+              res.push(d, nid)
+              if (res.size > ef) res.pop()
             }
           }
           i += 1
         }
       }
     }
-    results.toList.sortBy(_._1)
+    // extract ascending by popping the max-heap back-to-front
+    var out: List[(Double, Int)] = Nil
+    while (res.size > 0) {
+      out = (res.topDist, res.topId) :: out
+      res.pop()
+    }
+    out
   }
 
   /** Neighbor selection with the paper's diversity heuristic (Algorithm 4):
@@ -465,7 +682,12 @@ class HnswIndex(
     val out = new DataOutputStream(new BufferedOutputStream(ArtifactIO.create(path)))
     try {
       out.writeInt(0x484E5357) // "HNSW"
-      out.writeInt(1) // version
+      // v2: neighbor lists are padded to the level's capacity (m0 at level
+      // 0, m above), mirroring the reference's block-manager allocation
+      // (usearch pre-sizes slots by capacity, not live edges) — with the
+      // key-hash level draw, artifact SIZE becomes a pure function of the
+      // key set, which the reclaim test's +5-block recreate bound needs.
+      out.writeInt(2)
       out.writeInt(dim); out.writeUTF(metric)
       out.writeInt(m); out.writeInt(m0); out.writeInt(efConstruction); out.writeInt(efSearch)
       out.writeInt(keys.size); out.writeInt(entryPoint); out.writeInt(topLevel)
@@ -478,8 +700,11 @@ class HnswIndex(
         val nb = neighbors(id)
         var l = 0
         while (l < nb.length) {
+          val cap = maxNeighbors(l)
           out.writeInt(nb(l).length)
           nb(l).foreach(out.writeInt)
+          var pad = nb(l).length
+          while (pad < cap) { out.writeInt(-1); pad += 1 }
           l += 1
         }
         id += 1
@@ -495,7 +720,8 @@ object HnswIndex {
     val in = new DataInputStream(new BufferedInputStream(ArtifactIO.open(path)))
     try {
       require(in.readInt() == 0x484E5357, s"$path is not an HNSW index artifact")
-      require(in.readInt() == 1, "unsupported index version")
+      val version = in.readInt()
+      require(version == 1 || version == 2, "unsupported index version")
       val dim = in.readInt(); val metric = in.readUTF()
       val m = in.readInt(); val m0 = in.readInt()
       val efc = in.readInt(); val efs = in.readInt()
@@ -511,12 +737,18 @@ object HnswIndex {
         idx.keys += key
         idx.vecs += v
         idx.nodeLevel += level
-        val nb = Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+        val nb = Array.fill(level + 1)(new IntVec)
         var l = 0
         while (l <= level) {
           val cnt = in.readInt()
           var j = 0
-          while (j < cnt) { nb(l) += in.readInt(); j += 1 }
+          while (j < cnt) { nb(l).add(in.readInt()); j += 1 }
+          // v2 pads each list to the level capacity (see save)
+          if (version >= 2) {
+            val cap = if (l == 0) m0 else m
+            var pad = cnt
+            while (pad < cap) { in.readInt(); pad += 1 }
+          }
           l += 1
         }
         idx.neighbors += nb
