@@ -1,0 +1,92 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for the primitive hot-path structures behind the
+  * HNSW beam search — a subtle heap bug would not crash anything, it would
+  * silently degrade recall, so the ordering contract is pinned here. */
+class PrimitiveStructuresSpec extends AnyFunSuite {
+
+  test("PairHeap min-heap pops ascending over random inputs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(200)
+      val h = new PairHeap(4, min = true)
+      val in = Array.fill(n)((rnd.nextDouble() * 100, rnd.nextInt(1000)))
+      in.foreach { case (d, id) => h.push(d, id) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (h.size > 0) { out += h.topDist; h.pop() }
+      assert(out.toSeq == in.map(_._1).sorted.toSeq, s"trial $trial")
+    }
+  }
+
+  test("PairHeap max-heap pops descending; interleaved push/pop keeps order") {
+    val rnd = new scala.util.Random(11)
+    val h = new PairHeap(4, min = false)
+    val model = scala.collection.mutable.PriorityQueue.empty[Double]
+    (0 until 2000).foreach { _ =>
+      if (h.size == 0 || rnd.nextDouble() < 0.6) {
+        val d = rnd.nextDouble()
+        h.push(d, 0)
+        model.enqueue(d)
+      } else {
+        assert(h.topDist == model.head)
+        h.pop()
+        model.dequeue()
+      }
+      assert(h.size == model.size)
+    }
+    while (h.size > 0) {
+      assert(h.topDist == model.head)
+      h.pop(); model.dequeue()
+    }
+  }
+
+  test("PairHeap carries ids with their distances") {
+    val h = new PairHeap(4, min = true)
+    Seq((3.0, 30), (1.0, 10), (2.0, 20)).foreach { case (d, id) => h.push(d, id) }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    while (h.size > 0) { got += ((h.topDist, h.topId)); h.pop() }
+    assert(got.toSeq == Seq((1.0, 10), (2.0, 20), (3.0, 30)))
+  }
+
+  test("artifact byte size is a pure function of the key set: shuffled " +
+      "insertion order and parallel builds save to identical sizes " +
+      "(hnsw_reclaim_storage.test_slow's +5-block recreate bound)") {
+    val dim = 8
+    val rnd = new scala.util.Random(3)
+    val items = Array.tabulate(3000)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat())))
+    def sizeOf(build: HnswIndex => Unit): Long = {
+      val idx = new HnswIndex(dim, "l2sq")
+      build(idx)
+      val p = java.nio.file.Files.createTempFile("hnsw-det", ".hnsw").toString
+      idx.save(p)
+      val s = new java.io.File(p).length()
+      new java.io.File(p).delete()
+      s
+    }
+    val serial = sizeOf(idx => items.foreach { case (k, v) => idx.add(k, v) })
+    val shuffled = sizeOf { idx =>
+      new scala.util.Random(99).shuffle(items.toSeq)
+        .foreach { case (k, v) => idx.add(k, v) }
+    }
+    val parallel = sizeOf(_.addAll(items.iterator, 8))
+    val parallel2 = sizeOf(_.addAll(items.iterator, 16))
+    assert(serial == shuffled, "insertion order changed the artifact size")
+    assert(serial == parallel, "parallel build changed the artifact size")
+    assert(parallel == parallel2, "thread count changed the artifact size")
+  }
+
+  test("IntVec add/contains/clear/foreach over growth boundaries") {
+    val v = new IntVec(4)
+    (0 until 1000).foreach(i => v.add(i * 3))
+    assert(v.length == 1000 && v(999) == 2997)
+    assert(v.contains(0) && v.contains(2997) && !v.contains(1))
+    var sum = 0L
+    v.foreach(sum += _)
+    assert(sum == (0 until 1000).map(_ * 3L).sum)
+    v.clear()
+    assert(v.length == 0 && !v.contains(0))
+  }
+}
