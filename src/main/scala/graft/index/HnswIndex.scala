@@ -322,6 +322,230 @@ class HnswIndex(
     sweepPool.shutdown()
     while (!sweepPool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
     if (err.get() != null) throw err.get()
+    // The final insertion window searched a snapshot missing its own
+    // members — mid-build windows are healed implicitly (later inserts see
+    // them and link bidirectionally), but nothing ever re-links the tail.
+    // On adversarial orders (keys pre-sorted along one axis) the tail's
+    // true nearest neighbors are EACH OTHER, so its nodes end up with only
+    // backward long-range edges and search recall collapses at the hot
+    // end. Re-run the link step for those ids against the now-complete
+    // graph: O(window) searches, negligible against the build.
+    val tailWindow = math.min(numThreads * BatchSize * 2, keys.size)
+    relinkTail(keys.size - tailWindow, keys.size)
+    repairConnectivity()
+  }
+
+  /** Re-run the neighbor search + bidirectional link step for ids
+    * [from, until) over the completed graph — the bulk build's tail-window
+    * heal (see addAll). Single-threaded, runs after the builder pool. */
+  private def relinkTail(from: Int, until: Int): Unit = {
+    var id = math.max(from, 0)
+    while (id < until) {
+      val vec = vecs(id)
+      val level = nodeLevel(id)
+      var ep = entryPoint
+      var epDist = dist(vec, vecs(ep))
+      var l = topLevel
+      while (l > level) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val nbrs = neighborsAt(ep, l)
+          var i = 0
+          while (i < nbrs.length) {
+            val cand = nbrs(i)
+            val d = dist(vec, vecs(cand))
+            if (d < epDist) { ep = cand; epDist = d; changed = true }
+            i += 1
+          }
+        }
+        l -= 1
+      }
+      var lev = math.min(level, topLevel)
+      var eps = List((epDist, ep))
+      while (lev >= 0) {
+        val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
+        val selected = selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m)
+        val own = neighbors(id)(lev)
+        val cap = maxNeighbors(lev)
+        selected.foreach { case (_, nid) => if (!own.contains(nid)) own.add(nid) }
+        if (own.length > cap) pruneNeighbors(id, own, cap)
+        selected.foreach { case (_, nid) =>
+          val theirs = neighbors(nid)(lev)
+          if (!theirs.contains(id)) {
+            theirs.add(id)
+            if (theirs.length > cap) pruneNeighbors(nid, theirs, cap)
+          }
+        }
+        eps = found
+        lev -= 1
+      }
+      id += 1
+    }
+  }
+
+  /** Post-bulk-build connectivity repair. The batched concurrent insert
+    * keeps up to threads×BatchSize in-flight items mutually invisible
+    * during their neighbor searches; on adversarial insert orders (keys
+    * arriving pre-sorted along one axis — collinear data) the final wave's
+    * forward links all point backward, and the end sweep then prunes away
+    * the older nodes' only backlinks into that wave (the diversity
+    * heuristic keeps no far "bridge" edge when a nearer kept neighbor
+    * covers it), leaving the tail level-0 UNREACHABLE. That is not a
+    * recall statistic — it is a hard disconnection: the beam terminates at
+    * the reachable frontier no matter the ef (observed as the
+    * hnsw_lateral_join_group replay returning neighbors ~90 ranks off,
+    * roughly every other 16-thread build of 2k sorted collinear rows).
+    *
+    * Repair: BFS the level-0 graph from the entry point; every orphan gets
+    * one PROTECTED in-edge from its nearest reachable node (found by a
+    * beam constrained to reachable nodes, so the link always lands in the
+    * main component). Protected edges survive later repair prunes, so one
+    * pass converges; the next round's BFS verifies (3-round cap). Edges
+    * land in capacity-padded slots (v2 artifact format), so artifact size
+    * stays a pure function of the key set unless a single node holds more
+    * than cap protected in-edges (pathological). Cost: O(edges) for the
+    * BFS + one beam per orphan — microseconds against the build. */
+  private def repairConnectivity(): Unit = {
+    val nNodes = keys.size
+    if (nNodes == 0 || entryPoint < 0) return
+    val protectedIn = mutable.HashMap.empty[Int, mutable.BitSet]
+    var round = 0
+    var orphansLeft = true
+    while (orphansLeft && round < 3) {
+      round += 1
+      orphansLeft = false
+      // iterative DFS over level-0 edges (explicit int stack, no recursion)
+      val seen = new Array[Boolean](nNodes)
+      var stackArr = new Array[Int](1024)
+      var top = 0
+      def push(v: Int): Unit = {
+        if (top == stackArr.length)
+          stackArr = java.util.Arrays.copyOf(stackArr, top << 1)
+        stackArr(top) = v; top += 1
+      }
+      seen(entryPoint) = true
+      push(entryPoint)
+      while (top > 0) {
+        top -= 1
+        val cur = stackArr(top)
+        val nb = neighbors(cur)(0)
+        var i = 0
+        while (i < nb.length) {
+          val x = nb(i)
+          if (!seen(x)) { seen(x) = true; push(x) }
+          i += 1
+        }
+      }
+      var u = 0
+      while (u < nNodes) {
+        if (!seen(u)) {
+          orphansLeft = true
+          linkOrphan(u, seen, protectedIn)
+        }
+        u += 1
+      }
+    }
+  }
+
+  /** Number of nodes NOT reachable from the entry point over level-0 edges
+    * — 0 after any build (the repair pass's post-condition; spec-pinned).
+    * Diagnostic for specs and `pragma_hnsw_index_info` consumers. */
+  private[index] def levelZeroOrphanCount: Int = {
+    val nNodes = keys.size
+    if (nNodes == 0 || entryPoint < 0) return 0
+    val seen = new Array[Boolean](nNodes)
+    var stackArr = new Array[Int](1024)
+    var top = 0
+    def push(v: Int): Unit = {
+      if (top == stackArr.length)
+        stackArr = java.util.Arrays.copyOf(stackArr, top << 1)
+      stackArr(top) = v; top += 1
+    }
+    seen(entryPoint) = true
+    push(entryPoint)
+    var reached = 1
+    while (top > 0) {
+      top -= 1
+      val nb = neighbors(stackArr(top))(0)
+      var i = 0
+      while (i < nb.length) {
+        val x = nb(i)
+        if (!seen(x)) { seen(x) = true; reached += 1; push(x) }
+        i += 1
+      }
+    }
+    nNodes - reached
+  }
+
+  /** Give level-0 orphan `u` one protected in-edge from its nearest
+    * REACHABLE node. The descent and the level-0 beam only expand nodes
+    * with `seen(id)`, so the chosen anchor is in the entry point's
+    * component by construction. */
+  private def linkOrphan(u: Int, seen: Array[Boolean],
+      protectedIn: mutable.HashMap[Int, mutable.BitSet]): Unit = {
+    val vec = vecs(u)
+    var ep = entryPoint
+    var epDist = dist(vec, vecs(ep))
+    var l = topLevel
+    while (l > 0) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val nbrs = neighborsAt(ep, l)
+        var i = 0
+        while (i < nbrs.length) {
+          val cand = nbrs(i)
+          if (seen(cand)) {
+            val d = dist(vec, vecs(cand))
+            if (d < epDist) { ep = cand; epDist = d; changed = true }
+          }
+          i += 1
+        }
+      }
+      l -= 1
+    }
+    val found = searchLayer(vec, List((epDist, ep)), efConstruction, 0,
+      includeTombstones = true, allowed = seen)
+    found.headOption.foreach { case (_, r) =>
+      val rList = neighbors(r)(0)
+      val prot = protectedIn.getOrElseUpdate(r, mutable.BitSet.empty)
+      prot += u
+      if (!rList.contains(u)) {
+        rList.add(u)
+        if (rList.length > m0) pruneNeighborsProtected(r, rList, m0, prot)
+      }
+      // forward edge u -> r (usually already present from the build search)
+      val uList = neighbors(u)(0)
+      if (!uList.contains(r)) {
+        uList.add(r)
+        if (uList.length > m0) pruneNeighborsProtected(u, uList, m0,
+          protectedIn.getOrElse(u, mutable.BitSet.empty))
+      }
+    }
+  }
+
+  /** [[pruneNeighbors]] that force-keeps `prot` members: repair in-edges
+    * must survive prunes triggered by later repairs of other orphans, or
+    * one repaired tail node could re-orphan another. */
+  private def pruneNeighborsProtected(nid: Int, nbrs: IntVec, cap: Int,
+      prot: mutable.BitSet): Unit = {
+    if (prot.isEmpty) { pruneNeighbors(nid, nbrs, cap); return }
+    val nv = vecs(nid)
+    var kept: List[(Double, Int)] = Nil
+    var cands: List[(Double, Int)] = Nil
+    var i = 0
+    while (i < nbrs.length) {
+      val x = nbrs(i)
+      if (prot.contains(x)) kept = (dist(nv, vecs(x)), x) :: kept
+      else cands = (dist(nv, vecs(x)), x) :: cands
+      i += 1
+    }
+    val room = math.max(cap - kept.size, 0)
+    val pruned = selectNeighborsHeuristic(nv, cands, room)
+    nbrs.clear()
+    kept.foreach { case (_, x) => nbrs.add(x) }
+    pruned.foreach { case (_, x) => nbrs.add(x) }
   }
 
   /** One batch through the three-phase concurrent insert: allocate every
@@ -477,9 +701,12 @@ class HnswIndex(
   }
 
   /** Best-first beam search on one layer (Algorithm 2 of the paper). Returns
-    * up to ef (distance, id) pairs, ascending by distance. */
+    * up to ef (distance, id) pairs, ascending by distance. `allowed`
+    * (nullable) restricts expansion to flagged nodes — used by the
+    * connectivity repair to search only the reachable component. */
   private def searchLayer(q: Array[Float], entryPoints: List[(Double, Int)], ef: Int,
-      level: Int, includeTombstones: Boolean): List[(Double, Int)] = {
+      level: Int, includeTombstones: Boolean,
+      allowed: Array[Boolean] = null): List[(Double, Int)] = {
     // Primitive parallel-array heaps (boxed tuple PriorityQueues allocated
     // per visited node and dominated the construct phase):
     // candidates = min-heap by distance, results = max-heap capped at ef.
@@ -506,7 +733,7 @@ class HnswIndex(
         var i = 0
         while (i < nbrs.length) {
           val nid = nbrs(i)
-          if (!visited.contains(nid)) {
+          if (!visited.contains(nid) && (allowed == null || allowed(nid))) {
             visited += nid
             val d = dist(q, vecs(nid))
             if (res.size < ef || d < res.topDist) {

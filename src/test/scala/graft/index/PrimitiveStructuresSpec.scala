@@ -78,6 +78,29 @@ class PrimitiveStructuresSpec extends AnyFunSuite {
     assert(parallel == parallel2, "thread count changed the artifact size")
   }
 
+  test("parallel build on pre-sorted collinear data stays connected: " +
+      "search finds the true tail neighbors every build (repair pass)") {
+    // Adversarial shape for the batched concurrent insert: keys arrive in
+    // ascending coordinate order, so the final in-flight wave (threads ×
+    // batch items, mutually invisible during their searches) links only
+    // backward — and on COLLINEAR data the diversity heuristic keeps no
+    // far "bridge" edges, so the end sweep prunes away the rest of the
+    // graph's only in-links to that tail. Without the post-build
+    // connectivity repair this flaked roughly every other build with the
+    // top-3 ~90 ranks wrong (GraftSqlSpec's hnsw_lateral_join_group
+    // replay caught it once in ~5 suite runs).
+    (1 to 6).foreach { rep =>
+      val idx = new HnswIndex(3, "l2sq")
+      val items = (1 until 2000).iterator
+        .map(i => (i.toLong, Array(i / 1000f, 0f, 0f)))
+      idx.addAll(items, 16)
+      assert(idx.levelZeroOrphanCount == 0,
+        s"build $rep left ${idx.levelZeroOrphanCount} level-0 orphans")
+      val got = idx.search(Array(5f, 5f, 5f), 3).map(_._1).toSet
+      assert(got == Set(1999L, 1998L, 1997L), s"build $rep returned $got")
+    }
+  }
+
   test("IntVec add/contains/clear/foreach over growth boundaries") {
     val v = new IntVec(4)
     (0 until 1000).foreach(i => v.add(i * 3))
