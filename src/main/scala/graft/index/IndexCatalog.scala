@@ -242,6 +242,8 @@ object IndexCatalog {
       }
       if (idx == null) Iterator.empty
       else {
+        // uniform 0-orphan post-condition with addAll (O(edges), cheap)
+        idx.repairConnectivity()
         val p = s"$shardDir/shard-$pid.hnsw"
         idx.save(p)
         Iterator.single(ShardMeta.of(p, idx))
