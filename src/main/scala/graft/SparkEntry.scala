@@ -1161,6 +1161,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    /** REAL image-codec round-trip, hash-checked: one solid-color PNG per
+      * document is ENCODED through the JDK's javax.imageio then DECODED by
+      * [[graft.ops.Multimodal.decodeMedia]]; the decoder-read pixel
+      * dimensions, channel count, and exact mean intensity must equal the
+      * closed-form integer functions of (doc_id, n_chars) the payloads were
+      * synthesized from — which the DuckDB oracle recomputes in pure SQL.
+      * Narrow end-to-end: payload bytes never leave their partition. */
+    def q83ImageDecode(s: SparkSession, dir: String): DataFrame = {
+      val media = graft.ops.Multimodal.synthPngTable(tbl(s, dir, "documents"))
+      graft.ops.Multimodal.decodeMedia(media)
+        .select(col("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"),
+          col("gray_mean"))
+        .orderBy(col("doc_id"))
+    }
+
+    /** REAL audio-codec round-trip, hash-checked: one constant-amplitude
+      * 8 kHz mono WAV per document (encoded through javax.sound.sampled)
+      * decoded back — sample rate, frame count, duration, and RMS amplitude
+      * must equal the synthesis functions, recomputed by the oracle. */
+    def q84AudioDecode(s: SparkSession, dir: String): DataFrame = {
+      val media = graft.ops.Multimodal.synthWavTable(tbl(s, dir, "documents"))
+      graft.ops.Multimodal.decodeMedia(media)
+        .select(col("doc_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("n_frames"), col("duration_sec"), col("rms"))
+        .orderBy(col("doc_id"))
+    }
+
     // --- text search -----------------------------------------------------
 
     /** Shared keyword query for the BM25 family (q52/q53/q54). */
@@ -1718,6 +1749,8 @@ object SparkEntry {
     "q80_graph_knn_join" -> (Queries.q80GraphKnnJoin _),
     "q81_sharded_graph_topk" -> (Queries.q81ShardedGraphTopK _),
     "q82_sharded_graph_knn_join" -> (Queries.q82ShardedGraphKnnJoin _),
+    "q83_image_decode" -> (Queries.q83ImageDecode _),
+    "q84_audio_decode" -> (Queries.q84AudioDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2481,5 +2514,23 @@ object SparkEntry {
       s"""SELECT e.vec_id, sqrt(${sqlL2Sq("e.embedding", "q.qv")}) AS dist
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
          |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    // q83/q84: the payloads are REAL PNG/WAV bytes synthesized from
+    // closed-form integer functions of (doc_id, n_chars); the oracle
+    // recomputes those functions in SQL, so a hash match proves the
+    // encode→decode round-trip through the actual JDK codecs.
+    "q83_image_decode" ->
+      """SELECT doc_id,
+        | 1 + (n_chars % 13) AS width,
+        | 1 + (doc_id % 11) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | ((doc_id * 37 + n_chars) % 256) / 255.0 AS gray_mean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_audio_decode" ->
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | 50 + (n_chars % 101) AS n_frames,
+        | (50 + (n_chars % 101)) / 8000.0 AS duration_sec,
+        | ((doc_id % 1000) * 16) / 32768.0 AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -54,6 +54,105 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(new String(frames(1), "UTF-8") == "ij")
   }
 
+  // ---- REAL codecs (JDK javax.imageio / javax.sound.sampled) ----
+
+  private def gradientPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 17 + seed) % 256
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage reads back exact dims and mean through the real PNG codec") {
+    val bytes = Multimodal.encodePng(13, 7, (200 << 16) | (200 << 8) | 200)
+    val m = Multimodal.decodeImage(bytes).get
+    assert(m.width == 13 && m.height == 7 && m.channels == 3)
+    assert(m.grayMean == 200.0 / 255.0) // lossless: exact, not approximate
+    assert(m.thumb.length == 64 && m.thumb.forall(v => math.abs(v - 200f / 255f) < 1e-6))
+    // gradient content: thumbnail cells differ (it is not a constant hash)
+    val g = Multimodal.decodeImage(gradientPng(32, 32, 0)).get
+    assert(g.thumb.distinct.length > 8)
+  }
+
+  test("decodeImage handles JPEG too, and never throws on garbage") {
+    val im = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val m = Multimodal.decodeImage(bos.toByteArray).get
+    assert(m.width == 20 && m.height == 10)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("decodeAudio reads back exact format facts through the real WAV codec") {
+    val samples = Array.tabulate(400)(i => (if (i < 200) 1000 else -2000).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 8000)
+    val m = Multimodal.decodeAudio(bytes).get
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.frames == 400)
+    assert(m.durationSec == 400 / 8000.0)
+    // rms = sqrt((200*1000^2 + 200*2000^2)/400)/32768
+    assert(math.abs(m.rms - math.sqrt((200 * 1000.0 * 1000 + 200 * 2000.0 * 2000) / 400) / 32768.0) < 1e-12)
+    // 8-window envelope tracks the amplitude step
+    assert(m.envelope.length == 8)
+    assert(m.envelope.take(4).forall(v => math.abs(v - 1000f / 32768f) < 1e-5))
+    assert(m.envelope.drop(4).forall(v => math.abs(v - 2000f / 32768f) < 1e-5))
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("decodeMedia dispatches by declared type; corrupt payloads quarantine, not crash") {
+    val rows = Seq(
+      (1L, Multimodal.encodePng(4, 4, 0x808080), "image/png"),
+      (2L, Multimodal.encodeWavPcm16(Array.fill(100)(640.toShort), 8000), "audio/wav"),
+      (3L, "plain old text".getBytes("UTF-8"), "text/plain"),
+      (4L, "garbage".getBytes("UTF-8"), "image/png"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.decodeMedia(df).orderBy($"doc_id").collect()
+    val img = out(0)
+    assert(img.getAs[Int]("width") == 4 && img.getAs[Int]("channels") == 3 &&
+      img.isNullAt(img.fieldIndex("sample_rate")) &&
+      img.getSeq[Float](img.fieldIndex("features")).length == 64)
+    val aud = out(1)
+    assert(aud.getAs[Int]("sample_rate") == 8000 && aud.getAs[Long]("n_frames") == 100 &&
+      aud.isNullAt(aud.fieldIndex("width")) &&
+      aud.getSeq[Float](aud.fieldIndex("features")).length == 8)
+    val txt = out(2) // stub arm: pipeline shape preserved for codec-less types
+    assert(txt.getAs[Boolean]("decode_ok") &&
+      txt.getSeq[Float](txt.fieldIndex("features")).length == 8)
+    val bad = out(3) // declared image, garbage bytes -> quarantined row
+    assert(!bad.getAs[Boolean]("decode_ok") && bad.isNullAt(bad.fieldIndex("width")))
+  }
+
+  test("imageFingerprints: perceptual near-dup via the existing Hamming machinery") {
+    val base = gradientPng(32, 32, 0)
+    // near-dup: same gradient, one pixel nudged
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    im.setRGB(5, 5, 0x828282)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val nearDup = bos.toByteArray
+    val different = gradientPng(32, 32, 131) // different gradient phase
+    val rows = Seq((1L, base), (2L, nearDup), (3L, different))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, "image/png"))),
+      Multimodal.mediaSchema)
+    val fps = Multimodal.imageFingerprints(df).localCheckpoint()
+    assert(fps.count() == 3)
+    assert(fps.head().getString(1).length == 64) // packed SimHash format
+    val pairs = graft.ops.Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // the perturbed copy is found
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("decoded features feed the vector kernels (multimodal -> ANN pipeline)") {
     val feats = Multimodal.decode(media).filter($"doc_id" < 3)
       .select($"doc_id", $"features")
