@@ -117,8 +117,32 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split("\\s+")(0).toDouble).getOrElse(-1.0)
     }
+    // Cumulative (steal, total) CPU ticks from /proc/stat. Load average
+    // cannot see HYPERVISOR STEAL — a co-tenant burst on a virtualized
+    // host inflates every measured query while loadavg stays at the
+    // bench's own footprint (observed: uniform 2-6x inflation at loadavg
+    // ~4 on 32 cores with 14% measured steal). Sampling cumulative ticks
+    // at the same boundaries as the load samples lets the record carry
+    // steal%-per-measured-region. None on non-Linux: degrade, not fail.
+    def cpuTicks(): Option[(Long, Long)] = scala.util.Try {
+      val cols = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      (cols(7), cols.sum) // field 8 = steal
+    }.toOption
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def loadSample(label: String): Unit = loadSamples += (label -> loadAvg())
+    val tickSamples = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def loadSample(label: String): Unit = {
+      loadSamples += (label -> loadAvg())
+      cpuTicks().foreach(tickSamples(label) = _)
+    }
+    // steal% across a measured region (pre/post tick snapshots)
+    def stealPct(pre: String, post: String): Option[Double] =
+      for {
+        (s0, t0) <- tickSamples.get(pre)
+        (s1, t1) <- tickSamples.get(post)
+        if t1 > t0
+      } yield 100.0 * (s1 - s0) / (t1 - t0)
     loadSample("start")
 
     // Committed isolated warm costs (same machine class, quiet, sf0.1) —
@@ -283,10 +307,18 @@ object Bench {
     // alone.
     val loadJson = loadSamples
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // steal = hypervisor-steal CPU% over each measured region (passA/
+    // passB/repass) — the contention channel loadavg cannot see. A region
+    // with steal in the double digits explains uniformly-inflated numbers
+    // without any plan regression.
+    val stealRegions = Seq("passA", "passB", "repass").flatMap(r =>
+      stealPct(s"${r}_pre", s"${r}_post").map(r -> _))
+    val stealJson = stealRegions
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val repassJson = repassCounts.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"settle_sec":${settleNanos / 1e9},"load":$loadJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"settle_sec":${settleNanos / 1e9},"load":$loadJson,"steal_pct":$stealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -317,8 +349,9 @@ object Bench {
     // driver grades): settle cost visible, re-run count visible, and the
     // worst load sample so a contended window is self-evident in-line.
     val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.map(_._2).max
+    val stealMax = if (stealRegions.isEmpty) -1.0 else stealRegions.map(_._2).max
     val line =
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"steal_max":${sec2(stealMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     System.out.flush()
   }

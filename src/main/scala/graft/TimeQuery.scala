@@ -18,14 +18,29 @@ object TimeQuery {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-run hypervisor-steal%: a virtualized host can eat double-digit
+    // CPU during a window while loadavg shows nothing — printing it per
+    // timed run lets a contended sample be discarded instead of committed
+    // into ISOLATED.json as a bogus warm baseline
+    def ticks(): Option[(Long, Long)] = scala.util.Try {
+      val c = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      (c(7), c.sum)
+    }.toOption
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     names.foreach { name =>
       (1 to 2).foreach { i =>
+        val k0 = ticks()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
-        println(f"[time] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val steal = for { (s0, c0) <- k0; (s1, c1) <- ticks(); if c1 > c0 }
+          yield 100.0 * (s1 - s0) / (c1 - c0)
+        val stealStr = steal.map(s => f" steal $s%.1f%%").getOrElse("")
+        println(f"[time] $name run$i $dt%.2f s$stealStr")
         if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           println(df.queryExecution.executedPlan.toString.take(8000))
       }

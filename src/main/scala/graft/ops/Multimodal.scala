@@ -169,6 +169,43 @@ object Multimodal {
   final case class AudioMeta(sampleRate: Int, channels: Int, frames: Long,
       durationSec: Double, rms: Double, envelope: Array[Float])
 
+  /** The JDK's audio SPI providers, resolved ONCE per JVM: every
+    * `AudioSystem.getAudioInputStream`/`write` call routes through a
+    * SYNCHRONIZED provider lookup (`JDK13Services.getProviders`), which
+    * serializes a 32-thread decode pass — measured ~2.5x slower than
+    * single-threaded on a per-row codec stage. Calling the cached
+    * stateless providers directly restores linear scaling. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def openAudioStream(
+      bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return Some(audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => }
+      i += 1
+    }
+    // empty provider list (exotic JVM): fall back to the locked dispatch
+    if (audioReaders.isEmpty)
+      scala.util.Try(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))).toOption
+    else None
+  }
+
   /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU,
     * 8- or 16-bit PCM). None for null/empty/undecodable payloads.
     *
@@ -178,8 +215,7 @@ object Multimodal {
   def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = openAudioStream(bytes).getOrElse(return None)
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
@@ -246,8 +282,12 @@ object Multimodal {
     val ain = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ain,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    // cached provider, not AudioSystem.write: see audioReaders note
+    audioWriters.find(_.isFileTypeSupported(wave, ain)) match {
+      case Some(w) => w.write(ain, wave, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ain, wave, bos)
+    }
     bos.toByteArray
   }
 
@@ -339,7 +379,13 @@ object Multimodal {
     * functions in SQL and checks them against what the DECODER read back,
     * making the encode→decode round-trip hash-verifiable. */
   def synthPngTable(docs: DataFrame): DataFrame = {
+    // spread the codec work: the upstream table is often a single parquet
+    // file (1 input split), which would serialize every encode+decode on
+    // one core — shuffling the 16-byte (id, seed) rows is free next to
+    // 32x codec parallelism. Real media tables arrive as many files and
+    // decodeMedia itself stays narrow; this is synthesis-side only.
     val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val outSchema = mediaSchema
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -359,7 +405,9 @@ object Multimodal {
     * q84 oracle recomputes in SQL against the decoded frame count,
     * duration, and RMS. */
   def synthWavTable(docs: DataFrame): DataFrame = {
+    // same single-input-split spread as synthPngTable
     val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val outSchema = mediaSchema
     in.mapPartitions { rows =>
       rows.map { r =>

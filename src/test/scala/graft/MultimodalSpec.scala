@@ -153,6 +153,61 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("property: PNG and WAV round-trips are exact for random shapes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40); val c = rnd.nextInt(256)
+      val m = Multimodal.decodeImage(Multimodal.encodePng(w, h, (c << 16) | (c << 8) | c)).get
+      assert(m.width == w && m.height == h && m.channels == 3)
+      assert(m.grayMean == c / 255.0) // lossless codec: EXACT equality
+      assert(m.thumb.forall(v => math.abs(v - c / 255f) < 1e-6))
+    }
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(500); val amp = (rnd.nextInt(4001) - 2000).toShort
+      val m = Multimodal.decodeAudio(Multimodal.encodeWavPcm16(Array.fill(n)(amp), 16000)).get
+      assert(m.frames == n && m.sampleRate == 16000 && m.channels == 1)
+      assert(m.durationSec == n / 16000.0)
+      assert(m.rms == math.abs(amp.toDouble) / 32768.0) // EXACT for a constant tone
+    }
+  }
+
+  test("decodeMedia runs on a streaming source (media ingest -> features)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Byte], String)]
+    val df = stream.toDF().toDF("doc_id", "media", "media_type")
+    val q = Multimodal.decodeMedia(df).writeStream
+      .format("memory").queryName("mm_decoded").outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, Multimodal.encodePng(6, 4, 0x404040), "image/png"),
+        (2L, Multimodal.encodeWavPcm16(Array.fill(80)(512.toShort), 8000), "audio/wav"))
+      q.processAllAvailable()
+      val rows = spark.table("mm_decoded").orderBy($"doc_id").collect()
+      assert(rows(0).getAs[Int]("width") == 6 && rows(0).getAs[Int]("height") == 4)
+      assert(rows(1).getAs[Long]("n_frames") == 80L &&
+        rows(1).getAs[Int]("sample_rate") == 8000)
+    } finally q.stop()
+  }
+
+  test("decoded thumbnails feed the ANN index path (image similarity end-to-end)") {
+    // 12 gradient images in 2 visual families; top-k by thumbnail distance
+    // must rank same-family images first — the multimodal -> vector-engine
+    // composition, through the REAL codec
+    val rows = (0 until 12).map { i =>
+      org.apache.spark.sql.Row(i.toLong, gradientPng(24, 24, (i % 2) * 128 + i / 2), "image/png")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val feats = Multimodal.decodeMedia(df)
+      .select($"doc_id", $"features").localCheckpoint()
+    val probe = feats.where($"doc_id" === 0).head().getSeq[Float](1).toArray
+    val top = graft.Graft.topK(feats, "features", probe, 6, "l2sq", Seq("doc_id"))
+      .select($"doc_id").as[Long].collect()
+    // family of doc 0 = even ids (seed phase 0): all 6 nearest are even
+    assert(top.head == 0L && top.forall(_ % 2 == 0))
+  }
+
   test("decoded features feed the vector kernels (multimodal -> ANN pipeline)") {
     val feats = Multimodal.decode(media).filter($"doc_id" < 3)
       .select($"doc_id", $"features")
