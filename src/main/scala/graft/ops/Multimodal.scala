@@ -114,12 +114,18 @@ object Multimodal {
       var sumRgb = 0L
       val cellSum = new Array[Double](64)
       val cellCnt = new Array[Long](64)
+      // row-strip getRGB into a reused buffer: per-pixel getRGB pays a
+      // color-model conversion call per pixel (ruinous on megapixel
+      // images), while a full-frame fetch allocates 4 bytes/px twice;
+      // one row at a time is the constant-memory middle
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        im.getRGB(0, y, w, 1, rowBuf, 0, w)
         val cy = (y * 8 / h) * 8
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
+          val rgb = rowBuf(x)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
           sumRgb += r + g + b
           val cell = cy + (x * 8 / w)
@@ -360,9 +366,14 @@ object Multimodal {
       binCol: String = "media", typeCol: String = "media_type"): DataFrame = {
     val decoded = decodeMedia(media, binCol, typeCol)
       .where(col("decode_ok") && col("features").isNotNull && col("width").isNotNull)
+    // mean materialized as its own column first: referencing the aggregate
+    // inside the per-element lambda would duplicate the 64-way sum into
+    // every one of the 64 comparisons
     val m = aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features"))
-    val bits = transform(col("features"), x => when(x > m, lit("1")).otherwise(lit("0")))
+    val bits = transform(col("features"),
+      x => when(x > col("__m"), lit("1")).otherwise(lit("0")))
     decoded
+      .select(col(idCol), col("features"), m.as("__m"))
       .select(col(idCol), concat_ws("", bits).as("simhash"))
       .select(col(idCol), col("simhash"),
         conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
