@@ -354,6 +354,24 @@ object Multimodal {
 
   // =============================== image perceptual fingerprints (aHash64)
 
+  /** Threshold a 64-dim feature column against its own mean into the
+    * engine's PACKED SimHash fingerprint format (`simhash` 64-char bit
+    * string + `__h0`/`__h1` long halves) — the average-hash (aHash) step,
+    * shared by the image and audio fingerprint ops. Pure codegen'd column
+    * algebra; the mean is materialized as its own column first (referencing
+    * the aggregate inside the per-element lambda would duplicate the 64-way
+    * sum into every one of the 64 comparisons). */
+  private def aHashPacked(df: DataFrame, idCol: String): DataFrame = {
+    val m = aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features"))
+    val bits = transform(col("features"),
+      x => when(x > col("__m"), lit("1")).otherwise(lit("0")))
+    df.select(col(idCol), col("features"), m.as("__m"))
+      .select(col(idCol), concat_ws("", bits).as("simhash"))
+      .select(col(idCol), col("simhash"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast(LongType).as("__h1"))
+  }
+
   /** Per-image 64-bit average-hash fingerprints in the engine's PACKED
     * SimHash format (`simhash` 64-char bit string + `__h0`/`__h1` halves),
     * so the existing Hamming machinery applies verbatim: near-dup pairs via
@@ -363,21 +381,103 @@ object Multimodal {
     * thumbnail against its own mean is codegen'd column algebra.
     * Undecodable images are dropped (they have no perceptual identity). */
   def imageFingerprints(media: DataFrame, idCol: String = "doc_id",
-      binCol: String = "media", typeCol: String = "media_type"): DataFrame = {
-    val decoded = decodeMedia(media, binCol, typeCol)
-      .where(col("decode_ok") && col("features").isNotNull && col("width").isNotNull)
-    // mean materialized as its own column first: referencing the aggregate
-    // inside the per-element lambda would duplicate the 64-way sum into
-    // every one of the 64 comparisons
-    val m = aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features"))
-    val bits = transform(col("features"),
-      x => when(x > col("__m"), lit("1")).otherwise(lit("0")))
-    decoded
-      .select(col(idCol), col("features"), m.as("__m"))
-      .select(col(idCol), concat_ws("", bits).as("simhash"))
-      .select(col(idCol), col("simhash"),
-        conv(substring(col("simhash"), 1, 32), 2, 10).cast(LongType).as("__h0"),
-        conv(substring(col("simhash"), 33, 32), 2, 10).cast(LongType).as("__h1"))
+      binCol: String = "media", typeCol: String = "media_type"): DataFrame =
+    aHashPacked(
+      decodeMedia(media, binCol, typeCol)
+        .where(col("decode_ok") && col("features").isNotNull && col("width").isNotNull),
+      idCol)
+
+  /** 8x8 time-frequency energy grid for a PCM payload: 8 equal time
+    * windows x 8 log-spaced frequency bands (Nyquist/256 ... Nyquist/2),
+    * each band's magnitude via the Goertzel recurrence — O(8·samples),
+    * no FFT dependency. Row-major [window][band], normalized per window.
+    * The audio analog of the image thumbnail: the input to [[
+    * audioFingerprints]] and usable directly with the distance kernels. */
+  def audioSpectralGrid(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = openAudioStream(bytes).getOrElse(return None)
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            (bits != 8 && bits != 16)) return None
+        val ch = fmt.getChannels
+        val bps = bits / 8
+        val data = in.readAllBytes()
+        val frames = data.length / (bps * ch)
+        if (frames < 8) return None
+        val fullScale = if (bits == 16) 32768.0 else 128.0
+        // channel-mean mono samples normalized to [-1, 1]
+        val mono = new Array[Double](frames)
+        var f = 0; var off = 0
+        while (f < frames) {
+          var chSum = 0L; var c = 0
+          while (c < ch) {
+            val s =
+              if (bits == 16) {
+                if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+                else (data(off + 1) << 8) | (data(off) & 0xff)
+              } else data(off).toInt
+            chSum += s; off += bps; c += 1
+          }
+          mono(f) = chSum / (ch * fullScale)
+          f += 1
+        }
+        // 8 bands at Nyquist/2^(8-k): k=0 -> Nyquist/256 ... k=7 -> Nyquist/2
+        val sr = fmt.getSampleRate.toDouble
+        val coeffs = Array.tabulate(8) { k =>
+          val freq = (sr / 2.0) / (1 << (8 - k))
+          2.0 * math.cos(2.0 * math.Pi * freq / sr)
+        }
+        val grid = new Array[Float](64)
+        var w = 0
+        while (w < 8) {
+          val lo = (w.toLong * frames / 8).toInt
+          val hi = ((w + 1).toLong * frames / 8).toInt
+          var k = 0
+          while (k < 8) {
+            val coeff = coeffs(k)
+            var s1 = 0.0; var s2 = 0.0
+            var i = lo
+            while (i < hi) {
+              val s0 = mono(i) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            grid(w * 8 + k) = (math.sqrt(math.max(0.0, power)) / (hi - lo)).toFloat
+            k += 1
+          }
+          w += 1
+        }
+        Some(grid)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-clip 64-bit spectral fingerprints (the audio analog of
+    * [[imageFingerprints]]): the 8x8 Goertzel time-frequency grid,
+    * thresholded against its own mean into the PACKED SimHash format, so
+    * banded Hamming near-dup mining and top-k lookup apply to audio
+    * verbatim. A re-encoded or lightly-noised copy of a clip lands within
+    * a few bit flips; different material does not. Undecodable or
+    * sub-8-frame payloads are dropped. */
+  def audioFingerprints(media: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("__fp_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val idIdx = media.schema.fieldIndex(idCol)
+    val binIdx = media.schema.fieldIndex(binCol)
+    val grids = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        audioSpectralGrid(bytes).map(g =>
+          Row(r.getLong(idIdx), g.toSeq))
+      }
+    }(Encoders.row(outSchema))
+    aHashPacked(grids.withColumnRenamed("__fp_id", idCol), idCol)
   }
 
   // ================================ deterministic media synthesis (fixture)

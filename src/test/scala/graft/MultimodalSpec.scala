@@ -153,6 +153,47 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  private def toneWav(freqs: Seq[Double], n: Int, sr: Int,
+      noise: Double, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val samples = Array.tabulate(n) { i =>
+      val t = i.toDouble / sr
+      val v = freqs.map(f => math.sin(2 * math.Pi * f * t)).sum / freqs.size
+      ((v * 0.5 + noise * (rnd.nextDouble() * 2 - 1)) * 20000).toShort
+    }
+    Multimodal.encodeWavPcm16(samples, sr)
+  }
+
+  test("audioSpectralGrid: tones light up their bands; near-dup clips hash close") {
+    // bands for sr=8000: Nyquist/2^(8-k) = 15.6, 31.25, 62.5, 125, 250,
+    // 500, 1000, 2000 Hz
+    val a = toneWav(Seq(250.0, 1000.0), 8000, 8000, 0.0, 1)
+    val grid = Multimodal.audioSpectralGrid(a).get
+    assert(grid.length == 64)
+    // in every window, the 250 Hz (k=4) and 1000 Hz (k=6) bands dominate
+    for (w <- 0 until 8) {
+      val win = grid.slice(w * 8, w * 8 + 8)
+      val top2 = win.zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+      assert(top2 == Set(4, 6), s"window $w top bands $top2")
+    }
+    assert(Multimodal.audioSpectralGrid("junk".getBytes).isEmpty)
+
+    // fingerprints: a noised copy is a near-dup, different material is not
+    val rows = Seq(
+      (1L, a),
+      (2L, toneWav(Seq(250.0, 1000.0), 8000, 8000, 0.02, 99)),
+      (3L, toneWav(Seq(62.5, 2000.0), 8000, 8000, 0.0, 1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, "audio/wav"))),
+      Multimodal.mediaSchema)
+    val fps = Multimodal.audioFingerprints(df).localCheckpoint()
+    val pairs = graft.ops.Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("property: PNG and WAV round-trips are exact for random shapes") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 25) {
