@@ -17,10 +17,12 @@ import graft.ops.Multimodal
   * drowning in false pairs. Results land in MEDIA_SCALE.json with
   * hypervisor-steal context per measured region (this host steals in
   * bursts; a throughput number without its steal% is unusable).
-  * Complements ANN_1M.json / RECLAIM_1M.json as the codec-path envelope. */
-/** Executor-side payload generators: a top-level object so the Spark
-  * closures capture nothing but these static functions (the spec instance
-  * holds a non-serializable scalatest engine). */
+  * Complements ANN_1M.json / RECLAIM_1M.json as the codec-path envelope.
+  *
+  * [[MediaScaleGen]] holds the executor-side payload generators: a
+  * top-level object so the Spark closures capture nothing but static
+  * functions (the spec instance holds a non-serializable scalatest
+  * engine). */
 object MediaScaleGen {
   def splitmix(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
