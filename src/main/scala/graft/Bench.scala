@@ -124,12 +124,7 @@ object Bench {
     // ~4 on 32 cores with 14% measured steal). Sampling cumulative ticks
     // at the same boundaries as the load samples lets the record carry
     // steal%-per-measured-region. None on non-Linux: degrade, not fail.
-    def cpuTicks(): Option[(Long, Long)] = scala.util.Try {
-      val cols = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
-        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-      (cols(7), cols.sum) // field 8 = steal
-    }.toOption
+    def cpuTicks(): Option[(Long, Long)] = ProcStat.stealTotalTicks()
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val tickSamples = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def loadSample(label: String): Unit = {

@@ -22,12 +22,7 @@ object TimeQuery {
     // CPU during a window while loadavg shows nothing — printing it per
     // timed run lets a contended sample be discarded instead of committed
     // into ISOLATED.json as a bogus warm baseline
-    def ticks(): Option[(Long, Long)] = scala.util.Try {
-      val c = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
-        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-      (c(7), c.sum)
-    }.toOption
+    def ticks(): Option[(Long, Long)] = ProcStat.stealTotalTicks()
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     names.foreach { name =>

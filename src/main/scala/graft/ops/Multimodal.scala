@@ -225,8 +225,14 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            (bits != 8 && bits != 16)) return None
+        // 8-bit WAV is PCM_UNSIGNED per the WAV spec (signed 8-bit only
+        // exists in AIFF/AU) — accept it and recenter by -128 below
+        val unsigned8 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            bits == 8
+        if (!unsigned8 &&
+            (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+             (bits != 8 && bits != 16))) return None
         val ch = fmt.getChannels
         val bytesPerSample = bits / 8
         val data = in.readAllBytes()
@@ -249,7 +255,8 @@ object Multimodal {
                 val lo = data(off) & 0xff; val hi = data(off + 1)
                 if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
                 else (hi << 8) | lo
-              } else data(off).toInt
+              } else if (unsigned8) (data(off) & 0xff) - 128
+              else data(off).toInt
             chSum += s
             off += bytesPerSample
             c += 1
@@ -343,6 +350,10 @@ object Multimodal {
               m.durationSec, m.rms, m.envelope.toSeq, true)
             case None => Seq(null, null, null, null, null, null, null, null, null, false)
           }
+          else if (bytes == null || bytes.isEmpty)
+            // stub arm quarantines missing payloads like the real arms do:
+            // decode_ok must distinguish "decoded" from "nothing to decode"
+            Seq(null, null, null, null, null, null, null, null, null, false)
           else {
             val (w, h, f) = decodeStub(bytes)
             Seq(w, h, null, null, null, null, null, null, f.toSeq, true)
@@ -379,12 +390,17 @@ object Multimodal {
     * all-pairs) and lookup via `simHashTopKFromFingerprints`. The only
     * imperative step is the codec ([[decodeMedia]]); thresholding the
     * thumbnail against its own mean is codegen'd column algebra.
-    * Undecodable images are dropped (they have no perceptual identity). */
+    * Undecodable images are dropped (they have no perceptual identity).
+    * The gate is `channels IS NOT NULL` — set ONLY by the real image-decode
+    * arm — not `width`: stub-decoded rows (text/plain, video) also carry a
+    * width and decode_ok=true, and their 8-dim features would otherwise
+    * produce degenerate 8-bit "fingerprints" that all collide into the same
+    * Hamming buckets and emit spurious pairs on a mixed-type media table. */
   def imageFingerprints(media: DataFrame, idCol: String = "doc_id",
       binCol: String = "media", typeCol: String = "media_type"): DataFrame =
     aHashPacked(
       decodeMedia(media, binCol, typeCol)
-        .where(col("decode_ok") && col("features").isNotNull && col("width").isNotNull),
+        .where(col("decode_ok") && col("features").isNotNull && col("channels").isNotNull),
       idCol)
 
   /** 8x8 time-frequency energy grid for a PCM payload: 8 equal time
@@ -400,8 +416,13 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            (bits != 8 && bits != 16)) return None
+        // same 8-bit-WAV PCM_UNSIGNED acceptance as decodeAudio
+        val unsigned8 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            bits == 8
+        if (!unsigned8 &&
+            (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+             (bits != 8 && bits != 16))) return None
         val ch = fmt.getChannels
         val bps = bits / 8
         val data = in.readAllBytes()
@@ -418,7 +439,8 @@ object Multimodal {
               if (bits == 16) {
                 if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
                 else (data(off + 1) << 8) | (data(off) & 0xff)
-              } else data(off).toInt
+              } else if (unsigned8) (data(off) & 0xff) - 128
+              else data(off).toInt
             chSum += s; off += bps; c += 1
           }
           mono(f) = chSum / (ch * fullScale)

@@ -99,12 +99,7 @@ object MediaScaleGen {
 
 class MediaScaleSpec extends AnyFunSuite {
 
-  private def stealTicks(): Option[(Long, Long)] = scala.util.Try {
-    val c = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/stat")), "UTF-8")
-      .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-    (c(7), c.sum)
-  }.toOption
+  private def stealTicks(): Option[(Long, Long)] = graft.ProcStat.stealTotalTicks()
 
   test("200k-payload media envelope: codec throughput + planted near-dup " +
       "recall through banded Hamming mining (writes MEDIA_SCALE.json)", SlowTest) {

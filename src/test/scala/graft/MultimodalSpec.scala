@@ -131,6 +131,55 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(!bad.getAs[Boolean]("decode_ok") && bad.isNullAt(bad.fieldIndex("width")))
   }
 
+  test("decodeMedia stub arm quarantines null/empty payloads (decode_ok=false)") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Array.empty[Byte], "text/plain"),
+      org.apache.spark.sql.Row(2L, null, "video/mp4"),
+      org.apache.spark.sql.Row(3L, "bytes".getBytes("UTF-8"), "text/plain"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodeMedia(df).orderBy($"doc_id").collect()
+    // a missing stub-type payload must be distinguishable from a decoded one
+    assert(!out(0).getAs[Boolean]("decode_ok") && out(0).isNullAt(out(0).fieldIndex("width")))
+    assert(!out(1).getAs[Boolean]("decode_ok") && out(1).isNullAt(out(1).fieldIndex("features")))
+    assert(out(2).getAs[Boolean]("decode_ok") &&
+      out(2).getSeq[Float](out(2).fieldIndex("features")).length == 8)
+  }
+
+  test("decodeAudio accepts 8-bit WAV (PCM_UNSIGNED per the WAV spec)") {
+    // hand-build an 8-bit unsigned mono WAV: constant sample 128+50
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val raw = Array.fill(100)((128 + 50).toByte)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ain, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val m = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.frames == 100)
+    assert(m.rms == 50.0 / 128.0) // recentered by -128, exact for a constant
+    val grid = Multimodal.audioSpectralGrid(bos.toByteArray)
+    assert(grid.exists(_.length == 64)) // spectral path accepts it too
+  }
+
+  test("imageFingerprints excludes stub-decoded rows on a mixed-type table") {
+    // text/video payloads stub-decode with decode_ok=true and a width, but
+    // have no perceptual identity: 8-dim features would make degenerate
+    // 8-bit hashes that all collide into the same Hamming buckets
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, gradientPng(24, 24, 0), "image/png"),
+      org.apache.spark.sql.Row(2L, "some text".getBytes("UTF-8"), "text/plain"),
+      org.apache.spark.sql.Row(3L, "fake video bytes".getBytes("UTF-8"), "video/mp4"),
+      org.apache.spark.sql.Row(4L, gradientPng(24, 24, 64), "image/png"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val fps = Multimodal.imageFingerprints(df).localCheckpoint()
+    assert(fps.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(fps.head().getString(1).length == 64)
+  }
+
   test("imageFingerprints: perceptual near-dup via the existing Hamming machinery") {
     val base = gradientPng(32, 32, 0)
     // near-dup: same gradient, one pixel nudged
