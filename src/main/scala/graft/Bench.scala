@@ -18,16 +18,27 @@ import org.apache.spark.sql.SparkSession
   *    mid-measurement (the old every-8th-query cadence let one query's
   *    debt land in a later query's timing),
   *  - TWO measured passes, per-query MIN: robust to one-off environmental
-  *    load (GC ticks, co-tenant CPU) that a single pass bakes in,
+  *    load (GC ticks, co-tenant CPU) that a single pass bakes in. The
+  *    budget degradation ladder NEVER silently drops pass B (round 10 —
+  *    the round-9 grading record fell to passes:1 exactly on the machine
+  *    where min-of-two mattered): full pass B, else a lean-settle pass B,
+  *    else a single-pass record that self-labels with "degraded":true,
   *  - contention self-diagnosis (round 9 — BENCH_r08 read q44 at 7.3× its
   *    isolated warm cost purely from co-tenant machine load, in BOTH
   *    passes, which per-query min cannot remove): the 1-minute system
   *    load average is sampled around every measured pass and emitted with
-  *    the record, and any query whose min-of-two exceeds 2× its committed
-  *    isolated warm cost (ISOLATED.json) is re-run — keeping the overall
-  *    min and counting the re-runs in the record — so a contended run
-  *    either converges to the quiet-machine number or carries the load
-  *    evidence that explains why it could not.
+  *    the record, and any query whose min-of-two exceeds 2× its
+  *    denominator — isolated warm cost (ISOLATED.json) where an entry
+  *    exists, committed bench history (BENCH_FULL.json) otherwise, so
+  *    EVERY query is covered (round 10: the round-9 record's three worst
+  *    numbers had no ISOLATED entry and sailed through un-re-passed) — is
+  *    re-run, keeping the overall min and counting the re-runs in the
+  *    record, so a contended run either converges to the quiet-machine
+  *    number or carries the evidence that explains why it could not.
+  *    Hypervisor steal is additionally sampled around EVERY measured query
+  *    run ("query_steal" in the full record): a short co-tenant burst is
+  *    visible on the specific queries it hit instead of averaging down to
+  *    noise across a whole pass.
   *
   * Output protocol: the harness that invokes this captures only the LAST
   * ~2000 characters of stdout and json-parses the final line, so the last
@@ -153,6 +164,24 @@ object Bench {
       """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
+    // Fallback denominator when a query has no ISOLATED entry: the committed
+    // full-precision bench record from the previous round (BENCH_FULL.json
+    // at this commit). Weaker than an isolated warm cost — it embeds suite
+    // context and the machine it was cut on — but it means EVERY query has
+    // a denominator, so the contention re-pass is never blind: round 9's
+    // driver record read q52 at 5.3x its quiet cost and zero re-passes
+    // fired because only 15 of 84 queries had ISOLATED entries.
+    val histMin: Map[String, Double] = scala.util.Try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "BENCH_FULL.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val obj = """(?s)"queries"\s*:\s*\{(.*?)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    def denominator(n: String): Option[Double] =
+      isoWarm.get(n).orElse(histMin.get(n))
 
     var settleNanos = 0L
     var sinceGc = 0
@@ -207,66 +236,96 @@ object Bench {
     names.foreach { q => run(q); settle(everyN = 2) }
     settle()
 
-    def measuredPass(): Map[String, Double] = names.map { name =>
+    // One measured query execution with its OWN steal window: tick
+    // snapshots around just this run, so a 30-second co-tenant burst shows
+    // up on the queries it hit instead of averaging down to "4%" across a
+    // 300-second pass (exactly what round 9's driver record showed while
+    // individual queries sat at 5x). steal = -1 when /proc/stat is absent.
+    def timedRun(name: String): (Double, Double) = {
+      val k0 = cpuTicks()
       val t0 = System.nanoTime()
       run(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      settle() // outside the timed region
-      name -> dt
-    }.toMap
+      val steal = (for { (s0, c0) <- k0; (s1, c1) <- cpuTicks(); if c1 > c0 }
+        yield 100.0 * (s1 - s0) / (c1 - c0)).getOrElse(-1.0)
+      (dt, steal)
+    }
+    def measuredPass(settleEveryN: Int): Map[String, (Double, Double)] =
+      names.map { name =>
+        val s = timedRun(name)
+        settle(settleEveryN) // outside the timed region
+        name -> s
+      }.toMap
+    var settleMark = settleNanos
+    def settleSince(): Double = {
+      val d = (settleNanos - settleMark) / 1e9; settleMark = settleNanos; d
+    }
     loadSample("passA_pre")
     val passAStart = System.nanoTime()
-    val passA = measuredPass()
+    val passA = measuredPass(settleEveryN = 1)
     val passAEnd = System.nanoTime()
     loadSample("passA_post")
-    // Second pass only while inside the wall-clock budget: losing the
-    // whole record to a harness timeout on a slow machine costs more than
-    // a single-pass round. SPARK_GRAFT_BENCH_BUDGET (seconds) bounds the
-    // PROJECTED time at pass B's end — elapsed so far plus pass A's own
-    // wall duration (pass B costs about the same), not just the elapsed
-    // time at the decision point, so a machine that barely fits pass A
-    // doesn't commit to a pass it can't finish. Malformed values fall
-    // back to the default — a bad env var must not discard the minutes of
-    // measurement already done. The emitted JSON carries "passes" so a
-    // single-pass record is never mistaken for best-of-two.
+    val settleASec = settleSince()
+    // The second pass is the integrity mechanism (per-query min across two
+    // passes removes one-off environmental noise), so the wall-clock budget
+    // must not silently trade it away — that is exactly what happened to
+    // the round-9 grading record (passes:1 on the one machine where
+    // min-of-two mattered most). Degradation ladder, in order:
+    //  1. full pass B (settle after every query) if it projects to fit
+    //     SPARK_GRAFT_BENCH_BUDGET (projected = elapsed + pass A's wall,
+    //     since pass B costs about the same);
+    //  2. LEAN pass B (settle every 3rd query — ~2/3 of the settle cost
+    //     dropped, slightly noisier but still a second independent sample
+    //     for min-of-two) if THAT projects to fit;
+    //  3. only then a single-pass record, and it SELF-LABELS: the emitted
+    //     JSON carries "degraded":true alongside "passes":1.
+    // Malformed budget values fall back to the default — a bad env var
+    // must not discard the minutes of measurement already done.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(480)
-    val projectedEnd =
-      (passAEnd - wallStart) / 1e9 + (passAEnd - passAStart) / 1e9
-    val twoPasses = projectedEnd <= budgetSec
-    val passB = if (twoPasses) {
-      loadSample("passB_pre")
-      val p = measuredPass()
-      loadSample("passB_post")
-      p
-    } else passA
-    val nPasses = if (twoPasses) 2 else 1
+    val elapsedA = (passAEnd - wallStart) / 1e9
+    val passAWall = (passAEnd - passAStart) / 1e9
+    val fullFits = elapsedA + passAWall <= budgetSec
+    val leanFits = elapsedA + (passAWall - settleASec * 2.0 / 3.0) <= budgetSec
+    val (passB, nPasses, leanPassB) =
+      if (fullFits || leanFits) {
+        loadSample("passB_pre")
+        val p = measuredPass(settleEveryN = if (fullFits) 1 else 3)
+        loadSample("passB_post")
+        (p, 2, !fullFits)
+      } else (passA, 1, false)
+    val degraded = nPasses == 1
 
     // Contention re-pass: co-tenant load can inflate a query in BOTH
     // passes identically (the one failure mode min-of-two cannot remove —
     // BENCH_r08's q44 at 7.3×). Any query whose min exceeds 2× its
-    // committed isolated warm cost is re-run (up to twice, stopping once
-    // it lands back under the bar), keeping the overall min; the re-run
-    // counts ship in the record so a re-passed value is never mistaken
-    // for a first-try one. Only meaningful at the sf the isolated numbers
+    // denominator — isolated warm cost when ISOLATED.json has an entry,
+    // committed bench history otherwise, so NO query is exempt — is re-run
+    // (up to twice, stopping once it lands back under the bar), keeping
+    // the overall min; the re-run counts and the steal% of each winning
+    // sample ship in the record so a re-passed value is never mistaken
+    // for a first-try one. Only meaningful at the sf the denominators
     // were measured at (sf0.1); bounded so a genuinely-regressed plan (re-
     // runs won't help) cannot stall the bench past the harness window.
     val finalMin = scala.collection.mutable.Map[String, Double](
-      names.map(n => n -> math.min(passA(n), passB(n))): _*)
+      names.map(n => n -> math.min(passA(n)._1, passB(n)._1)): _*)
+    // steal% observed on the run that produced each query's final value
+    val minSteal = scala.collection.mutable.Map[String, Double](
+      names.map { n =>
+        n -> (if (passA(n)._1 <= passB(n)._1) passA(n)._2 else passB(n)._2)
+      }: _*)
     val repassCounts = scala.collection.mutable.Map.empty[String, Int]
-    if (isoWarm.nonEmpty && sfDir.contains("sf0.1")) {
+    if (sfDir.contains("sf0.1")) {
       val repassStart = System.nanoTime()
-      val repassCapSec = 90.0
+      val repassCapSec = 120.0
       loadSample("repass_pre")
-      for (n <- names; iso <- isoWarm.get(n)) {
+      for (n <- names; den <- denominator(n)) {
         var tries = 0
-        while (finalMin(n) > 2.0 * iso && tries < 2 &&
+        while (finalMin(n) > 2.0 * den && tries < 2 &&
             (System.nanoTime() - repassStart) / 1e9 < repassCapSec) {
-          val t0 = System.nanoTime()
-          run(n)
-          val dt = (System.nanoTime() - t0) / 1e9
+          val (dt, steal) = timedRun(n)
           settle()
-          finalMin(n) = math.min(finalMin(n), dt)
+          if (dt < finalMin(n)) { finalMin(n) = dt; minSteal(n) = steal }
           tries += 1
           repassCounts(n) = repassCounts.getOrElse(n, 0) + 1
         }
@@ -287,6 +346,29 @@ object Bench {
     }
     val all = results ++ buildMetrics ++ recallMetrics
     val total = results.map(_._2).sum
+
+    // RECALL_GATE.json: the per-run measured recalls of the approximate-by-
+    // design graph queries NEXT TO their gate thresholds, as a first-class
+    // artifact — CORRECTNESS marks q79–q82 "no_oracle", which under-sells a
+    // per-run measured gate (the gate THROWS below threshold, so reaching
+    // here means every value listed passed). Thresholds mirror
+    // SparkEntry.recallGate: topk >=0.9, knn-join >=0.95.
+    val recallGateEntries =
+      SparkEntry.graphRecall(spark).toSeq.flatMap { case (r79, r80) =>
+        Seq(("q79_graph_topk", 0.9, r79), ("q80_graph_knn_join", 0.95, r80))
+      } ++ SparkEntry.shardedGraphRecall(spark).toSeq.flatMap { case (r81, r82) =>
+        Seq(("q81_sharded_graph_topk", 0.9, r81),
+          ("q82_sharded_graph_knn_join", 0.95, r82))
+      }
+    if (recallGateEntries.nonEmpty) {
+      val gateJson = recallGateEntries.map { case (q, th, m) =>
+        s"""\"$q\":{"threshold":$th,"measured":$m,"pass":${m >= th - 1e-9}}"""
+      }.mkString("{", ",", "}\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("RECALL_GATE_OUT", "RECALL_GATE.json")),
+        gateJson.getBytes("UTF-8"))
+    }
 
     // Full-precision, full-name JSON → file (for STATUS and human diffing).
     // settle_sec = total un-timed drain cost (unpersist + GC + cleaner
@@ -312,8 +394,21 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val repassJson = repassCounts.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // query_steal = steal% observed during the exact run that produced each
+    // query's final value (-1 = /proc/stat unavailable). Per-QUERY, not
+    // per-pass: a short co-tenant burst is visible on the queries it hit.
+    val queryStealJson = names.map(n =>
+      s"\"" + n + "\":" +
+        "%.2f".formatLocal(java.util.Locale.ROOT, minSteal(n)))
+      .mkString("{", ",", "}")
+    // denominator_src: how many queries the contention re-pass could see
+    // via each source — full coverage means the record can self-diagnose
+    // EVERY query, not just the ISOLATED.json subset.
+    val denIso = names.count(isoWarm.contains)
+    val denHist = names.count(n => !isoWarm.contains(n) && histMin.contains(n))
+    val denNone = names.size - denIso - denHist
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"settle_sec":${settleNanos / 1e9},"load":$loadJson,"steal_pct":$stealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"lean_pass_b":$leanPassB,"settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -345,8 +440,12 @@ object Bench {
     // worst load sample so a contended window is self-evident in-line.
     val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.map(_._2).max
     val stealMax = if (stealRegions.isEmpty) -1.0 else stealRegions.map(_._2).max
+    // "degraded":true rides in the compact line only when real (a single-
+    // pass record must be self-labeling even in the truncated artifact);
+    // omitted when false to protect the ~2000-char tail-window budget.
+    val degradedTag = if (degraded) "\"degraded\":true," else ""
     val line =
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"steal_max":${sec2(stealMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,$degradedTag"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"steal_max":${sec2(stealMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
     System.out.flush()
   }
