@@ -1192,6 +1192,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    /** REAL video-container round-trip, hash-checked: one constant-luma-per-
+      * frame Y4M clip per document (a public header-simple raw-video format,
+      * synthesized byte-for-byte by [[graft.ops.Multimodal.encodeY4m]])
+      * decoded back by the pure-JVM container parser — dimensions, frame
+      * count, 25fps duration, and the exact integer-accumulated mean luma
+      * must equal the synthesis functions, recomputed by the oracle in SQL
+      * (mean luma via list_sum over the per-frame closed form). Completes
+      * the codec trilogy with q83 (image) and q84 (audio). */
+    def q85VideoDecode(s: SparkSession, dir: String): DataFrame = {
+      val media = graft.ops.Multimodal.synthY4mTable(tbl(s, dir, "documents"))
+      graft.ops.Multimodal.decodeMedia(media)
+        .select(col("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames"), col("duration_sec"), col("gray_mean"))
+        .orderBy(col("doc_id"))
+    }
+
     // --- text search -----------------------------------------------------
 
     /** Shared keyword query for the BM25 family (q52/q53/q54). */
@@ -1751,6 +1769,7 @@ object SparkEntry {
     "q82_sharded_graph_knn_join" -> (Queries.q82ShardedGraphKnnJoin _),
     "q83_image_decode" -> (Queries.q83ImageDecode _),
     "q84_audio_decode" -> (Queries.q84AudioDecode _),
+    "q85_video_decode" -> (Queries.q85VideoDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2531,6 +2550,20 @@ object SparkEntry {
         | 50 + (n_chars % 101) AS n_frames,
         | (50 + (n_chars % 101)) / 8000.0 AS duration_sec,
         | ((doc_id % 1000) * 16) / 32768.0 AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // gray_mean: the decoder divides the exact integer luma total by the
+    // exact integer pixel count in ONE IEEE division, so sum(luma_f)*w*h /
+    // (w*h*frames) here equals sum(luma_f)/frames bit-for-bit (equal
+    // rationals, correctly-rounded division of exact operands)
+    "q85_video_decode" ->
+      """SELECT doc_id,
+        | 2 * (1 + (n_chars % 7)) AS width,
+        | 2 * (1 + (doc_id % 5)) AS height,
+        | 1 + (doc_id % 5) AS n_frames,
+        | (1 + (doc_id % 5)) / 25.0 AS duration_sec,
+        | CAST(list_sum(list_transform(range(1 + (doc_id % 5)),
+        |   f -> (doc_id * 31 + f * 7) % 256)) AS DOUBLE)
+        |   / (1 + (doc_id % 5)) / 255.0 AS gray_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * metadata, and all media-touching transforms are partition-parallel,
   * narrow (no shuffle), and batch-shaped.
   *
-  * Decode is REAL for the formats the JVM itself ships codecs for:
-  * `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF — [[decodeImage]]) and
-  * `javax.sound.sampled` (WAV/AIFF/AU PCM — [[decodeAudio]]), dispatched by
-  * declared media type in [[decodeMedia]]. Formats with no JVM codec (e.g.
-  * video containers) fall back to the clearly-marked [[decodeStub]], which
-  * derives deterministic pseudo-metadata so the pipeline shape stays
-  * exercised end-to-end; a production deployment swaps only that arm.
+  * Decode is REAL for all three modalities: `javax.imageio`
+  * (PNG/JPEG/BMP/GIF/TIFF — [[decodeImage]]), `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM — [[decodeAudio]]), and pure-JVM video container
+  * parsing (Y4M raw video + MJPEG-in-AVI through the JPEG codec —
+  * [[decodeVideo]]), dispatched by declared media type in [[decodeMedia]].
+  * Only payload types with no JVM decode path at all (e.g. `text/plain`
+  * treated as opaque bytes, compressed video codecs like H.264) fall back
+  * to the clearly-marked [[decodeStub]] / quarantine; a production
+  * deployment swaps only that arm.
   *
   * Every media-touching pass is a mapPartitions over the payload's own
   * partition — at 100 TB the bytes never shuffle; only the typed metadata
@@ -304,6 +306,211 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ============================================== video decode (REAL, JVM)
+
+  /** Decoded video: pixel dimensions, frame count, frames-per-second (None
+    * when the container carries no timing), duration, exact mean luma in
+    * [0,1] over ALL frames, and the 8x8 grayscale thumbnail of the FIRST
+    * frame (the clip's perceptual anchor, same grid as [[ImageMeta]]). */
+  final case class VideoMeta(width: Int, height: Int, frames: Int,
+      fps: Option[Double], durationSec: Option[Double], grayMean: Double,
+      thumb: Array[Float])
+
+  /** Real Y4M (YUV4MPEG2) decode — a public, header-simple raw-video
+    * format: one ASCII parameter line (`YUV4MPEG2 W.. H.. F<num>:<den>
+    * C<colorspace>`), then per frame an ASCII `FRAME` line followed by raw
+    * planar YUV. Pure byte parsing, no codec dependency. Supported
+    * colorspaces: 420 (default, any variant tag), 422, 444, mono.
+    *
+    * `grayMean` is the exact integer-accumulated mean of the LUMA plane
+    * across all frames (`sum(Y) / (w*h*frames) / 255`) — for synthetic
+    * constant-luma fixtures it is bit-reproducible by SQL arithmetic (the
+    * q85 oracle relies on this, like q83/q84 for image/audio). None for
+    * null/empty/undecodable payloads; never throws on garbage. */
+  def decodeY4m(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 10) return None
+    try {
+      val magic = "YUV4MPEG2"
+      var i = 0
+      while (i < magic.length) {
+        if (bytes(i) != magic.charAt(i)) return None
+        i += 1
+      }
+      var hdrEnd = i
+      while (hdrEnd < bytes.length && bytes(hdrEnd) != '\n') hdrEnd += 1
+      if (hdrEnd >= bytes.length) return None
+      val params = new String(bytes, i, hdrEnd - i, "US-ASCII")
+        .trim.split("\\s+").filter(_.nonEmpty)
+      var w = -1; var h = -1
+      var fpsNum = 0L; var fpsDen = 0L
+      var cs = "420"
+      params.foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.drop(1).toInt
+          case 'H' => h = p.drop(1).toInt
+          case 'F' =>
+            val nd = p.drop(1).split(":")
+            if (nd.length == 2) { fpsNum = nd(0).toLong; fpsDen = nd(1).toLong }
+          case 'C' => cs = p.drop(1)
+          case _ => // I (interlace), A (aspect), X (extension): irrelevant here
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val lumaLen = w * h
+      val chromaLen =
+        if (cs.startsWith("mono")) 0
+        else if (cs.startsWith("422")) (w / 2) * h * 2
+        else if (cs.startsWith("444")) w * h * 2
+        else (w / 2) * (h / 2) * 2 // 420 and its jpeg/mpeg2/paldv variants
+      var pos = hdrEnd + 1
+      var frames = 0
+      var sumLuma = 0L
+      val cellSum = new Array[Double](64)
+      val cellCnt = new Array[Long](64)
+      var thumb: Array[Float] = null
+      while (pos < bytes.length) {
+        // FRAME line (may carry parameters; consume through '\n')
+        if (pos + 5 > bytes.length) return if (frames > 0) finish() else None
+        val fm = "FRAME"
+        var j = 0
+        while (j < 5) {
+          if (bytes(pos + j) != fm.charAt(j)) return None
+          j += 1
+        }
+        pos += 5
+        while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        pos += 1
+        // truncated frame (luma OR chroma cut short): reject the clip —
+        // corrupt payloads quarantine, they do not half-decode
+        if (pos + lumaLen + chromaLen > bytes.length) return None
+        if (frames == 0) {
+          // first-frame 8x8 thumbnail, same area-average grid as decodeImage
+          var y = 0
+          while (y < h) {
+            val cy = (y * 8 / h) * 8
+            val rowOff = pos + y * w
+            var x = 0
+            while (x < w) {
+              val v = bytes(rowOff + x) & 0xff
+              sumLuma += v
+              val cell = cy + (x * 8 / w)
+              cellSum(cell) += v
+              cellCnt(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          thumb = Array.tabulate(64) { c =>
+            if (cellCnt(c) > 0) (cellSum(c) / cellCnt(c) / 255.0).toFloat
+            else {
+              val px = math.min(w - 1, (c % 8 * 2 + 1) * w / 16)
+              val py = math.min(h - 1, (c / 8 * 2 + 1) * h / 16)
+              ((bytes(pos + py * w + px) & 0xff) / 255.0).toFloat
+            }
+          }
+        } else {
+          var k = 0
+          while (k < lumaLen) { sumLuma += bytes(pos + k) & 0xff; k += 1 }
+        }
+        pos += lumaLen + chromaLen
+        frames += 1
+      }
+      def finish(): Option[VideoMeta] = {
+        val fps = if (fpsNum > 0 && fpsDen > 0) Some(fpsNum.toDouble / fpsDen) else None
+        Some(VideoMeta(w, h, frames, fps,
+          fps.map(_ => frames.toDouble * fpsDen / fpsNum),
+          sumLuma.toDouble / (lumaLen.toLong * frames) / 255.0, thumb))
+      }
+      if (frames == 0) None else finish()
+    } catch { case _: Exception => None }
+  }
+
+  /** Real MJPEG-in-AVI decode: walks the RIFF chunk tree (a public,
+    * header-simple container), decodes every `00dc`/`00db` video chunk
+    * whose payload is a JPEG through the JDK's javax.imageio, and reads
+    * fps from the `avih` header's micro-seconds-per-frame when present.
+    * `grayMean` averages the per-frame exact means (all frames share one
+    * geometry in MJPEG). None for undecodable payloads; never throws. */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      def le32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var microSecPerFrame = 0L
+      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(p)
+          val sz = le32(p + 4).toInt
+          val body = p + 8
+          if (body + math.max(sz, 0) > end || sz < 0) return // corrupt: stop
+          if (id == "LIST") walk(body + 4, body + sz)
+          else {
+            if (id.endsWith("dc") || id.endsWith("db")) frameChunks += ((body, sz))
+            else if (id == "avih" && sz >= 4) microSecPerFrame = le32(body)
+          }
+          p = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + le32(4).toInt))
+      if (frameChunks.isEmpty) return None
+      var w = -1; var h = -1
+      var graySum = 0.0
+      var decoded = 0
+      var thumb: Array[Float] = null
+      frameChunks.foreach { case (off, len) =>
+        val frame = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        decodeImage(frame).foreach { m =>
+          if (decoded == 0) { w = m.width; h = m.height; thumb = m.thumb }
+          graySum += m.grayMean
+          decoded += 1
+        }
+      }
+      if (decoded == 0) return None
+      val fps = if (microSecPerFrame > 0) Some(1e6 / microSecPerFrame) else None
+      Some(VideoMeta(w, h, decoded, fps,
+        fps.map(decoded / _), graySum / decoded, thumb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Container-sniffing video decode: Y4M by its ASCII magic, AVI by its
+    * RIFF header. Formats beyond these two (no pure-JVM codec exists)
+    * return None and [[decodeMedia]] quarantines the row. */
+  def decodeVideo(bytes: Array[Byte]): Option[VideoMeta] =
+    if (bytes == null || bytes.length < 12) None
+    else if (bytes(0) == 'Y') decodeY4m(bytes)
+    else if (bytes(0) == 'R') decodeAviMjpeg(bytes)
+    else None
+
+  /** Encode a constant-luma-per-frame Y4M clip (C420, chroma neutral at
+    * 128) — the synthesis side of the q85 round-trip. Even dims required
+    * by 4:2:0 subsampling. */
+  def encodeY4m(width: Int, height: Int, lumas: Array[Int],
+      fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "C420 needs even dimensions")
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val lumaLen = width * height
+    val chromaLen = (width / 2) * (height / 2)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + lumas.length * (6 + lumaLen + 2 * chromaLen))
+    out.write(header)
+    lumas.foreach { l =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val y = new Array[Byte](lumaLen)
+      java.util.Arrays.fill(y, l.toByte)
+      out.write(y)
+      val c = new Array[Byte](chromaLen)
+      java.util.Arrays.fill(c, 128.toByte)
+      out.write(c); out.write(c)
+    }
+    out.toByteArray
+  }
+
   // =========================================== typed decode dispatch (REAL)
 
   private val decodedFields = Seq(
@@ -319,7 +526,8 @@ object Multimodal {
 
   /** Typed decode pass: dispatch on the declared media type — `image/...`
     * through the real JDK image codecs, `audio/...` through the real JDK
-    * audio codecs, anything else (e.g. `video/...`, `text/plain`) through
+    * audio codecs, `video/...` through the pure-JVM Y4M/MJPEG-AVI parsers,
+    * anything else (e.g. `text/plain`) through
     * [[decodeStub]]'s pseudo-metadata. Appends a uniform nullable metadata
     * block (image rows leave audio fields NULL and vice versa) plus a
     * `features` vector: 64-dim thumbnail for images, 8-dim envelope for
@@ -348,6 +556,17 @@ object Multimodal {
           else if (mt.startsWith("audio/")) decodeAudio(bytes) match {
             case Some(m) => Seq(null, null, null, null, m.sampleRate, m.frames,
               m.durationSec, m.rms, m.envelope.toSeq, true)
+            case None => Seq(null, null, null, null, null, null, null, null, null, false)
+          }
+          // REAL video arm: Y4M + MJPEG-AVI via pure-JVM parsing/codecs.
+          // channels stays NULL by design — it is the image-only marker
+          // imageFingerprints gates on, and a video thumbnail must not be
+          // mined as a still image by default. n_frames/duration_sec carry
+          // the clip timing (duration NULL when the container has none).
+          else if (mt.startsWith("video/")) decodeVideo(bytes) match {
+            case Some(m) => Seq(m.width, m.height, null, m.grayMean,
+              null, m.frames.toLong, m.durationSec.orNull,
+              null, m.thumb.toSeq, true)
             case None => Seq(null, null, null, null, null, null, null, null, null, false)
           }
           else if (bytes == null || bytes.isEmpty)
@@ -548,6 +767,29 @@ object Multimodal {
         val n = (50 + nc % 101).toInt
         val amp = ((id % 1000) * 16).toShort
         Row(id, encodeWavPcm16(Array.fill(n)(amp), 8000), "audio/wav")
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic synthetic video table: one REAL Y4M clip per row
+    * (C420, constant luma per frame) with `frames = 1 + doc_id % 5`,
+    * `width = 2*(1 + n_chars % 7)`, `height = 2*(1 + doc_id % 5)`, and
+    * per-frame luma `(doc_id*31 + f*7) % 256` at 25 fps — all exact
+    * integer functions the q85 oracle recomputes in SQL against the
+    * decoded dimensions, frame count, duration, and mean luma. */
+  def synthY4mTable(docs: DataFrame): DataFrame = {
+    // same single-input-split spread as synthPngTable
+    val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val outSchema = mediaSchema
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val nc = r.getLong(1)
+        val w = (2 * (1 + nc % 7)).toInt
+        val h = (2 * (1 + id % 5)).toInt
+        val frames = (1 + id % 5).toInt
+        val lumas = Array.tabulate(frames)(f => ((id * 31 + f * 7) % 256).toInt)
+        Row(id, encodeY4m(w, h, lumas), "video/y4m")
       }
     }(Encoders.row(outSchema))
   }

@@ -106,6 +106,99 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
   }
 
+  test("decodeY4m reads back exact dims, frames, duration, mean luma") {
+    val bytes = Multimodal.encodeY4m(6, 4, Array(100, 200, 50))
+    val m = Multimodal.decodeY4m(bytes).get
+    assert(m.width == 6 && m.height == 4 && m.frames == 3)
+    assert(m.fps.contains(25.0) && m.durationSec.contains(3 / 25.0))
+    // exact: (100+200+50)/3/255 via one integer-exact division chain
+    assert(m.grayMean == (100.0 + 200 + 50) * 24 / (24 * 3) / 255.0)
+    assert(m.thumb.length == 64 &&
+      m.thumb.forall(v => math.abs(v - 100f / 255f) < 1e-6)) // first frame
+    // mono colorspace (no chroma planes) parses too
+    val mono = ("YUV4MPEG2 W4 H2 F30:1 Cmono\nFRAME\n".getBytes("US-ASCII")
+      ++ Array.fill(8)(64.toByte))
+    val mm = Multimodal.decodeY4m(mono).get
+    assert(mm.frames == 1 && mm.grayMean == 64.0 / 255.0)
+    assert(Multimodal.decodeY4m("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(null).isEmpty)
+    // truncated frame -> reject, not a bogus partial decode
+    assert(Multimodal.decodeY4m(bytes.dropRight(5)).map(_.frames).contains(2) ||
+      Multimodal.decodeY4m(bytes.dropRight(5)).isEmpty)
+  }
+
+  private def mjpegAvi(frames: Seq[Array[Byte]],
+      microSecPerFrame: Option[Int] = None): Array[Byte] = {
+    // minimal RIFF/AVI: optional hdrl LIST with an avih chunk, then a movi
+    // LIST of 00dc JPEG chunks (word-aligned, as the format requires)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    val hdrl = microSecPerFrame.toSeq.flatMap { us =>
+      chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+        chunk("avih", le32(us) ++ Array.fill(52)(0.toByte)))
+    }.toArray
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(payload.length))
+    bos.write(payload)
+    bos.toByteArray
+  }
+
+  test("decodeAviMjpeg walks the RIFF tree and decodes JPEG frames") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16)
+        im.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = mjpegAvi(Seq(jpeg(100), jpeg(150), jpeg(200)),
+      microSecPerFrame = Some(40000)) // 25 fps
+    val m = Multimodal.decodeAviMjpeg(avi).get
+    assert(m.width == 16 && m.height == 8 && m.frames == 3)
+    assert(m.fps.exists(f => math.abs(f - 25.0) < 1e-9))
+    assert(m.durationSec.exists(d => math.abs(d - 0.12) < 1e-9))
+    // JPEG is lossy but a solid mid-gray survives within a few levels
+    assert(math.abs(m.grayMean - 150.0 / 255.0) < 0.03)
+    // without an avih header: frames still decode, timing unknown
+    val bare = Multimodal.decodeAviMjpeg(mjpegAvi(Seq(jpeg(80)))).get
+    assert(bare.frames == 1 && bare.fps.isEmpty && bare.durationSec.isEmpty)
+    assert(Multimodal.decodeAviMjpeg("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(avi).get.frames == 3) // sniffer: AVI
+    assert(Multimodal.decodeVideo(
+      Multimodal.encodeY4m(2, 2, Array(9))).get.frames == 1) // sniffer: Y4M
+  }
+
+  test("decodeMedia video arm: real metadata, channels stays NULL, " +
+      "unsupported codecs quarantine") {
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Multimodal.encodeY4m(4, 2, Array(10, 20)),
+        "video/y4m"),
+      org.apache.spark.sql.Row(2L, "not a container".getBytes("UTF-8"),
+        "video/mp4"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodeMedia(df).orderBy($"doc_id").collect()
+    val v = out(0)
+    assert(v.getAs[Boolean]("decode_ok") && v.getAs[Int]("width") == 4 &&
+      v.getAs[Long]("n_frames") == 2L &&
+      v.isNullAt(v.fieldIndex("channels")) && // image-only marker stays null
+      v.getSeq[Float](v.fieldIndex("features")).length == 64)
+    assert(!out(1).getAs[Boolean]("decode_ok"))
+    // the image fingerprint path must NOT pick up video thumbnails
+    val fps = Multimodal.imageFingerprints(df)
+    assert(fps.count() == 0)
+  }
+
   test("decodeMedia dispatches by declared type; corrupt payloads quarantine, not crash") {
     val rows = Seq(
       (1L, Multimodal.encodePng(4, 4, 0x808080), "image/png"),

@@ -153,6 +153,82 @@ class PrimitiveStructuresSpec extends AnyFunSuite {
     }
   }
 
+  test("property: randomized builds — (n, dim, threads) x insert order " +
+      "(uniform/sorted/clustered/duplicate-heavy) x interleaved deletes " +
+      "keep 0 level-0 orphans and recall@10 >= 0.95") {
+    // The repairConnectivity pass and its protected-edge prune interaction
+    // (pruneNeighborsProtected) carry the most state of any build-path
+    // code; the two fixed fixtures above pin the known failure shapes —
+    // this generator searches for UNKNOWN ones. Per trial: random size,
+    // dimension, and thread count; one of four insert orders including
+    // duplicate-heavy clusters (many exact-duplicate vectors stress the
+    // zero-distance diversity prune); half the trials interleave a
+    // tombstone wave between two addAll calls (delete hooks + repair must
+    // compose). Post-conditions after EVERY build: levelZeroOrphanCount
+    // == 0, no deleted key surfaces, and distance-based (tie-robust)
+    // recall@10 at ef=64 >= 0.95 averaged over 8 probes.
+    for (trial <- 1 to 12) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val dim = Seq(4, 8, 16, 32)(rnd.nextInt(4))
+      val n = 500 + rnd.nextInt(5500)
+      val threads = Seq(4, 8, 16)(rnd.nextInt(3))
+      val shape = Seq("uniform", "sorted", "clustered", "dup-clusters")(rnd.nextInt(4))
+      def gauss(scale: Double): Array[Float] =
+        Array.fill(dim)((rnd.nextGaussian() * scale).toFloat)
+      val base: Array[Array[Float]] = shape match {
+        case "uniform" => Array.fill(n)(gauss(1.0))
+        case "sorted" =>
+          // ascending along axis 0 with small noise: the correlated-order
+          // regime (z-ordered/partitioned corpora stream in like this)
+          Array.tabulate(n) { i =>
+            val v = gauss(0.01); v(0) = (i / 500.0).toFloat; v
+          }
+        case "clustered" =>
+          val k = 4 + rnd.nextInt(8)
+          val centers = Array.fill(k)(gauss(10.0))
+          Array.tabulate(n) { i =>
+            val c = centers(i * k / n) // cluster-by-cluster arrival
+            val v = gauss(0.1)
+            var d = 0; while (d < dim) { v(d) += c(d); d += 1 }; v
+          }
+        case "dup-clusters" =>
+          // few distinct points, each repeated many times back-to-back:
+          // whole in-flight windows of exact duplicates
+          val k = 5 + rnd.nextInt(20)
+          val distinct = Array.fill(k)(gauss(5.0))
+          Array.tabulate(n)(i => distinct(i * k / n).clone())
+      }
+      val items = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val idx = new HnswIndex(dim, "l2sq")
+      val deleted: Set[Long] =
+        if (rnd.nextBoolean()) {
+          val (a, b) = items.splitAt(n / 2)
+          idx.addAll(a.iterator, threads)
+          val dels = a.iterator.map(_._1).filter(_ => rnd.nextInt(10) == 0).toArray
+          dels.foreach(k => assert(idx.remove(k)))
+          idx.addAll(b.iterator, threads)
+          dels.toSet
+        } else { idx.addAll(items.iterator, threads); Set.empty }
+      val label = s"trial $trial ($shape n=$n dim=$dim threads=$threads " +
+        s"deleted=${deleted.size})"
+      assert(idx.levelZeroOrphanCount == 0,
+        s"$label: ${idx.levelZeroOrphanCount} level-0 orphans")
+      val live = items.filterNot(kv => deleted.contains(kv._1))
+      val probes = Array.fill(8)(live(rnd.nextInt(live.length))._2)
+      val recalls = probes.map { q =>
+        val exactKth = idx.search(q, 10, ef = n + 1).last._2
+        val approx = idx.search(q, 10, ef = 64)
+        approx.foreach { case (key, _) =>
+          assert(!deleted.contains(key), s"$label: deleted key $key surfaced") }
+        // tie-robust: a hit is any result within the exact k-th distance
+        approx.count(_._2 <= exactKth * (1 + 1e-9) + 1e-12) / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      info(f"$label%-60s recall@10(ef=64)=$mean%.3f")
+      assert(mean >= 0.95, f"$label: recall@10 at ef=64 was $mean%.3f")
+    }
+  }
+
   test("IntVec add/contains/clear/foreach over growth boundaries") {
     val v = new IntVec(4)
     (0 until 1000).foreach(i => v.add(i * 3))
