@@ -96,7 +96,15 @@ class AnnScaleSpec extends AnyFunSuite {
       val (recallClean, latClean) = measure(idx, exactClean, _ => false)
 
       // ---- state 2: tombstone-heavy (10% deleted, shard-major batch) ------
-      val delKeys = (0L until n.toLong).filter(_ % 10 == 7)
+      // Index keys are the engine's ROWIDS (__rowid, minted by registerTable
+      // — partition-encoded, NOT the dense vec_id), same contract as the
+      // reference's row_t deletes (reference src/hnsw/hnsw_index.cpp:466).
+      // Deleting by assumed 0..n keys silently no-ops for every row outside
+      // partition 0 — so resolve vec_id%10==7 to its actual rowids first.
+      val delKeys = spark.table(table)
+        .where(col("vec_id") % 10 === 7)
+        .select(col(Graft.RowIdCol))
+        .collect().map(_.getLong(0)).toIndexedSeq
       assert(delKeys.length == n / 10)
       val sharded = (idx match {
         case l: graft.index.LazyLoadedIndex => l.resolved
