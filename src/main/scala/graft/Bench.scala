@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   *    budget degradation ladder NEVER silently drops pass B (round 10 —
   *    the round-9 grading record fell to passes:1 exactly on the machine
   *    where min-of-two mattered): full pass B, else a lean-settle pass B,
-  *    else a single-pass record that self-labels with "degraded":true,
+  *    else a PARTIAL pass B (worst passA/denominator ratio first, filling
+  *    the remaining budget, coverage emitted as "pass_b_coverage"), and
+  *    only a zero remaining budget yields a single-pass record, which
+  *    self-labels with "degraded":true,
   *  - contention self-diagnosis (round 9 — BENCH_r08 read q44 at 7.3× its
   *    isolated warm cost purely from co-tenant machine load, in BOTH
   *    passes, which per-query min cannot remove): the 1-minute system
@@ -277,8 +280,14 @@ object Bench {
     //  2. LEAN pass B (settle every 3rd query — ~2/3 of the settle cost
     //     dropped, slightly noisier but still a second independent sample
     //     for min-of-two) if THAT projects to fit;
-    //  3. only then a single-pass record, and it SELF-LABELS: the emitted
-    //     JSON carries "degraded":true alongside "passes":1.
+    //  3. PARTIAL lean pass B: second samples for as many queries as the
+    //     remaining budget holds, worst passA/denominator ratio first — the
+    //     queries that most need min-of-two always get it, and the record
+    //     carries "pass_b_coverage" so a partial pass is self-describing
+    //     (round 10: the cliff used to drop pass B WHOLESALE on the exact
+    //     machines — bursty-steal hosts — where min-of-two mattered most);
+    //  4. only a literally-zero remaining budget yields a single-pass
+    //     record, and it SELF-LABELS with "degraded":true.
     // Malformed budget values fall back to the default — a bad env var
     // must not discard the minutes of measurement already done.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
@@ -287,13 +296,46 @@ object Bench {
     val passAWall = (passAEnd - passAStart) / 1e9
     val fullFits = elapsedA + passAWall <= budgetSec
     val leanFits = elapsedA + (passAWall - settleASec * 2.0 / 3.0) <= budgetSec
-    val (passB, nPasses, leanPassB) =
+    val (passB, leanPassB) =
       if (fullFits || leanFits) {
         loadSample("passB_pre")
         val p = measuredPass(settleEveryN = if (fullFits) 1 else 3)
         loadSample("passB_post")
-        (p, 2, !fullFits)
-      } else (passA, 1, false)
+        (p, !fullFits)
+      } else {
+        // partial: spend what's left (minus a reserve for the contention
+        // re-pass below) on ratio-ordered second samples. Per-query cost is
+        // estimated from its own passA wall share; the loop also re-checks
+        // real elapsed time so an estimate error cannot blow the budget.
+        val reserve = if (sfDir.contains("sf0.1")) 60.0 else 10.0
+        val perQueryOverhead =
+          math.max(0.0, passAWall - passA.values.map(_._1).sum) / names.size / 3
+        def ratio(n: String): Double =
+          denominator(n).map(passA(n)._1 / _).getOrElse(Double.MaxValue)
+        val order = names.sortBy(n => -ratio(n))
+        loadSample("passB_pre")
+        val partial = scala.collection.mutable.Map.empty[String, (Double, Double)]
+        var projected = (System.nanoTime() - wallStart) / 1e9
+        for (n <- order) {
+          val est = passA(n)._1 + perQueryOverhead
+          val real = (System.nanoTime() - wallStart) / 1e9
+          if (math.max(projected, real) + est <= budgetSec - reserve) {
+            partial(n) = timedRun(n)
+            settle(everyN = 3)
+            projected = math.max(projected, real) + est
+          }
+        }
+        loadSample("passB_post")
+        // uncovered queries fall back to their passA sample (same tuple
+        // INSTANCE — coverage below counts genuine second samples by `ne`)
+        (names.map(n => n -> partial.getOrElse(n, passA(n))).toMap, true)
+      }
+    // coverage = queries with a genuine second sample (identity fallbacks
+    // excluded by construction above only for the partial arm)
+    val passBCoverage =
+      if (fullFits || leanFits) names.size
+      else names.count(n => passB(n) ne passA(n))
+    val nPasses = if (passBCoverage > 0) 2 else 1
     val degraded = nPasses == 1
 
     // Contention re-pass: co-tenant load can inflate a query in BOTH
@@ -408,7 +450,7 @@ object Bench {
     val denHist = names.count(n => !isoWarm.contains(n) && histMin.contains(n))
     val denNone = names.size - denIso - denHist
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"lean_pass_b":$leanPassB,"settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"lean_pass_b":$leanPassB,"pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -440,10 +482,13 @@ object Bench {
     // worst load sample so a contended window is self-evident in-line.
     val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.map(_._2).max
     val stealMax = if (stealRegions.isEmpty) -1.0 else stealRegions.map(_._2).max
-    // "degraded":true rides in the compact line only when real (a single-
-    // pass record must be self-labeling even in the truncated artifact);
-    // omitted when false to protect the ~2000-char tail-window budget.
-    val degradedTag = if (degraded) "\"degraded\":true," else ""
+    // "degraded":true / a partial pass-B coverage ride in the compact line
+    // only when real (a degraded or partial record must be self-labeling
+    // even in the truncated artifact); omitted in the common full-coverage
+    // case to protect the ~2000-char tail-window budget.
+    val degradedTag = (if (degraded) "\"degraded\":true," else "") +
+      (if (passBCoverage > 0 && passBCoverage < names.size)
+        s""""pass_b":"$passBCoverage/${names.size}",""" else "")
     val line =
       s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,$degradedTag"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"steal_max":${sec2(stealMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)
