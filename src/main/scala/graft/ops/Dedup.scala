@@ -442,6 +442,41 @@ object Dedup {
       .where(col("dist") <= maxDist) // exact verify once per distinct pair
   }
 
+  /** Signature geometry for [[embeddingLshPairsAuto]]: bits per band sized so
+    * the EXPECTED bucket occupancy stays near `targetBucketRows` — r =
+    * max(8, ceil(log2(n / target))) gives n / 2^r <= target for every n, so
+    * the banded candidate join's volume is O(n * target) instead of the
+    * n^2 / 2^r a fixed geometry degrades to once n >> 2^r. Deterministic in
+    * n, so a replay over the same snapshot reproduces the same pairs. */
+  def lshGeometry(n: Long, targetBucketRows: Int = 32): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0))
+    math.max(8, needed.toInt)
+  }
+
+  /** Geometry-from-n variant of [[embeddingLshPairs]] — the scale shape.
+    *
+    * The fixed-parameter form has a structural ceiling: b bands of r sign
+    * bits hash into at most b * 2^r buckets, so once n >> 2^r candidate
+    * volume grows as n^2 / 2^r — quadratic at ANY fixed geometry (measured
+    * on the sf0.1 -> sf1 scale-up: 2k -> 20k rows at r=8 grew the candidate
+    * join ~100x for 10x data). This variant holds expected bucket occupancy
+    * near `targetBucketRows` via [[lshGeometry]], so candidates — and the
+    * exact-cosine verify behind them — grow linearly with n. Longer bands
+    * cost per-band recall (P[cand] = 1 - (1 - p^r)^b, Charikar 2002);
+    * `nBands` is the buy-it-back knob, and because every emitted pair is
+    * verified with the exact distance, geometry only moves recall, never
+    * precision. The count() is one null-filtered scan of the vector column's
+    * presence — O(rows), no vector bytes shuffled. */
+  def embeddingLshPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, targetBucketRows: Int = 32, maxDist: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val n = df.where(col(vecCol).isNotNull).count()
+    val rowsPerBand = lshGeometry(n, targetBucketRows)
+    embeddingLshPairs(df, idCol, vecCol, nPlanes = nBands * rowsPerBand,
+      rowsPerBand = rowsPerBand, maxDist = maxDist, seed = seed)
+  }
+
   /** Embedding near-dup through a registered ANN index — the 100TB path:
     * the index broadcast is shard paths + delta (tiny), the outer side
     * streams partition-parallel with no shuffle, and per row only k=2
