@@ -19,13 +19,47 @@ import org.apache.spark.sql.functions._
   *    structure — naive replication would make every row a 10-way
   *    near-dup and explode pair mining quadratically, measuring the
   *    fixture, not the plan); n_chars is recomputed from the new text;
-  *  - embeddings shift by a copy-specific constant vector (within-copy
-  *    distances are translation-invariant — preserved bit-for-bit;
-  *    cross-copy distances are large, so ANN/near-dup structure scales
-  *    linearly too).
+  *  - embeddings transform by a copy-specific SIGNED PERMUTATION of the
+  *    dimensions (seeded per copy): an orthogonal map, so within-copy L2
+  *    distances, inner products, AND cosine similarities are preserved
+  *    bit-for-bit (a float negation or reorder loses no bits). The first
+  *    cut used a constant-vector translation — which preserves L2 but
+  *    DESTROYS cosine structure (every vector in a shifted copy points
+  *    roughly along the shift, so ~91% of within-copy pairs fell inside
+  *    q32's 0.8 cosine-distance threshold vs 5.5% in the real data — the
+  *    sf1 record was measuring that degenerate fixture, not the plans).
+  *    Cross-copy pair density under a signed permutation was MEASURED at
+  *    the data's own base rate (5.5% at sim >= 0.2, exactly the
+  *    within-copy rate), i.e. copies look like fresh samples from the
+  *    same distribution — the faithful scale-up. Consequence to read the
+  *    record by: loose-threshold pair miners (q32 at cosine-dist 0.8)
+  *    have OUTPUT quadratic in n on this distribution, so their cost
+  *    ratio tracks their output ratio (output-sensitive), while
+  *    tight-threshold and top-k ops (q28's k=1 probes, the index
+  *    searches) stay linear — cross-copy similarity never reaches their
+  *    thresholds (measured max 0.564 at sf0.1).
   *
   * Usage: `runMain graft.ScaleGen <srcDir> <destDir> [copies]`. */
 object ScaleGen {
+  /** Copy k's embedding transform: a seeded SIGNED PERMUTATION of the
+    * dimensions — orthogonal, so within-copy geometry (L2, inner product,
+    * cosine) is preserved bit-for-bit, while cross-copy similarity sits at
+    * the data's own base rate (copies look like fresh samples from the same
+    * distribution). Copy 0 is the identity. Shared by the fixture writer
+    * and the in-memory scale probes so every scale record uses the SAME
+    * transform. */
+  def signedPermutation(emb: org.apache.spark.sql.Column, dim: Int,
+      k: Int): org.apache.spark.sql.Column =
+    if (k == 0) emb
+    else {
+      val rnd = new scala.util.Random(k.toLong * 7919L)
+      val perm = rnd.shuffle((0 until dim).toIndexedSeq)
+      val signs = IndexedSeq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      array((0 until dim).map { j =>
+        (emb.getItem(perm(j)) * signs(j)).cast("float")
+      }: _*)
+    }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "scale_sf1"
@@ -77,13 +111,11 @@ object ScaleGen {
         .withColumn("text", text)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
+    val dim = read("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
     replicate("embeddings") { (df, k) =>
-      val emb =
-        if (k == 0) col("embedding")
-        else transform(col("embedding"),
-          (x, i) => (x + ((lit(k) * 31 + i * 7) % 13 - 6) * 0.7f).cast("float"))
       df.withColumn("vec_id", col("vec_id") + lit(k * stride))
-        .withColumn("embedding", emb)
+        .withColumn("embedding", signedPermutation(col("embedding"), dim, k))
     }
     spark.stop()
     println(s"[scale] wrote $dest ($copies copies of $src)")

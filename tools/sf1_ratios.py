@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Per-family sf0.1 -> sf1 (10x data) scaling ratios for STATUS.md.
+
+Reads the committed BENCH_FULL.json (sf0.1) and BENCH_sf1.json (the
+ScaleGen 10x replica) and prints each query family's cost ratio, flagging
+anything super-linear (>10x for 10x data, beyond noise).
+"""
+import json
+import statistics
+import sys
+
+FAMILIES = {
+    "tpch-scan/agg/join": ["q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09"],
+    "knn-brute": ["q10", "q11", "q12", "q13", "q14", "q15"],
+    "hnsw-index": ["q16", "q17", "q18", "q19", "q78", "q79", "q80", "q81", "q82"],
+    "dedup-pairs (mining)": ["q22", "q23", "q24", "q63", "q64", "q20"],
+    "embedding-neardup/lsh": ["q28", "q32", "q65"],
+    "text-quality": ["q21", "q25", "q31", "q33", "q37", "q48", "q60"],
+    "bm25/text-search": ["q52", "q53", "q54", "q56", "q59"],
+    "ann-variants (ivf/pq/sq)": ["q30", "q41", "q43", "q55", "q68", "q69"],
+    "filtered/radius/mmr": ["q61", "q62", "q66", "q67", "q70", "q74", "q75"],
+    "pipeline/split/pack": ["q38", "q44", "q45", "q46", "q47", "q49", "q50", "q76"],
+    "sessionize/asof/zorder": ["q40", "q42", "q51", "q57", "q58", "q71", "q72"],
+    "multimodal": ["q26", "q83", "q84", "q85"],
+    "misc": ["q27", "q29", "q34", "q35", "q36", "q39", "q73", "q77"],
+    "builds": ["build_"],
+}
+
+
+def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
+    base = json.load(open(base_path))["queries"]
+    sf1 = json.load(open(sf1_path))["queries"]
+    rows = []
+    for fam, prefixes in FAMILIES.items():
+        ratios = []
+        for name, v1 in sorted(sf1.items()):
+            if name.startswith("recall"):
+                continue
+            if not any(name.startswith(p) for p in prefixes):
+                continue
+            v0 = base.get(name)
+            if v0 and v0 > 0:
+                ratios.append((name, v1 / v0, v0, v1))
+        if not ratios:
+            continue
+        med = statistics.median(r[1] for r in ratios)
+        worst = max(ratios, key=lambda r: r[1])
+        flag = " <-- SUPER-LINEAR" if worst[1] > 10.0 else ""
+        rows.append((fam, med, worst, flag))
+        print(f"{fam:28s} median {med:5.2f}x  worst {worst[0]} "
+              f"{worst[1]:5.2f}x ({worst[2]:.2f}s -> {worst[3]:.2f}s){flag}")
+    t0 = sum(v for k, v in base.items()
+             if k.startswith("q") and not k.startswith("recall"))
+    t1 = sum(v for k, v in sf1.items()
+             if k.startswith("q") and not k.startswith("recall"))
+    print(f"\nsuite query total: {t0:.1f}s -> {t1:.1f}s = {t1 / t0:.2f}x for 10x data")
+    b0 = sum(v for k, v in base.items() if k.startswith("build_"))
+    b1 = sum(v for k, v in sf1.items() if k.startswith("build_"))
+    print(f"build total:       {b0:.1f}s -> {b1:.1f}s = {b1 / b0:.2f}x for 10x data")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
