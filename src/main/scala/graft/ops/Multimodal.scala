@@ -105,11 +105,57 @@ object Multimodal {
     * integer accumulator, so for synthetic fixtures it is bit-reproducible
     * by SQL arithmetic (the q83 oracle relies on this). One O(pixels) pass
     * fills both the mean and the 8x8 thumbnail bins. */
+  /** PNG reader/writer SPIs resolved ONCE per JVM — `ImageIO.read`/`write`
+    * scan the synchronized IIORegistry on EVERY call, and under 32 codec
+    * threads that lock convoy collapses throughput super-linearly in row
+    * count (measured: q83 at sf1 ran 50k tiny PNGs in 36 s — ~60× the
+    * per-row cost of the sf0.1 run — with both scans on the per-row path;
+    * the round-9 audio-side SPI cache fixed the same disease for WAV).
+    * Reader/writer INSTANCES are not thread-safe, so each call creates one
+    * from the cached SPI (cheap, no lock) and disposes it. */
+  private lazy val pngReaderSpi: Option[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+    var found: Option[javax.imageio.spi.ImageReaderSpi] = None
+    while (it.hasNext && found.isEmpty) {
+      val spi = it.next()
+      if (spi.getFormatNames.exists(_.equalsIgnoreCase("png"))) found = Some(spi)
+    }
+    found
+  }
+  private lazy val pngWriterSpi: Option[javax.imageio.spi.ImageWriterSpi] = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+    var found: Option[javax.imageio.spi.ImageWriterSpi] = None
+    while (it.hasNext && found.isEmpty) {
+      val spi = it.next()
+      if (spi.getFormatNames.exists(_.equalsIgnoreCase("png"))) found = Some(spi)
+    }
+    found
+  }
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
     if (bytes == null || bytes.length == 0) return None
     val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Exception => None }
+      try {
+        // PNG fast path through the cached SPI (no registry scan); any
+        // failure or non-PNG falls through to ImageIO's full dispatch,
+        // so behavior is unchanged for every other format
+        val fast =
+          if (isPng(bytes)) pngReaderSpi.flatMap { spi =>
+            val reader = spi.createReaderInstance()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try { reader.setInput(iis, true, true); Option(reader.read(0)) }
+            catch { case _: Exception => None }
+            finally { reader.dispose(); iis.close() }
+          } else None
+        fast.orElse(Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))))
+      } catch { case _: Exception => None }
     img.map { im =>
       val w = im.getWidth; val h = im.getHeight
       val n = w.toLong * h
@@ -166,7 +212,14 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(im, "png", bos)
+    pngWriterSpi match {
+      case Some(spi) => // cached SPI: no per-call registry scan (see above)
+        val writer = spi.createWriterInstance()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try { writer.setOutput(ios); writer.write(im) }
+        finally { writer.dispose(); ios.close() }
+      case None => javax.imageio.ImageIO.write(im, "png", bos)
+    }
     bos.toByteArray
   }
 
