@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 /** One-off scale probe for the embedding-LSH pair miner: times the
   * fixed-geometry form (q32's oracle-pinned 16 planes / 8-bit bands) against
   * the geometry-from-n [[graft.ops.Dedup.embeddingLshPairsAuto]] variant at
-  * three scales — sf0.1 (2k rows), the sf1 replica (20k), and a 100-copy
-  * in-memory replica (200k, embeddings only, built with ScaleGen's OWN
+  * three scales — sf0.1 (2k rows), the sf1 replica (20k), and a 50-copy
+  * in-memory replica (100k, embeddings only, built with ScaleGen's OWN
   * signed-permutation transform so all three points use the same fixture
-  * math). 200k is where the fixed geometry's structural term bites: 2 bands
-  * of 2^8 buckets put ~n^2/2^8 = ~156M pairs through the candidate join
-  * while the auto geometry (4 bands of 2^13 at this n) stays ~10M — the
+  * math). 100k is where the fixed geometry's structural term bites: 2 bands
+  * of 2^8 buckets put ~n^2/2^8 = ~39M pairs through the candidate join
+  * while the auto geometry (4 bands of 2^12 at this n) stays ~5M — the
   * wall-time gap IS the n^2/2^r term the auto variant removes.
   *
   * maxDist = 0.5 keeps the probe in near-dup mining's realistic regime:
@@ -46,15 +46,17 @@ object LshScale {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.vector.registerAll(spark)
 
-    def run(df: DataFrame, variant: String): (Double, Long) = {
+    def run(df: DataFrame, variant: String, warm: Boolean): (Double, Long) = {
       val op = variant match {
         case "fixed" => graft.ops.Dedup.embeddingLshPairs(
           df, "vec_id", "embedding", maxDist = 0.5)
         case "auto" => graft.ops.Dedup.embeddingLshPairsAuto(
           df, "vec_id", "embedding", maxDist = 0.5)
       }
-      // warm once (JIT + codegen), then time the measured run
-      op.write.format("noop").mode("overwrite").save()
+      // warm once (JIT + codegen) at the small scales, then time the
+      // measured run; at the big scale the code paths are already JITted
+      // and a warm pass would double a multi-minute join for nothing
+      if (warm) op.write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       val pairs = op.count()
       ((System.nanoTime() - t0) / 1e9, pairs)
@@ -75,7 +77,7 @@ object LshScale {
 
     val base = spark.read.parquet(s"$small/embeddings.parquet")
     val dim = base.select(size(col("embedding"))).head().getInt(0)
-    val replica200k = (0 until 100).map { k =>
+    val replica100k = (0 until 50).map { k =>
       base.withColumn("vec_id", col("vec_id") + lit(k * 10_000_000_000L))
         .withColumn("embedding",
           ScaleGen.signedPermutation(col("embedding"), dim, k))
@@ -84,14 +86,14 @@ object LshScale {
     val scales = Seq(
       ("sf0.1", spark.read.parquet(s"$small/embeddings.parquet")),
       ("sf1", spark.read.parquet(s"$large/embeddings.parquet")),
-      ("100x", replica200k))
+      ("50x", replica100k))
     val out = new StringBuilder("{")
     for ((tag, df) <- scales) {
       val n = df.count()
       val exact = exactPairs(df, n)
       for (v <- Seq("fixed", "auto")) {
         val s0 = ProcStat.stealTotalTicks()
-        val (sec, pairs) = run(df, v)
+        val (sec, pairs) = run(df, v, warm = n <= 20000)
         val steal = (for { (a, c0) <- s0; (b, c1) <- ProcStat.stealTotalTicks()
                            if c1 > c0 } yield 100.0 * (b - a) / (c1 - c0)).getOrElse(-1.0)
         val recall =
