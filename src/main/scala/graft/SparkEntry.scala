@@ -369,6 +369,67 @@ object SparkEntry {
       }
     }
 
+    /** Drop the session-cached artifacts behind one Bench build family
+      * (keyed by the family's warm-up query) so its NEXT run re-executes
+      * the build. This is the hook that gives `build_*` metrics the same
+      * measure-more-than-once machinery queries have: IsolatedSweep times
+      * repeated drop+rebuild cycles for the ISOLATED.json denominator, and
+      * Bench's contention re-pass re-runs a >2× build instead of shipping
+      * a contended number it cannot re-sample. Each arm drops exactly what
+      * its family's first run creates (re-registration of graft tables is
+      * version-safe — Graft.registerTable never rewrites a served path). */
+    def dropBuildArtifacts(s: SparkSession, dir: String, query: String): Unit = {
+      val tag = Integer.toHexString(dir.hashCode)
+      query match {
+        case "q16_index_topk" =>
+          graft.index.IndexCatalog.dropIndex(s"qshared_idx_$tag"); ()
+        case "q35_sharded_topk" =>
+          graft.index.IndexCatalog.dropIndex(s"qshard_idx_$tag"); ()
+        case "q18_index_info" =>
+          builtFor.remove("q18_idx")
+          graft.index.IndexCatalog.dropIndex("q18_idx"); ()
+        case "q28_embedding_neardup" =>
+          builtFor.remove("q28_idx")
+          graft.index.IndexCatalog.dropIndex("q28_idx"); ()
+        case "q86_neardup_ann" =>
+          builtFor.remove("q86_idx")
+          graft.index.IndexCatalog.dropIndex("q86_idx"); ()
+        case "q30_ivf_topk" => graft.index.IvfIndex.drop(s"q30_ivf_$tag"); ()
+        case "q41_pq_topk" => graft.index.PqIndex.drop(s"q41_pq_$tag"); ()
+        case "q43_ivfpq_topk" =>
+          graft.index.IvfPqIndex.drop(s"q43_ivfpq_$tag"); ()
+        case "q53_bm25_indexed" =>
+          graft.index.TermIndex.drop(s"q53_term_$tag"); ()
+        case "q55_sq_topk" => graft.index.SqIndex.drop(s"q55_sq_$tag"); ()
+        case "q22_minhash_lsh_pairs" =>
+          graft.index.DedupSignatures.drop(s"qshared_sigs_$tag"); ()
+        case "q24_jaccard_pairs" =>
+          graft.index.ShingleIndex.drop(s"qshared_sh_$tag"); ()
+        case "q23_simhash" =>
+          graft.index.SimHashIndex.drop(s"qshared_simhash_$tag"); ()
+        case "q71_dedup_spans" =>
+          s.catalog.dropTempView(s"qclean_docs_$tag"); ()
+        // graph families also clear their recall-gate memo: the gate is
+        // part of the build cost Bench's b79/b81 measure, so a re-measured
+        // build must re-run it (and re-assert the recall) too
+        case "q79_graph_topk" =>
+          graft.index.IndexCatalog.dropIndex(s"qgraph_idx_$tag")
+          clearRecallMemo(s, "graph")
+        case "q81_sharded_graph_topk" =>
+          graft.index.IndexCatalog.dropIndex(s"qsgraph_idx_$tag")
+          clearRecallMemo(s, "sgraph")
+        case other =>
+          throw new IllegalArgumentException(s"no build family for $other")
+      }
+    }
+
+    private def clearRecallMemo(s: SparkSession, prefix: String): Unit =
+      graphRecallChecked.synchronized {
+        Option(graphRecallChecked.get(s)).foreach { m =>
+          m.keys.filter(_.startsWith(prefix + ":")).toSeq.foreach(m.remove)
+        }
+      }
+
     /** Read-only exhaustive-ef index shared by q16/q17/q34 — built once per
       * (session, sf dir); queries that mutate state (q19) build their own.
       * Returns (table, index) names. */
@@ -592,6 +653,34 @@ object SparkEntry {
       Graft.knnJoin(s, outer, "qvec", index, 3)
         .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
         .orderBy(col("qid"), col("rank"))
+    }
+
+    /** q28's near-dup mining through the GRAPH-MODE index (graph ef) — the
+      * scale twin. q28's `ef_search >= n` pin exists for DuckDB hash parity
+      * and makes every probe an exhaustive scan — Ω(n²) suite cost by
+      * definition (53 s at sf1); this entry runs the SAME
+      * `embeddingNearDupViaIndex` plan at graph ef so the sf-scaling record
+      * contrasts exact-pin vs ANN in one table (reference analog:
+      * hnsw_lateral_join.test:36-43's with/without-index differential).
+      * APPROXIMATE by design → rows-only check, like q79–q82. Own COSINE
+      * graph-mode index (q28's metric and threshold; the shared graph index
+      * is L2², under which no pair sits below 0.65): same HnswIndex
+      * implementation and graph ef whose recall the q79/q80 gate measures
+      * each session (RECALL_GATE.json). */
+    def q86NearDupAnn(s: SparkSession, dir: String): DataFrame = {
+      setupIndexOnce(s, dir, "q86_emb", "q86_idx", Map("metric" -> "cosine"))
+      graft.ops.Dedup.embeddingNearDupViaIndex(s, "q86_emb", "vec_id",
+        "q86_idx", maxDist = 0.65)
+        .orderBy(col("a"))
+    }
+
+    /** q65's kNN-distance outlier scores through the GRAPH-MODE index —
+      * the scale twin of q65's exhaustive-ef pin; same contrast and same
+      * per-session recall gating as [[q86NearDupAnn]]. */
+    def q87OutliersAnn(s: SparkSession, dir: String): DataFrame = {
+      val (table, index) = sharedGraphIndex(s, dir)
+      graft.ops.Dedup.knnOutlierScores(s, table, "vec_id", index, 5)
+        .orderBy(col("outlier_score").desc, col("vec_id")).limit(20)
     }
 
     /** Per-run correctness gate for the oracle-less graph-mode entries:
@@ -1055,6 +1144,22 @@ object SparkEntry {
     def q32EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
       graft.ops.Dedup.embeddingLshPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         maxDist = 0.8)
+        .orderBy(col("a"), col("b"))
+
+    /** [[q32EmbeddingLsh]]'s GEOMETRY-FROM-N form — the scale-facing graded
+      * entry: bits-per-band from `Dedup.lshGeometry(n)` hold expected bucket
+      * occupancy constant, so the banded candidate join stays O(n·target)
+      * where the fixed 16-plane geometry degrades to n²/2^r (measured 31×
+      * apart at 100k rows, LSH_SCALE.json). Every emitted pair is verified
+      * with the exact cosine distance, and the ORACLE recomputes the same
+      * geometry from count(*) in SQL — the hash check pins geometry AND
+      * pairs, not just the survivors. Same maxDist as q32, so at the graded
+      * sf (where both geometries use r=8) this output is a strict SUPERSET
+      * of q32's: auto's 4 bands extend the fixed form's 2 over identical
+      * planes — nonzero rows by construction, recall can only go up. */
+    def q32bEmbeddingLshAuto(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.embeddingLshPairsAuto(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", maxDist = 0.8)
         .orderBy(col("a"), col("b"))
 
     /** Token-level quality signals: BPE-ish subword counts plus punctuation
@@ -1671,6 +1776,13 @@ object SparkEntry {
       s"CAST((len(p) - len(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
     }.mkString(" + ")
 
+  /** Drop one build family's session-cached artifacts so its warm-up query
+    * rebuilds on the next run (see [[Queries.dropBuildArtifacts]]) — the
+    * hook behind IsolatedSweep's `build_*` denominators and Bench's build
+    * contention re-pass. */
+  def dropBuildArtifacts(s: SparkSession, dir: String, query: String): Unit =
+    Queries.dropBuildArtifacts(s, dir, query)
+
   /** Measured graph-mode recall for `s` (see [[Queries.graphRecall]]) —
     * lets the bench surface the q79/q80 gate's numbers into its record. */
   def graphRecall(s: SparkSession): Option[(Double, Double)] =
@@ -1715,6 +1827,7 @@ object SparkEntry {
     "q30_ivf_topk" -> (Queries.q30IvfTopK _),
     "q31_token_quality" -> (Queries.q31TokenQuality _),
     "q32_embedding_lsh" -> (Queries.q32EmbeddingLsh _),
+    "q32b_embedding_lsh_auto" -> (Queries.q32bEmbeddingLshAuto _),
     "q33_rolling_fingerprint" -> (Queries.q33RollingFingerprint _),
     "q34_grouped_knn" -> (Queries.q34GroupedKnn _),
     "q35_sharded_topk" -> (Queries.q35ShardedTopK _),
@@ -1770,6 +1883,11 @@ object SparkEntry {
     "q83_image_decode" -> (Queries.q83ImageDecode _),
     "q84_audio_decode" -> (Queries.q84AudioDecode _),
     "q85_video_decode" -> (Queries.q85VideoDecode _),
+    // q86/q87: ANN scale twins of q28/q65's exhaustive-ef pins —
+    // approximate by design (rows-only check), recall-gated per session
+    // via the q79/q80 gate on the same graph-mode index
+    "q86_neardup_ann" -> (Queries.q86NearDupAnn _),
+    "q87_outliers_ann" -> (Queries.q87OutliersAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2017,6 +2135,42 @@ object SparkEntry {
          | SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
          | FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
          | WHERE l.vec_id < r.vec_id)
+         |SELECT a, b, ${sqlCosineDist("ea.embedding", "eb.embedding")} AS dist
+         |FROM cand
+         |JOIN embeddings ea ON cand.a = ea.vec_id
+         |JOIN embeddings eb ON cand.b = eb.vec_id
+         |WHERE ${sqlCosineDist("ea.embedding", "eb.embedding")} <= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
+    "q32b_embedding_lsh_auto" -> {
+      // geometry recomputed from n in SQL exactly as Dedup.lshGeometry:
+      // r = max(8, ceil(log2(n/32))), 4 bands of r bits. The 64 seeded
+      // planes cover r <= 16 (n <= 2M rows at target 32); plane i is
+      // identical under any plane count (sequential seeded draw), so the
+      // 64-bit signature's prefix equals the Spark side's 4*r-plane one
+      // and band substrings land on the same bits. (ceil(log2(x)) at an
+      // exact power of two could differ between ln-ratio and log2 in the
+      // last ulp; no graded n sits on one.)
+      val planes = graft.ops.Dedup.hyperplaneInts(64, 64)
+      val bits = planes.map { h =>
+        val lst = h.mkString("[", ",", "]")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+           | CAST(embedding[i] AS DOUBLE) * ($lst[i] / 1024.0)), (x,y) -> x+y) > 0
+           | THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH p AS (
+         | SELECT greatest(8, CAST(ceil(log2(greatest(1.0, CAST(count(*) AS DOUBLE) / 32.0))) AS INTEGER)) AS r
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |sig AS (
+         | SELECT vec_id, embedding, ($bits) AS s
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |bands AS (
+         | SELECT vec_id, g.band_id, substring(s, CAST(g.band_id * p.r + 1 AS INTEGER), p.r) AS band_val
+         | FROM sig, p, (SELECT unnest(range(0, 4)) AS band_id) g),
+         |cand AS (
+         | SELECT DISTINCT l.vec_id AS a, r2.vec_id AS b
+         | FROM bands l JOIN bands r2 ON l.band_id = r2.band_id AND l.band_val = r2.band_val
+         | WHERE l.vec_id < r2.vec_id)
          |SELECT a, b, ${sqlCosineDist("ea.embedding", "eb.embedding")} AS dist
          |FROM cand
          |JOIN embeddings ea ON cand.a = ea.vec_id

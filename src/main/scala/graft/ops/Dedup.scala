@@ -411,25 +411,14 @@ object Dedup {
       return df.where(lit(false))
         .select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0).as("dist"))
     }
-    val planes = hyperplaneInts(dimRow(0).getInt(0), nPlanes, seed)
-    val bits = planes.map { h =>
-      when(graft.functions.vector.array_inner_product(
-        col(vecCol), lit(h.map(_ / 1024.0f))) > 0, "1").otherwise("0")
-    }
     // signatures feed the band explode AND the verify join-back: materialize
     // once (same reasoning as minHashLshPairs)
     val sig = nonNull
-      .select(col(idCol), col(vecCol), concat(bits.toIndexedSeq: _*).as("sig"))
+      .select(col(idCol), col(vecCol),
+        lshSignatureBits(vecCol, dimRow(0).getInt(0), nPlanes, seed).as("sig"))
       .localCheckpoint()
-    val nBands = nPlanes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
-      struct(lit(b).as("band_id"),
-        substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_val"))
-    }
     // bands carry only (id, band key) — vectors stay out of the shuffle
-    val exploded = sig
-      .select(col(idCol), explode(array(bands: _*)).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_val"))
+    val exploded = lshBandExplode(sig, idCol, nPlanes, rowsPerBand)
     val l = exploded.toDF("a", "band_id", "band_val")
     val r = exploded.toDF("b", "band_id", "band_val")
     val cand = l.join(r, Seq("band_id", "band_val")).where(col("a") < col("b"))
@@ -440,6 +429,46 @@ object Dedup {
       .select(col("a"), col("b"),
         graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
       .where(col("dist") <= maxDist) // exact verify once per distinct pair
+  }
+
+  /** The concatenated sign-bit string of `nPlanes` seeded hyperplane
+    * projections — [[embeddingLshPairs]]'s signature column, shared with
+    * [[lshBandKeys]]. */
+  private def lshSignatureBits(vecCol: String, dim: Int, nPlanes: Int,
+      seed: Long): Column =
+    concat(hyperplaneInts(dim, nPlanes, seed).map { h =>
+      when(graft.functions.vector.array_inner_product(
+        col(vecCol), lit(h.map(_ / 1024.0f))) > 0, "1").otherwise("0")
+    }.toIndexedSeq: _*)
+
+  /** Explode a `sig` bit-string column into (id, band_id, band_val) rows —
+    * the banded equi-join keys. */
+  private def lshBandExplode(sig: DataFrame, idCol: String, nPlanes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = nPlanes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_val"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_val"))
+  }
+
+  /** The (id, band_id, band_val) join keys [[embeddingLshPairs]] buckets
+    * on, exposed for probes: candidate volume is Σ c·(c−1)/2 over the
+    * bucket sizes of this frame — one groupBy, no join — and its bucket
+    * histogram is the skew evidence behind geometry choices. */
+  def lshBandKeys(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 16, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nPlanes % rowsPerBand == 0, "nPlanes must divide into bands")
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val dimRow = nonNull.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty)
+      return df.where(lit(false)).select(col(idCol),
+        lit(0).as("band_id"), lit("").as("band_val"))
+    val sig = nonNull.select(col(idCol),
+      lshSignatureBits(vecCol, dimRow(0).getInt(0), nPlanes, seed).as("sig"))
+    lshBandExplode(sig, idCol, nPlanes, rowsPerBand)
   }
 
   /** Signature geometry for [[embeddingLshPairsAuto]]: bits per band sized so

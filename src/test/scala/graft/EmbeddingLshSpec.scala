@@ -72,6 +72,42 @@ class EmbeddingLshSpec extends GraftSparkSpec {
       s"spurious pairs: fixed ${fixed -- planted}, auto ${auto -- planted}")
   }
 
+  test("auto output is a SUPERSET of fixed at the small-n geometry (r=8): " +
+      "auto's 4 bands extend fixed's 2 over identical planes — the q32b/q32 " +
+      "graded relation") {
+    val (rows, _) = plantedVectors()
+    val df = rows.toDF("vec_id", "embedding")
+    // n=320 -> lshGeometry gives r=8, so auto = 4x8 bits over the same
+    // seeded plane sequence whose first 16 bits are exactly fixed's 2x8
+    assert(graft.ops.Dedup.lshGeometry(rows.size.toLong) === 8)
+    def pairSet(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      out.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairSet(graft.ops.Dedup.embeddingLshPairs(
+      df, "vec_id", "embedding", maxDist = 0.8))
+    val auto = pairSet(graft.ops.Dedup.embeddingLshPairsAuto(
+      df, "vec_id", "embedding", maxDist = 0.8))
+    assert(fixed.subsetOf(auto),
+      s"auto lost fixed-geometry pairs: ${fixed -- auto}")
+  }
+
+  test("lshBandKeys: sum of c*(c-1)/2 over bucket sizes equals the " +
+      "pre-distinct candidate join volume (the probe's accounting)") {
+    val (rows, _) = plantedVectors()
+    val df = rows.toDF("vec_id", "embedding")
+    val bk = graft.ops.Dedup.lshBandKeys(df, "vec_id", "embedding",
+      nPlanes = 16, rowsPerBand = 8)
+    val fromBuckets = bk.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .select(sum(expr("(c * (c - 1)) DIV 2"))).head().getLong(0)
+    val l = bk.toDF("a", "band_id", "band_val")
+    val r = bk.toDF("b", "band_id", "band_val")
+    val joinVolume = l.join(r, Seq("band_id", "band_val"))
+      .where(col("a") < col("b")).count()
+    assert(fromBuckets === joinVolume)
+    assert(joinVolume > 0L) // the planted clusters guarantee collisions
+  }
+
   test("auto variant: empty and all-null inputs yield empty output, not a crash") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.ops.Dedup.embeddingLshPairsAuto(

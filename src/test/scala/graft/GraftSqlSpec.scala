@@ -113,10 +113,12 @@ class GraftSqlSpec extends GraftSparkSpec with BeforeAndAfterAll {
 
   test("every SparkEntry query has a matching oracle entry") {
     // q79-q82 are the true-ANN graph-mode bench entries (single-graph and
-    // 16-shard fan-out): approximate by design, so deliberately oracle-less
-    // (driver rows-only check; per-run recall gates instead)
+    // 16-shard fan-out) and q86/q87 the graph-ef scale twins of q28/q65:
+    // approximate by design, so deliberately oracle-less (driver rows-only
+    // check; per-run recall gates instead)
     val oracleLess = Set("q79_graph_topk", "q80_graph_knn_join",
-      "q81_sharded_graph_topk", "q82_sharded_graph_knn_join")
+      "q81_sharded_graph_topk", "q82_sharded_graph_knn_join",
+      "q86_neardup_ann", "q87_outliers_ann")
     assert(SparkEntry.queries.keySet -- oracleLess == SparkEntry.oracleSql.keySet)
     assert(oracleLess.subsetOf(SparkEntry.queries.keySet))
   }

@@ -15,6 +15,7 @@ FAMILIES = {
     "hnsw-index": ["q16", "q17", "q18", "q19", "q78", "q79", "q80", "q81", "q82"],
     "dedup-pairs (mining)": ["q22", "q23", "q24", "q63", "q64", "q20"],
     "embedding-neardup/lsh": ["q28", "q32", "q65"],
+    "ann-twins (q28/q65 at graph ef)": ["q86", "q87"],
     "text-quality": ["q21", "q25", "q31", "q33", "q37", "q48", "q60"],
     "bm25/text-search": ["q52", "q53", "q54", "q56", "q59"],
     "ann-variants (ivf/pq/sq)": ["q30", "q41", "q43", "q55", "q68", "q69"],
