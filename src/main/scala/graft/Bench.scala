@@ -174,14 +174,28 @@ object Bench {
     // a denominator, so the contention re-pass is never blind: round 9's
     // driver record read q52 at 5.3x its quiet cost and zero re-passes
     // fired because only 15 of 84 queries had ISOLATED entries.
+    // The hist file is also this run's default OUTPUT (BENCH_OUT), so an
+    // sf1 run with defaults overwrites it — after which an sf0.1 bench
+    // would read ~10x-scale denominators and the >2x re-pass could never
+    // fire. Guard: the record carries its own "sf"; denominators only
+    // transfer within the same scale, so a basename mismatch discards the
+    // whole fallback map (isolated entries still apply). Same-sf, the
+    // fallback remains the PREVIOUS LOCAL run by design — weaker than
+    // ISOLATED.json, never authoritative.
     val histMin: Map[String, Double] = scala.util.Try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "BENCH_FULL.json")
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val obj = """(?s)"queries"\s*:\s*\{(.*?)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val histSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(m => new java.io.File(m.group(1)).getName)
+      if (!histSf.contains(new java.io.File(sfDir).getName))
+        Map.empty[String, Double]
+      else {
+        val obj = """(?s)"queries"\s*:\s*\{(.*?)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }.getOrElse(Map.empty)
     def denominator(n: String): Option[Double] =
       isoWarm.get(n).orElse(histMin.get(n))
@@ -219,12 +233,20 @@ object Bench {
     // family's warm-up time (build + one query) is reported as its own
     // `build_*` metric below.
     run("q01_pricing_summary")
-    val buildMetrics = builds.map { case (q, metric, _) =>
+    // per-build steal window, like timedRun's: a contended build can then
+    // self-diagnose from the record (round 10's driver b16/b18/b35 read ~2×
+    // with no in-band evidence)
+    val buildTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val buildSteal = scala.collection.mutable.Map.empty[String, Double]
+    builds.foreach { case (q, metric, _) =>
+      val k0 = cpuTicks()
       val t0 = System.nanoTime()
       run(q)
       val dt = (System.nanoTime() - t0) / 1e9
+      buildSteal(metric) = (for { (s0, c0) <- k0; (s1, c1) <- cpuTicks()
+        if c1 > c0 } yield 100.0 * (s1 - s0) / (c1 - c0)).getOrElse(-1.0)
       settle()
-      metric -> dt
+      buildTimes(metric) = dt
     }
     // Then warm EVERY query once: the measured passes below report
     // steady-state plan cost, not first-invocation codegen/JIT — without
@@ -296,18 +318,20 @@ object Bench {
     val passAWall = (passAEnd - passAStart) / 1e9
     val fullFits = elapsedA + passAWall <= budgetSec
     val leanFits = elapsedA + (passAWall - settleASec * 2.0 / 3.0) <= budgetSec
-    val (passB, leanPassB) =
+    val (passB, passBArm) =
       if (fullFits || leanFits) {
         loadSample("passB_pre")
         val p = measuredPass(settleEveryN = if (fullFits) 1 else 3)
         loadSample("passB_post")
-        (p, !fullFits)
+        (p, if (fullFits) "full" else "lean")
       } else {
         // partial: spend what's left (minus a reserve for the contention
-        // re-pass below) on ratio-ordered second samples. Per-query cost is
-        // estimated from its own passA wall share; the loop also re-checks
-        // real elapsed time so an estimate error cannot blow the budget.
-        val reserve = if (sfDir.contains("sf0.1")) 60.0 else 10.0
+        // re-pass below — sized to the re-pass CAP, so the budget cannot
+        // overrun even when the re-pass spends its full window) on
+        // ratio-ordered second samples. Per-query cost is estimated from
+        // its own passA wall share; the loop also re-checks real elapsed
+        // time so an estimate error cannot blow the budget.
+        val reserve = if (sfDir.contains("sf0.1")) 120.0 else 10.0
         val perQueryOverhead =
           math.max(0.0, passAWall - passA.values.map(_._1).sum) / names.size / 3
         def ratio(n: String): Double =
@@ -328,7 +352,7 @@ object Bench {
         loadSample("passB_post")
         // uncovered queries fall back to their passA sample (same tuple
         // INSTANCE — coverage below counts genuine second samples by `ne`)
-        (names.map(n => n -> partial.getOrElse(n, passA(n))).toMap, true)
+        (names.map(n => n -> partial.getOrElse(n, passA(n))).toMap, "partial")
       }
     // coverage = queries with a genuine second sample (identity fallbacks
     // excluded by construction above only for the partial arm)
@@ -337,6 +361,9 @@ object Bench {
       else names.count(n => passB(n) ne passA(n))
     val nPasses = if (passBCoverage > 0) 2 else 1
     val degraded = nPasses == 1
+    // one mode field instead of a boolean pair: a partial arm that landed
+    // ZERO second samples is a degraded single-pass record, not "lean"
+    val passBMode = if (degraded) "none" else passBArm
 
     // Contention re-pass: co-tenant load can inflate a query in BOTH
     // passes identically (the one failure mode min-of-two cannot remove —
@@ -373,8 +400,33 @@ object Bench {
         }
       }
       loadSample("repass_post")
+      // builds re-pass too (round 11 — the driver's round-10 record had
+      // b16/b18/b35 at ~2× with no self-diagnosis): a build whose first-run
+      // cost exceeds 2× its denominator gets its family's session artifacts
+      // dropped and re-executes the build, keeping the min. The re-run is a
+      // warm-JVM rebuild (family JIT already done), which is exactly the
+      // shape ISOLATED.json's build denominators are measured in, so a
+      // quiet machine converges. Shares the repass window/cap.
+      loadSample("brepass_pre")
+      for ((q, metric, _) <- builds; den <- denominator(metric)) {
+        var tries = 0
+        while (buildTimes(metric) > 2.0 * den && tries < 2 &&
+            (System.nanoTime() - repassStart) / 1e9 < repassCapSec) {
+          SparkEntry.dropBuildArtifacts(spark, sfDir, q)
+          settle() // drop + GC cost lands outside the timed rebuild
+          val (dt, steal) = timedRun(q)
+          settle()
+          if (dt < buildTimes(metric)) {
+            buildTimes(metric) = dt; buildSteal(metric) = steal
+          }
+          tries += 1
+          repassCounts(metric) = repassCounts.getOrElse(metric, 0) + 1
+        }
+      }
+      loadSample("brepass_post")
     }
     val repassTotal = repassCounts.values.sum
+    val buildMetrics = buildTimes.toSeq
     val results = names.map(n => n -> finalMin(n))
     // Graph-mode recall, measured by the q79/q80 gate during this session's
     // build_graph_index warm-up (the gate runs once per session and THROWS
@@ -403,12 +455,20 @@ object Bench {
           ("q82_sharded_graph_knn_join", 0.95, r82))
       }
     if (recallGateEntries.nonEmpty) {
+      // provenance + sf in-band, and a non-sf0.1 run writes an sf-suffixed
+      // default path: the committed RECALL_GATE.json is the sf0.1 grading
+      // artifact and must not be silently overwritten with recalls measured
+      // on different data (same failure shape as the histMin guard above)
+      val sfBase = new java.io.File(sfDir).getName
+      val gatePath = sys.env.getOrElse("RECALL_GATE_OUT",
+        if (sfBase == "sf0.1") "RECALL_GATE.json"
+        else s"RECALL_GATE_$sfBase.json")
       val gateJson = recallGateEntries.map { case (q, th, m) =>
         s"""\"$q\":{"threshold":$th,"measured":$m,"pass":${m >= th - 1e-9}}"""
-      }.mkString("{", ",", "}\n")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("RECALL_GATE_OUT", "RECALL_GATE.json")),
+      }.mkString(
+        s"""{"_provenance":"graft.Bench per-run recall gate: measured by SparkEntry.recallGate against the same index's exhaustive path during this run's session index builds","sf":"$sfDir",""",
+        ",", "}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(gatePath),
         gateJson.getBytes("UTF-8"))
     }
 
@@ -430,7 +490,7 @@ object Bench {
     // passB/repass) — the contention channel loadavg cannot see. A region
     // with steal in the double digits explains uniformly-inflated numbers
     // without any plan regression.
-    val stealRegions = Seq("passA", "passB", "repass").flatMap(r =>
+    val stealRegions = Seq("passA", "passB", "repass", "brepass").flatMap(r =>
       stealPct(s"${r}_pre", s"${r}_post").map(r -> _))
     val stealJson = stealRegions
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -443,6 +503,11 @@ object Bench {
       s"\"" + n + "\":" +
         "%.2f".formatLocal(java.util.Locale.ROOT, minSteal(n)))
       .mkString("{", ",", "}")
+    // build_steal = steal% during the run that produced each build_* value
+    val buildStealJson = buildTimes.keys.map(m =>
+      s"\"" + m + "\":" +
+        "%.2f".formatLocal(java.util.Locale.ROOT, buildSteal.getOrElse(m, -1.0)))
+      .mkString("{", ",", "}")
     // denominator_src: how many queries the contention re-pass could see
     // via each source — full coverage means the record can self-diagnose
     // EVERY query, not just the ISOLATED.json subset.
@@ -450,7 +515,7 @@ object Bench {
     val denHist = names.count(n => !isoWarm.contains(n) && histMin.contains(n))
     val denNone = names.size - denIso - denHist
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"lean_pass_b":$leanPassB,"pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"pass_b_mode":"$passBMode","pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"build_steal":$buildStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -497,8 +562,9 @@ object Bench {
 
   /** (warm-up query, full metric name, compact key) — the warm-up query is
     * the first consumer of a session-cached index/artifact family, so its
-    * first run times the build. */
-  private val builds: Seq[(String, String, String)] = Seq(
+    * first run times the build. package-visible: IsolatedSweep sweeps the
+    * same list for the `build_*` denominators. */
+  private[graft] val builds: Seq[(String, String, String)] = Seq(
     ("q16_index_topk", "build_shared_index", "b16"),
     ("q35_sharded_topk", "build_sharded_index", "b35"),
     ("q18_index_info", "build_q18_index", "b18"),
@@ -513,5 +579,6 @@ object Bench {
     ("q23_simhash", "build_simhash_index", "b23"),
     ("q71_dedup_spans", "build_clean_corpus", "b71"),
     ("q79_graph_topk", "build_graph_index", "b79"),
-    ("q81_sharded_graph_topk", "build_sharded_graph_index", "b81"))
+    ("q81_sharded_graph_topk", "build_sharded_graph_index", "b81"),
+    ("q86_neardup_ann", "build_q86_graph", "b86"))
 }

@@ -30,8 +30,11 @@ object IsolatedSweep {
     // file rewritten outright.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // clamp, don't crash: an explicit 0/negative value would otherwise make
+    // best.get throw AFTER potentially many queries' work
     val attempts = sys.env.get("SPARK_GRAFT_SWEEP_ATTEMPTS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(4)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(4)
     val stealCap = sys.env.get("SPARK_GRAFT_SWEEP_STEAL")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(2.0)
     val spark = SparkSession.builder()
@@ -100,6 +103,41 @@ object IsolatedSweep {
       println(f"[sweep] $name%-28s ${sec}%.2f s  steal ${steal}%.1f%%" +
         (if (!accepted) s"  (no sample under $stealCap%% in $attempts tries)" else ""))
     }
+
+    // `build_*` denominators (round 11 — the round-10 driver record had
+    // three ~2× builds with no self-diagnosis because builds had no
+    // ISOLATED entries): same protocol as queries, except each timed run
+    // first DROPS the family's session artifacts so the build re-executes.
+    // The cold run carries family JIT + the first build; timed runs are
+    // warm-JVM rebuilds — the same shape Bench's build re-pass produces,
+    // so its >2× comparison is like-for-like.
+    val buildEntries = Bench.builds.filter { case (q, metric, _) =>
+      args.isEmpty || args.exists(a => q.startsWith(a) || metric.startsWith(a))
+    }
+    buildEntries.foreach { case (q, metric, _) =>
+      run(q) // cold: JIT + first build, untimed
+      settle()
+      var best: Option[(Double, Double)] = None
+      var i = 0
+      var accepted = false
+      while (i < attempts && !accepted) {
+        SparkEntry.dropBuildArtifacts(spark, sfDir, q)
+        settle() // drop + GC cost outside the timed rebuild
+        val k0 = ProcStat.stealTotalTicks()
+        val t0 = System.nanoTime()
+        run(q)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val steal = ProcStat.stealPct(k0, ProcStat.stealTotalTicks()).getOrElse(-1.0)
+        settle()
+        if (best.forall(_._1 > dt)) best = Some((dt, steal))
+        accepted = steal >= 0 && steal <= stealCap
+        i += 1
+      }
+      val (sec, steal) = best.get
+      warm(metric) = (sec, steal)
+      println(f"[sweep] $metric%-28s ${sec}%.2f s  steal ${steal}%.1f%%" +
+        (if (!accepted) s"  (no sample under $stealCap%% in $attempts tries)" else ""))
+    }
     spark.stop()
 
     def num(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -116,7 +154,8 @@ object IsolatedSweep {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
       val oldWarm = obj("isolated_warm"); val oldSteal = obj("steal")
-      for (k <- SparkEntry.queries.keys.toSeq.sorted; v <- oldWarm.get(k)) {
+      val allKeys = SparkEntry.queries.keys.toSeq ++ Bench.builds.map(_._2)
+      for (k <- allKeys.sorted; v <- oldWarm.get(k)) {
         warm.get(k) match {
           case Some((nv, _)) if nv <= v => // fresh sample wins, keep it
           case _ => warm(k) = (v, oldSteal.getOrElse(k, -1.0))
@@ -133,8 +172,11 @@ object IsolatedSweep {
         .map(_.split(":", 2)(1).trim).getOrElse("unknown")
     }.getOrElse("unknown")
     val mode =
-      if (args.isEmpty) s"over ALL ${names.size} SparkEntry queries"
-      else s"targeted refresh of ${names.size} queries MIN-merged into the prior file, now ${warm.size} entries"
+      if (args.isEmpty)
+        s"over ALL ${names.size} SparkEntry queries + ${buildEntries.size} " +
+          "build families (each timed build run preceded by a session-" +
+          "artifact drop so the build re-executes)"
+      else s"targeted refresh of ${names.size + buildEntries.size} entries MIN-merged into the prior file, now ${warm.size} entries"
     val prov = s"graft.IsolatedSweep $mode " +
       s"(inclusion rule enforced by construction) at $sfDir local[$cpus] on " +
       s"'$model' x${Runtime.getRuntime.availableProcessors()} cores. Per query: " +

@@ -3,32 +3,35 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off scale probe for the embedding-LSH pair miner: times the
-  * fixed-geometry form (q32's oracle-pinned 16 planes / 8-bit bands) against
-  * the geometry-from-n [[graft.ops.Dedup.embeddingLshPairsAuto]] variant at
+/** Scale probe for the embedding-LSH pair miner: times the fixed-geometry
+  * form (q32's oracle-pinned 16 planes / 8-bit bands) against the
+  * geometry-from-n [[graft.ops.Dedup.embeddingLshPairsAuto]] variant at
   * three scales — sf0.1 (2k rows), the sf1 replica (20k), and a 50-copy
   * in-memory replica (100k, embeddings only, built with ScaleGen's OWN
   * signed-permutation transform so all three points use the same fixture
   * math). 100k is where the fixed geometry's structural term bites: 2 bands
-  * of 2^8 buckets put ~n^2/2^8 = ~39M pairs through the candidate join
-  * while the auto geometry (4 bands of 2^12 at this n) stays ~5M — the
-  * wall-time gap IS the n^2/2^r term the auto variant removes.
+  * of 2^8 buckets put ~n^2/2^8 candidate pairs through the join while the
+  * auto geometry (4 bands of 2^12 at this n) stays ~O(n·target).
+  *
+  * Beyond wall time, the probe MEASURES the mechanism (round 10 asserted
+  * it): per-geometry candidate volume Σ c·(c−1)/2 over band-bucket sizes —
+  * computed with one groupBy over [[graft.ops.Dedup.lshBandKeys]], no join
+  * — and the bucket-size histogram (p50/p90/p99/max), which shows whether
+  * the cost is uniform occupancy or bucket skew. On sign-projection LSH
+  * the buckets are NOT uniform (correlated vectors pile into few sign
+  * patterns), so the n²/2^r expectation understates the fixed geometry's
+  * true candidate volume — the histogram is the evidence.
   *
   * maxDist = 0.5 keeps the probe in near-dup mining's realistic regime:
-  * output stays ~linear in n on this distribution (cross-copy cosine
-  * similarity tops out at ~0.56, so dist <= 0.5 pairs are the marginal
-  * tail just under the boundary), which isolates candidate volume — at the
-  * loose q32 threshold (0.8, base pair density 5.5%) the verified output
-  * itself is quadratic and both variants are output-bound, measuring the
-  * answer size rather than the plan. At the marginal boundary (sim
-  * ~0.5-0.56) the per-pair candidate probability of ANY banded
-  * sign-projection geometry is a few percent, so which marginal pairs
-  * surface is sampling; the probe therefore also computes the EXACT pair
-  * count (brute all-pairs, un-timed, n <= 20k scales) and emits each
-  * variant's recall so the differing pair counts are legible. Every
-  * emitted pair is exact-verified — geometry moves recall only, never
-  * precision; the near-identical regime both geometries catch fully is
-  * pinned by EmbeddingLshSpec's planted clusters.
+  * output stays ~linear in n on this distribution, which isolates
+  * candidate volume. The probe also computes the EXACT pair count (brute
+  * all-pairs, un-timed) where the n² scan is itself probe-able (n <= 20k)
+  * and emits each variant's recall. Every emitted pair is exact-verified —
+  * geometry moves recall only, never precision; the near-identical regime
+  * both geometries catch fully is pinned by EmbeddingLshSpec.
+  *
+  * Hypervisor steal is sampled around ONLY the timed count (the warm pass
+  * sits outside the window), so a burst dilutes nothing.
   *
   * Writes LSH_SCALE.json. Usage:
   * `runMain graft.LshScale <sfDirSmall> <sfDirLarge>` (defaults
@@ -46,7 +49,10 @@ object LshScale {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.vector.registerAll(spark)
 
-    def run(df: DataFrame, variant: String, warm: Boolean): (Double, Long) = {
+    // timed pair-mining run; tick snapshots wrap ONLY the measured count(),
+    // not the warm pass (a burst landing in the warm half used to dilute
+    // the reported steal%)
+    def run(df: DataFrame, variant: String, warm: Boolean): (Double, Long, Double) = {
       val op = variant match {
         case "fixed" => graft.ops.Dedup.embeddingLshPairs(
           df, "vec_id", "embedding", maxDist = 0.5)
@@ -57,9 +63,30 @@ object LshScale {
       // measured run; at the big scale the code paths are already JITted
       // and a warm pass would double a multi-minute join for nothing
       if (warm) op.write.format("noop").mode("overwrite").save()
+      val k0 = ProcStat.stealTotalTicks()
       val t0 = System.nanoTime()
       val pairs = op.count()
-      ((System.nanoTime() - t0) / 1e9, pairs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val steal = ProcStat.stealPct(k0, ProcStat.stealTotalTicks()).getOrElse(-1.0)
+      (sec, pairs, steal)
+    }
+
+    // candidate volume + bucket histogram for a geometry — one groupBy over
+    // the band keys, untimed: this measures the join VOLUME the timed run
+    // pays for, and the skew that concentrates it
+    def bucketStats(df: DataFrame, nPlanes: Int, rowsPerBand: Int)
+        : (Long, Long, Long, Long, Long, Long) = {
+      val counts = graft.ops.Dedup
+        .lshBandKeys(df, "vec_id", "embedding", nPlanes, rowsPerBand)
+        .groupBy(col("band_id"), col("band_val"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("c")).collect().map(_.getLong(0)).sorted
+      val candidates = counts.map(c => c * (c - 1) / 2).sum
+      def pct(p: Double): Long =
+        if (counts.isEmpty) 0L
+        else counts(math.min(counts.length - 1, (p * (counts.length - 1)).round.toInt))
+      (candidates, counts.length.toLong, pct(0.5), pct(0.9), pct(0.99),
+        if (counts.isEmpty) 0L else counts.last)
     }
 
     // exact ground truth (brute all-pairs, one-off, NOT part of the timed
@@ -87,21 +114,30 @@ object LshScale {
       ("sf0.1", spark.read.parquet(s"$small/embeddings.parquet")),
       ("sf1", spark.read.parquet(s"$large/embeddings.parquet")),
       ("50x", replica100k))
-    val out = new StringBuilder("{")
+    val out = new StringBuilder(
+      "{\"_provenance\":\"graft.LshScale: fixed (16-plane/8-bit, q32's " +
+        "oracle pin) vs geometry-from-n LSH at 2k/20k/100k rows; " +
+        "candidates = sum of c*(c-1)/2 over band-bucket sizes (one " +
+        "groupBy over Dedup.lshBandKeys, untimed); bucket percentiles " +
+        "over all band buckets; steal sampled around only the timed " +
+        "count\",")
     for ((tag, df) <- scales) {
       val n = df.count()
       val exact = exactPairs(df, n)
+      val rAuto = graft.ops.Dedup.lshGeometry(n)
       for (v <- Seq("fixed", "auto")) {
-        val s0 = ProcStat.stealTotalTicks()
-        val (sec, pairs) = run(df, v, warm = n <= 20000)
-        val steal = (for { (a, c0) <- s0; (b, c1) <- ProcStat.stealTotalTicks()
-                           if c1 > c0 } yield 100.0 * (b - a) / (c1 - c0)).getOrElse(-1.0)
+        val (nPlanes, rpb) = if (v == "fixed") (16, 8) else (4 * rAuto, rAuto)
+        val (cand, buckets, p50, p90, p99, cmax) = bucketStats(df, nPlanes, rpb)
+        val (sec, pairs, steal) = run(df, v, warm = n <= 20000)
         val recall =
           if (exact < 0) "null"
           else if (exact == 0) "1.000"
           else f"${pairs.toDouble / exact}%.3f"
-        out.append(f""""${tag}_$v":{"rows":$n,"sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"steal_pct":$steal%.2f},""")
-        println(f"[lsh-scale] $tag%-5s $v%-5s rows=$n sec=$sec%.3f pairs=$pairs/$exact recall=$recall steal=$steal%.1f%%")
+        out.append(
+          f""""${tag}_$v":{"rows":$n,"geometry":"${nPlanes / rpb}x$rpb","sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"steal_pct":$steal%.2f,"candidates":$cand,"buckets":$buckets,"bucket_p50":$p50,"bucket_p90":$p90,"bucket_p99":$p99,"bucket_max":$cmax},""")
+        println(f"[lsh-scale] $tag%-5s $v%-5s rows=$n geom=${nPlanes / rpb}x$rpb " +
+          f"sec=$sec%.3f pairs=$pairs/$exact recall=$recall cand=$cand " +
+          f"buckets=$buckets p50=$p50 p99=$p99 max=$cmax steal=$steal%.1f%%")
       }
     }
     val json = out.dropRight(1).append("}").toString
