@@ -483,8 +483,18 @@ object Multimodal {
     * whose payload is a JPEG through the JDK's javax.imageio, and reads
     * fps from the `avih` header's micro-seconds-per-frame when present.
     * `grayMean` averages the per-frame exact means (all frames share one
-    * geometry in MJPEG). None for undecodable payloads; never throws. */
-  def decodeAviMjpeg(bytes: Array[Byte]): Option[VideoMeta] = {
+    * geometry in MJPEG). None for undecodable payloads; never throws.
+    *
+    * `maxFrames` caps the number of JPEG-decoded frames via even-stride
+    * sampling — the knob for the perceptual-fingerprint/thumbnail surface,
+    * where a pathological long clip must not cost O(frames) imageio calls
+    * per row. At the default (uncapped) the behavior is exact full
+    * accumulation — the arm the q85 oracle's bit-parity relies on. When
+    * sampling kicks in, `frames` reports the CONTAINER's video-chunk count
+    * (the clip length the sample represents) and `grayMean` is the mean
+    * over the sampled frames only. */
+  def decodeAviMjpeg(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): Option[VideoMeta] = {
     if (bytes == null || bytes.length < 12) return None
     try {
       def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -511,11 +521,20 @@ object Multimodal {
       }
       walk(12, math.min(bytes.length, 8 + le32(4).toInt))
       if (frameChunks.isEmpty) return None
+      val total = frameChunks.size
+      val stride =
+        if (maxFrames >= total) 1
+        else (total + math.max(1, maxFrames) - 1) / math.max(1, maxFrames)
+      val sampled =
+        if (stride == 1) frameChunks
+        else frameChunks.indices.collect {
+          case i if i % stride == 0 => frameChunks(i)
+        }
       var w = -1; var h = -1
       var graySum = 0.0
       var decoded = 0
       var thumb: Array[Float] = null
-      frameChunks.foreach { case (off, len) =>
+      sampled.foreach { case (off, len) =>
         val frame = java.util.Arrays.copyOfRange(bytes, off, off + len)
         decodeImage(frame).foreach { m =>
           if (decoded == 0) { w = m.width; h = m.height; thumb = m.thumb }
@@ -524,19 +543,25 @@ object Multimodal {
         }
       }
       if (decoded == 0) return None
+      // sampled: frames = container chunk count; exact arm: decode count
+      // (the pre-cap semantics every existing pin relies on)
+      val reportFrames = if (stride == 1) decoded else total
       val fps = if (microSecPerFrame > 0) Some(1e6 / microSecPerFrame) else None
-      Some(VideoMeta(w, h, decoded, fps,
-        fps.map(decoded / _), graySum / decoded, thumb))
+      Some(VideoMeta(w, h, reportFrames, fps,
+        fps.map(reportFrames / _), graySum / decoded, thumb))
     } catch { case _: Exception => None }
   }
 
   /** Container-sniffing video decode: Y4M by its ASCII magic, AVI by its
     * RIFF header. Formats beyond these two (no pure-JVM codec exists)
-    * return None and [[decodeMedia]] quarantines the row. */
-  def decodeVideo(bytes: Array[Byte]): Option[VideoMeta] =
+    * return None and [[decodeMedia]] quarantines the row. `maxFrames`
+    * caps the JPEG decodes of the AVI arm (see [[decodeAviMjpeg]]); Y4M's
+    * full accumulation is codec-free byte summing and stays uncapped. */
+  def decodeVideo(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): Option[VideoMeta] =
     if (bytes == null || bytes.length < 12) None
     else if (bytes(0) == 'Y') decodeY4m(bytes)
-    else if (bytes(0) == 'R') decodeAviMjpeg(bytes)
+    else if (bytes(0) == 'R') decodeAviMjpeg(bytes, maxFrames)
     else None
 
   /** Encode a constant-luma-per-frame Y4M clip (C420, chroma neutral at
@@ -590,7 +615,8 @@ object Multimodal {
     * `decode_ok` filter is the right quarantine, not a failed stage.
     * Narrow (no shuffle), partition-parallel; payload bytes never move. */
   def decodeMedia(df: DataFrame, binCol: String = "media",
-      typeCol: String = "media_type"): DataFrame = {
+      typeCol: String = "media_type",
+      maxVideoFrames: Int = Int.MaxValue): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ decodedFields :+
       StructField("decode_ok", BooleanType, nullable = false))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -616,7 +642,7 @@ object Multimodal {
           // imageFingerprints gates on, and a video thumbnail must not be
           // mined as a still image by default. n_frames/duration_sec carry
           // the clip timing (duration NULL when the container has none).
-          else if (mt.startsWith("video/")) decodeVideo(bytes) match {
+          else if (mt.startsWith("video/")) decodeVideo(bytes, maxVideoFrames) match {
             case Some(m) => Seq(m.width, m.height, null, m.grayMean,
               null, m.frames.toLong, m.durationSec.orNull,
               null, m.thumb.toSeq, true)

@@ -178,6 +178,37 @@ class MultimodalSpec extends GraftSparkSpec {
       Multimodal.encodeY4m(2, 2, Array(9))).get.frames == 1) // sniffer: Y4M
   }
 
+  test("decodeAviMjpeg maxFrames: even-stride sampling caps JPEG decodes " +
+      "on a many-frame clip; uncapped arm keeps exact accumulation") {
+    def jpeg(gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16)
+        im.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // 64 frames; the strided sample (cap 8 -> stride 8 -> indices 0,8,..,56)
+    // is all luma-200 while every other frame is luma-60, so grayMean
+    // proves WHICH frames were JPEG-decoded, not just how many
+    val lumas = (0 until 64).map(i => if (i % 8 == 0) 200 else 60)
+    val avi = mjpegAvi(lumas.map(jpeg), microSecPerFrame = Some(40000))
+    val full = Multimodal.decodeAviMjpeg(avi).get
+    val capped = Multimodal.decodeAviMjpeg(avi, maxFrames = 8).get
+    // both arms report the clip's container length and timing
+    assert(full.frames == 64 && capped.frames == 64)
+    assert(capped.durationSec == full.durationSec)
+    // thumbnail comes from frame 0 in both arms
+    assert(capped.thumb.toSeq == full.thumb.toSeq)
+    // sampled mean = the 8 luma-200 frames only; full mean = all 64
+    assert(math.abs(capped.grayMean - 200.0 / 255.0) < 0.03)
+    assert(math.abs(full.grayMean - (8 * 200 + 56 * 60) / 64.0 / 255.0) < 0.03)
+    // cap above the chunk count: exact arm, bit-identical to the default
+    val uncapped = Multimodal.decodeAviMjpeg(avi, maxFrames = 1000).get
+    assert(uncapped.grayMean == full.grayMean && uncapped.frames == 64)
+  }
+
   test("decodeMedia video arm: real metadata, channels stays NULL, " +
       "unsupported codecs quarantine") {
     val rows = Seq(
