@@ -230,15 +230,25 @@ object Bench {
     // session-cached (SparkEntry.setupIndexOnce / sharedIndex / IVF reuse) —
     // running one query from each index family here moves the build cost out
     // of the measured runs, so per-query times compare across rounds; each
-    // family's warm-up time (build + one query) is reported as its own
-    // `build_*` metric below.
+    // family's steady-state REBUILD (post-JIT, measured after a session-
+    // artifact drop) is reported as its own `build_*` metric below.
     run("q01_pricing_summary")
-    // per-build steal window, like timedRun's: a contended build can then
-    // self-diagnose from the record (round 10's driver b16/b18/b35 read ~2×
-    // with no in-band evidence)
+    // build_* metrics (round 11 semantics): the family's FIRST run — build
+    // + family JIT/codegen — is untimed warm-up; the family's session
+    // artifacts are then dropped and the measured number is the steady-
+    // state REBUILD, with its own steal window. This is the exact protocol
+    // ISOLATED.json's build denominators use, so the >2× contention
+    // re-pass below compares like with like (the old first-run numbers
+    // carried 2-5× of one-time JIT that would have tripped the bar on
+    // every quiet run). Cross-round note: b-numbers drop once at this
+    // semantics change; the rebuild cost is the comparable quantity.
     val buildTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val buildSteal = scala.collection.mutable.Map.empty[String, Double]
     builds.foreach { case (q, metric, _) =>
+      run(q) // cold: family JIT + first artifact build, untimed
+      settle()
+      SparkEntry.dropBuildArtifacts(spark, sfDir, q)
+      settle() // drop + GC cost outside the timed rebuild
       val k0 = cpuTicks()
       val t0 = System.nanoTime()
       run(q)

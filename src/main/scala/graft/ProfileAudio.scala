@@ -44,6 +44,51 @@ object ProfileAudio {
       best
     }
 
+    // driver-side micro: the same decode over identical payloads, single
+    // thread vs 32 — if 32-thread throughput is not ~32x the single-thread
+    // rate, a lock (not per-row codec cost) owns the wall clock
+    {
+      val payloads = (0 until 20000).map { i =>
+        graft.ops.Multimodal.encodeWavPcm16(
+          Array.fill(50 + i % 101)(((i % 1000) * 16).toShort), 8000)
+      }.toArray
+      def decodeAll(slice: Array[Array[Byte]]): Int =
+        slice.count(b => graft.ops.Multimodal.decodeAudio(b).isDefined)
+      decodeAll(payloads.take(2000)) // JIT warm
+      val t1 = System.nanoTime()
+      val ok1 = decodeAll(payloads)
+      val single = (System.nanoTime() - t1) / 1e9
+      val threads = 32
+      val chunks = payloads.grouped(payloads.length / threads + 1).toArray
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t2 = System.nanoTime()
+      val futures = chunks.map(c => pool.submit(
+        new java.util.concurrent.Callable[Int] { def call(): Int = decodeAll(c) }))
+      // stack sampler: where are the pool threads actually spending time?
+      val frameCounts = scala.collection.mutable.Map.empty[String, Int]
+      val sampler = new Thread(() => {
+        while (!futures.forall(_.isDone)) {
+          Thread.sleep(50)
+          import scala.jdk.CollectionConverters._
+          for ((t, st) <- Thread.getAllStackTraces.asScala
+               if t.getName.startsWith("pool"); if st.nonEmpty) {
+            val top = st.take(3).mkString(" <- ")
+            frameCounts(top) = frameCounts.getOrElse(top, 0) + 1
+          }
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
+      val okN = futures.map(_.get()).sum
+      val multi = (System.nanoTime() - t2) / 1e9
+      pool.shutdown()
+      frameCounts.toSeq.sortBy(-_._2).take(5).foreach { case (f, c) =>
+        println(s"[q84-profile] hot frame ($c samples): $f")
+      }
+      println(f"[q84-profile] micro decode 20k payloads: single-thread " +
+        f"$single%.3f s (${single / 20000 * 1e6}%.2f us/row, ok=$ok1), " +
+        f"32-thread $multi%.3f s (speedup ${single / multi}%.1f x, ok=$okN)")
+    }
+
     for ((tag, dir) <- Seq(("sf0.1", small), ("sf1", large))) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val n = docs.count()

@@ -251,11 +251,46 @@ object Multimodal {
     b.result()
   }
 
+  /** Readers bucketed by the container magic they can possibly accept.
+    * Dispatch order matters at 32 threads: the JDK's
+    * SoftMidiAudioFileReader internally calls `MidiSystem.getProviders` —
+    * the SAME synchronized JDK13Services registry scan the cached-SPI fix
+    * exists to avoid — so letting every WAV payload reach it re-serializes
+    * the whole decode pass through that lock (measured: 32-thread decode at
+    * 0.5× the SINGLE-thread rate; stack samples all parked in
+    * JSSecurityManager.getProviders). Each format's magic is public spec:
+    * RIFF→WAVE, FORM→AIFF, .snd→AU, MThd→MIDI — a payload without MThd is
+    * not a MIDI file, so the MIDI reader is only ever tried on MThd.
+    * Readers whose class name matches none of the known families are
+    * "unknown" and stay in every fallback list (exotic-JVM safety). */
+  private lazy val readersByFamily: Map[String, Seq[javax.sound.sampled.spi.AudioFileReader]] = {
+    def fam(r: javax.sound.sampled.spi.AudioFileReader): String = {
+      val n = r.getClass.getSimpleName
+      if (n.contains("Wave")) "wave"
+      else if (n.contains("Aiff")) "aiff"
+      else if (n.contains("Au")) "au"
+      else if (n.contains("Midi")) "midi"
+      else "unknown"
+    }
+    audioReaders.groupBy(fam).withDefaultValue(Seq.empty)
+  }
+
   private def openAudioStream(
       bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val magic =
+      if (bytes.length >= 4) new String(bytes, 0, 4, "US-ASCII") else ""
+    val nonMidi = Seq("wave", "aiff", "au", "unknown")
+    val families = magic match {
+      case "RIFF" => Seq("wave", "unknown")
+      case "FORM" => Seq("aiff", "unknown")
+      case ".snd" => Seq("au", "unknown")
+      case "MThd" => Seq("midi", "unknown")
+      case _ => nonMidi // garbage/truncated: try everything except MIDI
+    }
+    val candidates = families.flatMap(readersByFamily)
     var i = 0
-    while (i < audioReaders.length) {
-      try return Some(audioReaders(i).getAudioInputStream(
+    while (i < candidates.length) {
+      try return Some(candidates(i).getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => }
       i += 1
