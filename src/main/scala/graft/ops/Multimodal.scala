@@ -736,6 +736,26 @@ object Multimodal {
         .where(col("decode_ok") && col("features").isNotNull && col("channels").isNotNull),
       idCol)
 
+  /** Per-clip 64-bit perceptual fingerprints (the video analog of
+    * [[imageFingerprints]]): the first frame's 8×8 luma thumbnail from the
+    * frame-SAMPLED decode — `maxFrames` caps the per-row JPEG decodes an
+    * MJPEG clip costs, the knob [[decodeAviMjpeg]] exposes, so a
+    * pathological long clip cannot make the fingerprint pass O(frames) —
+    * thresholded into the PACKED SimHash format, so banded Hamming
+    * near-dup mining (`Dedup.simHashNearDupPairsFromFingerprints`) and
+    * top-k lookup apply to video verbatim. Rows are pre-filtered to
+    * video-typed media (non-video payloads are never decoded here) and
+    * undecodable clips are dropped (no perceptual identity). */
+  def videoFingerprints(media: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media", typeCol: String = "media_type",
+      maxFrames: Int = 16): DataFrame =
+    aHashPacked(
+      decodeMedia(media.where(col(typeCol).startsWith("video/")),
+          binCol, typeCol, maxVideoFrames = maxFrames)
+        .where(col("decode_ok") && col("features").isNotNull &&
+          col("n_frames").isNotNull),
+      idCol)
+
   /** 8x8 time-frequency energy grid for a PCM payload: 8 equal time
     * windows x 8 log-spaced frequency bands (Nyquist/256 ... Nyquist/2),
     * each band's magnitude via the Goertzel recurrence — O(8·samples),

@@ -209,6 +209,49 @@ class MultimodalSpec extends GraftSparkSpec {
     assert(uncapped.grayMean == full.grayMean && uncapped.frames == 64)
   }
 
+  test("videoFingerprints: frame-sampled aHash feeds the Hamming miner; " +
+      "same-first-frame clips pair, different material does not") {
+    def gradJpeg(invert: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val g = if (invert) 255 - x * 16 else x * 16
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    def flat(gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16)
+        im.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // A and B share frame 0 (the fingerprint surface) but differ in their
+    // 40-frame tails; C is different material; D is not video at all
+    val clipA = mjpegAvi(gradJpeg(invert = false) +: Seq.fill(40)(flat(60)))
+    val clipB = mjpegAvi(gradJpeg(invert = false) +: Seq.fill(40)(flat(200)))
+    val clipC = mjpegAvi(gradJpeg(invert = true) +: Seq.fill(40)(flat(60)))
+    val media = Seq(
+      (1L, clipA, "video/avi"), (2L, clipB, "video/avi"),
+      (3L, clipC, "video/avi"), (4L, "not a clip".getBytes, "text/plain"))
+      .toDF("doc_id", "media", "media_type")
+    val fps = Multimodal.videoFingerprints(media, maxFrames = 4)
+    val rows = fps.orderBy($"doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // text row excluded
+    val Seq(sa, sb, sc) = rows.map(_.getString(1)).toSeq
+    assert(sa == sb) // identical first frame -> identical fingerprint
+    assert(sa.zip(sc).count { case (x, y) => x != y } > 8) // different material
+    val pairs = graft.ops.Dedup.simHashNearDupPairsFromFingerprints(
+      fps, "doc_id", maxHamming = 3, bands = 4)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("decodeMedia video arm: real metadata, channels stays NULL, " +
       "unsupported codecs quarantine") {
     val rows = Seq(
