@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   * output stays ~linear in n on this distribution, which isolates
   * candidate volume. The probe also computes the EXACT pair count (brute
   * all-pairs, un-timed) where the n² scan is itself probe-able (n <= 20k)
-  * and emits each variant's recall. Every emitted pair is exact-verified —
-  * geometry moves recall only, never precision; the near-identical regime
-  * both geometries catch fully is pinned by EmbeddingLshSpec.
+  * and emits each variant's tail recall. Every emitted pair is
+  * exact-verified — geometry moves recall only, never precision. The
+  * near-identical regime the miner exists for gets its own measured
+  * column at EVERY scale: 200 planted twins (seeded 1e-4 perturbations)
+  * are injected per scale and `planted_recall` reports the fraction each
+  * geometry emits — at 100k, where brute force stops being probe-able,
+  * this is the probe's only recall signal.
   *
   * Hypervisor steal is sampled around ONLY the timed count (the warm pass
   * sits outside the window), so a burst dilutes nothing.
@@ -51,8 +55,12 @@ object LshScale {
 
     // timed pair-mining run; tick snapshots wrap ONLY the measured count(),
     // not the warm pass (a burst landing in the warm half used to dilute
-    // the reported steal%)
-    def run(df: DataFrame, variant: String, warm: Boolean): (Double, Long, Double) = {
+    // the reported steal%). The mined output is checkpointed INSIDE the
+    // timed region (it is ~thousands of rows — the full mining work happens
+    // exactly once) and returned, so the planted-recall probe below reads
+    // it instead of re-running a multi-minute join.
+    def run(df: DataFrame, variant: String, warm: Boolean)
+        : (Double, Long, Double, DataFrame) = {
       val op = variant match {
         case "fixed" => graft.ops.Dedup.embeddingLshPairs(
           df, "vec_id", "embedding", maxDist = 0.5)
@@ -65,10 +73,45 @@ object LshScale {
       if (warm) op.write.format("noop").mode("overwrite").save()
       val k0 = ProcStat.stealTotalTicks()
       val t0 = System.nanoTime()
-      val pairs = op.count()
+      val out = op.localCheckpoint()
+      val pairs = out.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val steal = ProcStat.stealPct(k0, ProcStat.stealTotalTicks()).getOrElse(-1.0)
-      (sec, pairs, steal)
+      (sec, pairs, steal, out)
+    }
+
+    // 200 planted near-identical twins per scale (seeded 1e-4 Gaussian
+    // perturbation of evenly-sampled base rows, twin ids offset into a
+    // disjoint 9e11 key space): the recall regime with SIGNAL at every
+    // scale. The dist<=0.5 tail recall (0.00-0.09 for BOTH geometries) is
+    // the documented marginal-boundary sampling regime; planted recall is
+    // the near-dup regime the miner exists for, and at 100k it is the
+    // probe's only recall column (brute-force ground truth stops being
+    // probe-able past 20k).
+    def withPlanted(df: DataFrame): (DataFrame, Set[(Long, Long)]) = {
+      val bases = df.where(col("embedding").isNotNull)
+        .orderBy(col("vec_id")).limit(5000)
+        .collect().grouped(25).map(_.head).take(200).toSeq // every 25th of the first 5000
+      val twins = bases.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        val rnd = new java.util.Random(id * 2654435761L + 17)
+        val tv = v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+        (900_000_000_000L + id, tv)
+      }
+      import spark.implicits._
+      val twinDf = twins.toDF("vec_id", "embedding")
+      val planted = bases.map(r => {
+        val id = r.getLong(0); (id, 900_000_000_000L + id)
+      }).toSet
+      (df.select(col("vec_id"), col("embedding")) unionAll twinDf, planted)
+    }
+    def plantedRecall(out: DataFrame, planted: Set[(Long, Long)]): Double = {
+      val found = out.select(col("a").cast("long"), col("b").cast("long"))
+        .where(col("b") >= 900_000_000_000L || col("a") >= 900_000_000_000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count(p => found.contains(p) || found.contains(p.swap)).toDouble /
+        planted.size
     }
 
     // candidate volume + bucket histogram for a geometry — one groupBy over
@@ -90,9 +133,9 @@ object LshScale {
     }
 
     // exact ground truth (brute all-pairs, one-off, NOT part of the timed
-    // runs; skipped past 20k rows where the n^2 scan stops being a probe)
+    // runs; skipped past ~20k rows where the n^2 scan stops being a probe)
     def exactPairs(df: DataFrame, n: Long): Long =
-      if (n > 20000) -1L
+      if (n > 20500) -1L
       else {
         val v = df.where(col("embedding").isNotNull)
           .select(col("vec_id"), col("embedding"))
@@ -116,28 +159,35 @@ object LshScale {
       ("50x", replica100k))
     val out = new StringBuilder(
       "{\"_provenance\":\"graft.LshScale: fixed (16-plane/8-bit, q32's " +
-        "oracle pin) vs geometry-from-n LSH at 2k/20k/100k rows; " +
+        "oracle pin) vs geometry-from-n LSH at 2k/20k/100k rows (+200 " +
+        "planted near-identical twins per scale, ids in the 9e11 space); " +
         "candidates = sum of c*(c-1)/2 over band-bucket sizes (one " +
         "groupBy over Dedup.lshBandKeys, untimed); bucket percentiles " +
-        "over all band buckets; steal sampled around only the timed " +
+        "over all band buckets; recall = emitted/exact over the dist<=0.5 " +
+        "tail where brute force is probe-able (a marginal-boundary " +
+        "sampling regime for ANY banded geometry); planted_recall = " +
+        "fraction of the 200 planted twins emitted, the near-dup regime " +
+        "with signal at every scale; steal sampled around only the timed " +
         "count\",")
-    for ((tag, df) <- scales) {
+    for ((tag, df0) <- scales) {
+      val (df, planted) = withPlanted(df0)
       val n = df.count()
       val exact = exactPairs(df, n)
       val rAuto = graft.ops.Dedup.lshGeometry(n)
       for (v <- Seq("fixed", "auto")) {
         val (nPlanes, rpb) = if (v == "fixed") (16, 8) else (4 * rAuto, rAuto)
         val (cand, buckets, p50, p90, p99, cmax) = bucketStats(df, nPlanes, rpb)
-        val (sec, pairs, steal) = run(df, v, warm = n <= 20000)
+        val (sec, pairs, steal, mined) = run(df, v, warm = n <= 20500)
+        val pr = plantedRecall(mined, planted)
         val recall =
           if (exact < 0) "null"
           else if (exact == 0) "1.000"
           else f"${pairs.toDouble / exact}%.3f"
         out.append(
-          f""""${tag}_$v":{"rows":$n,"geometry":"${nPlanes / rpb}x$rpb","sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"steal_pct":$steal%.2f,"candidates":$cand,"buckets":$buckets,"bucket_p50":$p50,"bucket_p90":$p90,"bucket_p99":$p99,"bucket_max":$cmax},""")
+          f""""${tag}_$v":{"rows":$n,"geometry":"${nPlanes / rpb}x$rpb","sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"planted_recall":$pr%.3f,"steal_pct":$steal%.2f,"candidates":$cand,"buckets":$buckets,"bucket_p50":$p50,"bucket_p90":$p90,"bucket_p99":$p99,"bucket_max":$cmax},""")
         println(f"[lsh-scale] $tag%-5s $v%-5s rows=$n geom=${nPlanes / rpb}x$rpb " +
-          f"sec=$sec%.3f pairs=$pairs/$exact recall=$recall cand=$cand " +
-          f"buckets=$buckets p50=$p50 p99=$p99 max=$cmax steal=$steal%.1f%%")
+          f"sec=$sec%.3f pairs=$pairs/$exact recall=$recall planted=$pr%.3f " +
+          f"cand=$cand buckets=$buckets p50=$p50 p99=$p99 max=$cmax steal=$steal%.1f%%")
       }
     }
     val json = out.dropRight(1).append("}").toString
