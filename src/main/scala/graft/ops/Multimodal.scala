@@ -113,15 +113,36 @@ object Multimodal {
     * the round-9 audio-side SPI cache fixed the same disease for WAV).
     * Reader/writer INSTANCES are not thread-safe, so each call creates one
     * from the cached SPI (cheap, no lock) and disposes it. */
-  private lazy val pngReaderSpi: Option[javax.imageio.spi.ImageReaderSpi] = {
-    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
-      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
-    var found: Option[javax.imageio.spi.ImageReaderSpi] = None
-    while (it.hasNext && found.isEmpty) {
-      val spi = it.next()
-      if (spi.getFormatNames.exists(_.equalsIgnoreCase("png"))) found = Some(spi)
-    }
-    found
+  /** Reader SPIs cached per FORMAT, resolved from the registry once per
+    * (JVM, format) and dispatched by container magic — the same shape as
+    * the audio-side fix: every JPEG frame of an MJPEG clip used to fall
+    * through to `ImageIO.read`'s synchronized registry scan (the PNG-only
+    * fast path covered q83's fixtures but not the video frame path). All
+    * five JDK formats carry public magic bytes. */
+  private val readerSpiCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Option[javax.imageio.spi.ImageReaderSpi]]()
+  private def readerSpiFor(format: String): Option[javax.imageio.spi.ImageReaderSpi] =
+    readerSpiCache.computeIfAbsent(format, f => {
+      val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+        .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      var found: Option[javax.imageio.spi.ImageReaderSpi] = None
+      while (it.hasNext && found.isEmpty) {
+        val spi = it.next()
+        if (spi.getFormatNames.exists(_.equalsIgnoreCase(f))) found = Some(spi)
+      }
+      found
+    })
+  private def sniffImageFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 8) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some("jpeg")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) Some("tiff")
+    else None
   }
   private lazy val pngWriterSpi: Option[javax.imageio.spi.ImageWriterSpi] = {
     val it = javax.imageio.spi.IIORegistry.getDefaultInstance
@@ -133,26 +154,24 @@ object Multimodal {
     }
     found
   }
-  private def isPng(bytes: Array[Byte]): Boolean =
-    bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
-      bytes(2) == 'N' && bytes(3) == 'G'
-
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
     if (bytes == null || bytes.length == 0) return None
     val img =
       try {
-        // PNG fast path through the cached SPI (no registry scan); any
-        // failure or non-PNG falls through to ImageIO's full dispatch,
-        // so behavior is unchanged for every other format
-        val fast =
-          if (isPng(bytes)) pngReaderSpi.flatMap { spi =>
+        // magic-dispatched fast path through the per-format cached SPI
+        // (no registry scan); any failure or unrecognized magic falls
+        // through to ImageIO's full dispatch, so behavior is unchanged
+        // for every other format
+        val fast = sniffImageFormat(bytes)
+          .flatMap(readerSpiFor)
+          .flatMap { spi =>
             val reader = spi.createReaderInstance()
             val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
             try { reader.setInput(iis, true, true); Option(reader.read(0)) }
             catch { case _: Exception => None }
             finally { reader.dispose(); iis.close() }
-          } else None
+          }
         fast.orElse(Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))))
       } catch { case _: Exception => None }
