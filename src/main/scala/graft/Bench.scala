@@ -154,18 +154,27 @@ object Bench {
       } yield 100.0 * (s1 - s0) / (t1 - t0)
     loadSample("start")
 
-    // Committed isolated warm costs (same machine class, quiet, sf0.1) —
-    // the denominator for the >2× contention re-pass below. Regex-parsed
+    // Committed isolated warm costs (same machine class, quiet) — the
+    // denominator for the >2× contention re-pass below. Regex-parsed
     // (no JSON dep); absent file or key disables the re-pass for that
-    // query rather than failing the bench.
+    // query rather than failing the bench. The provenance string names
+    // the sf dir the sweep ran at; entries only transfer within the same
+    // scale (an sf0.1 denominator under sf1 numerators would flag every
+    // query), so a mismatch discards the map.
     val isoWarm: Map[String, Double] = scala.util.Try {
       val path = sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "ISOLATED.json")
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val obj = """(?s)"isolated_warm"\s*:\s*\{(.*?)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val isoSf = """at (\S+) local\[""".r.findFirstMatchIn(txt)
+        .map(m => new java.io.File(m.group(1)).getName)
+      if (!isoSf.contains(new java.io.File(sfDir).getName))
+        Map.empty[String, Double]
+      else {
+        val obj = """(?s)"isolated_warm"\s*:\s*\{(.*?)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }.getOrElse(Map.empty)
     // Fallback denominator when a query has no ISOLATED entry: the committed
     // full-precision bench record from the previous round (BENCH_FULL.json
@@ -182,21 +191,31 @@ object Bench {
     // whole fallback map (isolated entries still apply). Same-sf, the
     // fallback remains the PREVIOUS LOCAL run by design — weaker than
     // ISOLATED.json, never authoritative.
-    val histMin: Map[String, Double] = scala.util.Try {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "BENCH_FULL.json")
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      val histSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(m => new java.io.File(m.group(1)).getName)
-      if (!histSf.contains(new java.io.File(sfDir).getName))
-        Map.empty[String, Double]
-      else {
-        val obj = """(?s)"queries"\s*:\s*\{(.*?)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }.getOrElse(Map.empty)
+    // Candidates in order: the env override, then the committed records
+    // for each scale this repo benches — the first file whose own "sf"
+    // matches the current run wins, so an sf1 run self-serves from the
+    // committed BENCH_sf1.json and the re-pass is armed at EVERY scale
+    // with a committed record, not just sf0.1.
+    val histMin: Map[String, Double] = {
+      val candidates = sys.env.get("SPARK_GRAFT_BENCH_HIST").toSeq ++
+        Seq("BENCH_FULL.json", "BENCH_sf1.json")
+      candidates.iterator.map { path =>
+        scala.util.Try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          val histSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+            .map(m => new java.io.File(m.group(1)).getName)
+          if (!histSf.contains(new java.io.File(sfDir).getName))
+            Map.empty[String, Double]
+          else {
+            val obj = """(?s)"queries"\s*:\s*\{(.*?)\}""".r
+              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+            """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }.getOrElse(Map.empty[String, Double])
+      }.find(_.nonEmpty).getOrElse(Map.empty)
+    }
     def denominator(n: String): Option[Double] =
       isoWarm.get(n).orElse(histMin.get(n))
 
@@ -341,7 +360,8 @@ object Bench {
         // ratio-ordered second samples. Per-query cost is estimated from
         // its own passA wall share; the loop also re-checks real elapsed
         // time so an estimate error cannot blow the budget.
-        val reserve = if (sfDir.contains("sf0.1")) 120.0 else 10.0
+        val reserve =
+          if (names.exists(n => denominator(n).isDefined)) 120.0 else 10.0
         val perQueryOverhead =
           math.max(0.0, passAWall - passA.values.map(_._1).sum) / names.size / 3
         def ratio(n: String): Double =
@@ -394,7 +414,11 @@ object Bench {
         n -> (if (passA(n)._1 <= passB(n)._1) passA(n)._2 else passB(n)._2)
       }: _*)
     val repassCounts = scala.collection.mutable.Map.empty[String, Int]
-    if (sfDir.contains("sf0.1")) {
+    // re-pass wherever denominators exist: ISOLATED entries (sf-guarded
+    // above) or a same-sf committed bench record — at a scale with
+    // neither, denominator() is empty everywhere and this no-ops, which
+    // is what the old sf0.1-only gate expressed less generally
+    if (names.exists(n => denominator(n).isDefined)) {
       val repassStart = System.nanoTime()
       val repassCapSec = 120.0
       loadSample("repass_pre")
