@@ -157,19 +157,27 @@ object Bench {
     // Committed isolated warm costs (same machine class, quiet) — the
     // denominator for the >2× contention re-pass below. Regex-parsed
     // (no JSON dep); absent file or key disables the re-pass for that
-    // query rather than failing the bench. The provenance string names
-    // the sf dir the sweep ran at; entries only transfer within the same
-    // scale (an sf0.1 denominator under sf1 numerators would flag every
-    // query), so a mismatch discards the map.
+    // query rather than failing the bench. The file carries a structured
+    // top-level "sf" key (legacy files: parsed out of the provenance
+    // sentence); entries only transfer within the same scale (an sf0.1
+    // denominator under sf1 numerators would flag every query), so a
+    // mismatch discards the map — and the discard is recorded in-band
+    // (`denominators.discarded`) rather than silently disarming the
+    // re-pass.
+    var isoDiscarded = ""
     val isoWarm: Map[String, Double] = scala.util.Try {
       val path = sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "ISOLATED.json")
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val isoSf = """at (\S+) local\[""".r.findFirstMatchIn(txt)
+      val isoSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
         .map(m => new java.io.File(m.group(1)).getName)
-      if (!isoSf.contains(new java.io.File(sfDir).getName))
+        .orElse("""at (\S+) local\[""".r.findFirstMatchIn(txt)
+          .map(m => new java.io.File(m.group(1)).getName))
+      if (!isoSf.contains(new java.io.File(sfDir).getName)) {
+        isoDiscarded = s"isolated file sf=${isoSf.getOrElse("unparsed")} != " +
+          s"run sf=${new java.io.File(sfDir).getName}"
         Map.empty[String, Double]
-      else {
+      } else {
         val obj = """(?s)"isolated_warm"\s*:\s*\{(.*?)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
@@ -549,7 +557,7 @@ object Bench {
     val denHist = names.count(n => !isoWarm.contains(n) && histMin.contains(n))
     val denNone = names.size - denIso - denHist
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"pass_b_mode":"$passBMode","pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"build_steal":$buildStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"pass_b_mode":"$passBMode","pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone,"discarded":"$isoDiscarded"},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"build_steal":$buildStealJson,"repassed":$repassJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 

@@ -143,10 +143,27 @@ object IsolatedSweep {
     def num(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_OUT", "ISOLATED.json")
     // targeted refresh: fold the existing file's entries in, keeping the
-    // MIN per swept query and every un-swept entry verbatim
+    // MIN per swept query and every un-swept entry verbatim. GUARD: the
+    // merge is only valid within one scale — a prior sf0.1 file merged
+    // into an sf1 refresh would relabel cross-scale times as same-scale
+    // denominators (the merged file's provenance is stamped with the
+    // CURRENT sfDir, which Bench trusts), making the >2x re-pass fire on
+    // everything. Parse the prior file's own scale (structured "sf" key;
+    // provenance regex for pre-key files) and skip the merge on mismatch.
     if (args.nonEmpty) scala.util.Try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(outPath)), "UTF-8")
+      val priorSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+        .orElse("""at (\S+) local\[""".r.findFirstMatchIn(txt)
+          .map(m => new java.io.File(m.group(1)).getName))
+      val curSf = new java.io.File(sfDir).getName
+      if (!priorSf.contains(curSf)) {
+        println(s"[sweep] prior $outPath is for sf '${priorSf.getOrElse("?")}' " +
+          s"!= current '$curSf': NOT merging prior entries (file will hold " +
+          "only this run's swept entries)")
+        throw new IllegalStateException("sf mismatch") // abort the Try body
+      }
       def obj(field: String): Map[String, Double] = {
         val body = (s"""(?s)"$field"\\s*:\\s*\\{(.*?)\\}""": String).r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
@@ -190,7 +207,9 @@ object IsolatedSweep {
       .mkString("{", ", ", "}")
     val stealJson = warm.map { case (k, (_, st)) => s"\"$k\": ${num(st)}" }
       .mkString("{", ", ", "}")
-    val out = s"""{"_provenance": "$prov", "unit": "sec", "isolated_warm": $warmJson, "steal": $stealJson}""" + "\n"
+    // structured "sf" key: Bench's scale guard parses this directly (the
+    // provenance-sentence regex remains only as a legacy fallback)
+    val out = s"""{"_provenance": "$prov", "sf": "${new java.io.File(sfDir).getName}", "unit": "sec", "isolated_warm": $warmJson, "steal": $stealJson}""" + "\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.getBytes("UTF-8"))
     println(s"[sweep] wrote $outPath (${warm.size} entries)")

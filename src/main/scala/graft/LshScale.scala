@@ -89,9 +89,15 @@ object LshScale {
     // probe's only recall column (brute-force ground truth stops being
     // probe-able past 20k).
     def withPlanted(df: DataFrame): (DataFrame, Set[(Long, Long)]) = {
+      // stride derived from the ACTUAL row count so every scale plants the
+      // full 200 (a fixed every-25th-of-5000 stride planted only 80 at the
+      // 2k-row scale while the provenance claimed 200)
+      val nRows = df.where(col("embedding").isNotNull).count()
+      val sampleN = math.min(nRows, 5000L).toInt
+      val stride = math.max(1, sampleN / 200)
       val bases = df.where(col("embedding").isNotNull)
-        .orderBy(col("vec_id")).limit(5000)
-        .collect().grouped(25).map(_.head).take(200).toSeq // every 25th of the first 5000
+        .orderBy(col("vec_id")).limit(sampleN)
+        .collect().grouped(stride).map(_.head).take(200).toSeq
       val twins = bases.map { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray
@@ -166,9 +172,11 @@ object LshScale {
         "over all band buckets; recall = emitted/exact over the dist<=0.5 " +
         "tail where brute force is probe-able (a marginal-boundary " +
         "sampling regime for ANY banded geometry); planted_recall = " +
-        "fraction of the 200 planted twins emitted, the near-dup regime " +
-        "with signal at every scale; steal sampled around only the timed " +
-        "count\",")
+        "fraction of the planted twins emitted (sampling stride derived " +
+        "from the actual row count so every scale plants the full 200; " +
+        "each scale's `planted` field records the actual count), the " +
+        "near-dup regime with signal at every scale; steal sampled " +
+        "around only the timed count\",")
     for ((tag, df0) <- scales) {
       val (df, planted) = withPlanted(df0)
       val n = df.count()
@@ -184,7 +192,7 @@ object LshScale {
           else if (exact == 0) "1.000"
           else f"${pairs.toDouble / exact}%.3f"
         out.append(
-          f""""${tag}_$v":{"rows":$n,"geometry":"${nPlanes / rpb}x$rpb","sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"planted_recall":$pr%.3f,"steal_pct":$steal%.2f,"candidates":$cand,"buckets":$buckets,"bucket_p50":$p50,"bucket_p90":$p90,"bucket_p99":$p99,"bucket_max":$cmax},""")
+          f""""${tag}_$v":{"rows":$n,"geometry":"${nPlanes / rpb}x$rpb","sec":$sec%.3f,"pairs":$pairs,"exact_pairs":$exact,"recall":$recall,"planted":${planted.size},"planted_recall":$pr%.3f,"steal_pct":$steal%.2f,"candidates":$cand,"buckets":$buckets,"bucket_p50":$p50,"bucket_p90":$p90,"bucket_p99":$p99,"bucket_max":$cmax},""")
         println(f"[lsh-scale] $tag%-5s $v%-5s rows=$n geom=${nPlanes / rpb}x$rpb " +
           f"sec=$sec%.3f pairs=$pairs/$exact recall=$recall planted=$pr%.3f " +
           f"cand=$cand buckets=$buckets p50=$p50 p99=$p99 max=$cmax steal=$steal%.1f%%")

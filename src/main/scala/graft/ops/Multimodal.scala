@@ -283,30 +283,43 @@ object Multimodal {
     * Readers whose class name matches none of the known families are
     * "unknown" and stay in every fallback list (exotic-JVM safety). */
   private lazy val readersByFamily: Map[String, Seq[javax.sound.sampled.spi.AudioFileReader]] = {
-    def fam(r: javax.sound.sampled.spi.AudioFileReader): String = {
-      val n = r.getClass.getSimpleName
-      if (n.contains("Wave")) "wave"
-      else if (n.contains("Aiff")) "aiff"
-      else if (n.contains("Au")) "au"
-      else if (n.contains("Midi")) "midi"
-      else "unknown"
-    }
-    audioReaders.groupBy(fam).withDefaultValue(Seq.empty)
+    audioReaders.groupBy(audioReaderFamily).withDefaultValue(Seq.empty)
   }
 
-  private def openAudioStream(
-      bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+  /** "Midi" must be tested before "Au": the JDK's MIDI reader is
+    * `SoftMidiAudioFileReader`, whose "Audio" substring would otherwise
+    * match "Au" and bucket it with the AU-format reader — emptying the
+    * midi family (MThd payloads stop decoding) AND letting .snd/garbage
+    * payloads reach the MIDI reader's synchronized provider scan. */
+  private[graft] def audioReaderFamily(
+      r: javax.sound.sampled.spi.AudioFileReader): String = {
+    val n = r.getClass.getSimpleName
+    if (n.contains("Midi")) "midi"
+    else if (n.contains("Wave")) "wave"
+    else if (n.contains("Aiff")) "aiff"
+    else if (n.contains("Au")) "au"
+    else "unknown"
+  }
+
+  /** Reader families tried for a payload with the given leading bytes —
+    * exposed for the dispatch spec (MThd must reach "midi"; .snd and
+    * garbage must never include it). */
+  private[graft] def audioDispatchFamilies(bytes: Array[Byte]): Seq[String] = {
     val magic =
-      if (bytes.length >= 4) new String(bytes, 0, 4, "US-ASCII") else ""
-    val nonMidi = Seq("wave", "aiff", "au", "unknown")
-    val families = magic match {
+      if (bytes != null && bytes.length >= 4) new String(bytes, 0, 4, "US-ASCII")
+      else ""
+    magic match {
       case "RIFF" => Seq("wave", "unknown")
       case "FORM" => Seq("aiff", "unknown")
       case ".snd" => Seq("au", "unknown")
       case "MThd" => Seq("midi", "unknown")
-      case _ => nonMidi // garbage/truncated: try everything except MIDI
+      case _ => Seq("wave", "aiff", "au", "unknown")
     }
-    val candidates = families.flatMap(readersByFamily)
+  }
+
+  private def openAudioStream(
+      bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val candidates = audioDispatchFamilies(bytes).flatMap(readersByFamily)
     var i = 0
     while (i < candidates.length) {
       try return Some(candidates(i).getAudioInputStream(
