@@ -110,42 +110,64 @@ object TextAnalysis {
   /** Gopher-style repetition / diversity signals (Rae et al. 2021, app. A —
     * the published repetition filters adapted to word granularity):
     * type-token ratio, top-word mass fraction, duplicate-bigram fraction,
-    * mean word length. Distributed shape: explode words → two key-partitioned
-    * aggregations → one doc_id join; every per-doc state is O(distinct words),
-    * never O(text²), so the same plan holds at 100 TB.
+    * mean word length.
+    *
+    * Distributed shape: ALL stats are per-row array algebra over the split
+    * word list — two narrow projections, ZERO shuffles. The original
+    * formulation (posexplode → two word-keyed groupBys → a per-doc window
+    * with `lead`) moved every token through two exchanges and a sort and
+    * was the suite's worst honest scaler (6.5× for 10× data at sf1);
+    * per-doc state here is O(words-in-doc), never cross-row, so the plan
+    * is embarrassingly parallel at 100 TB. Top-word count is sort +
+    * run-length (O(n log n) per doc, independent of distinctness — the
+    * O(distinct·n) transform/filter shape would degrade on low-diversity
+    * spam docs, the exact documents a repetition filter exists to catch).
     *
     * Output: (idCol, n_words BIGINT, distinct_word_ratio, top_word_frac,
     * dup_2gram_frac, mean_word_len — all DOUBLE). Ratios are single int/int
     * divisions (bit-exact cross-engine). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(idCol),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "word")))
-    // per-(doc, word) counts → per-doc word-mass stats (one shuffle each)
-    val wc = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
-    val wordStats = wc.groupBy(col(idCol)).agg(
-      sum(col("c")).as("n_words"),
-      count(lit(1)).as("n_distinct_words"),
-      max(col("c")).as("top_word_cnt"),
-      sum(col("c") * length(col("word"))).as("sum_word_len"))
-    // adjacent-pair (word 2-gram) duplication via a positional window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val bgStats = words.withColumn("nxt", lead(col("word"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bigram")).as("n_distinct_bigrams"))
+    // stage 1: materialize the split ONCE behind an alias — six consumers
+    // below; CollapseProject keeps a non-cheap multi-consumer producer in
+    // its own Project, so the regex split runs once per row
+    val stage1 = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+    val ws = col("ws")
+    val n = size(ws)
+    // longest run of equal words in sorted order == max per-word count
+    val topWordCnt = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast(StringType).as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (s, x) => {
+        val run = when(s.getField("prev").isNotNull && x === s.getField("prev"),
+          s.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    // adjacent word pairs: ws[i] || ' ' || ws[i+1] for i in [0, n-2]
+    val bigrams = zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val stage2 = stage1.select(
+      col(idCol),
+      n.cast(LongType).as("n_words"),
+      size(array_distinct(ws)).as("n_distinct_words"),
+      topWordCnt.as("top_word_cnt"),
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"),
+      when(n >= 2, size(array_distinct(bigrams))).otherwise(lit(0))
+        .as("n_distinct_bigrams"),
+      greatest(n - 1, lit(0)).as("n_bigrams"))
     def ratio(a: Column, b: Column): Column =
       a.cast(DoubleType) / b.cast(DoubleType)
-    wordStats.join(bgStats, Seq(idCol), "left").select(
+    stage2.select(
       col(idCol),
       col("n_words"),
       ratio(col("n_distinct_words"), col("n_words")).as("distinct_word_ratio"),
       ratio(col("top_word_cnt"), col("n_words")).as("top_word_frac"),
-      coalesce(lit(1.0) - ratio(col("n_distinct_bigrams"), col("n_bigrams")), lit(0.0))
-        .as("dup_2gram_frac"),
+      when(col("n_bigrams") > 0,
+        lit(1.0) - ratio(col("n_distinct_bigrams"), col("n_bigrams")))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"),
       ratio(col("sum_word_len"), col("n_words")).as("mean_word_len"))
   }
 

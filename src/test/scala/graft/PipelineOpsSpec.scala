@@ -390,4 +390,33 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(r2.getLong(1) == 1L && r2.getDouble(4) == 0.0,
       "single-word doc has zero bigram duplication, not NULL")
   }
+
+  test("repetitionSignals: flat-array algebra matches a plain-Scala reference") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val docs = (1L to 80L).map { i =>
+      val n = rnd.nextInt(14)
+      val text =
+        if (n == 0) "" // empty doc: split yields one "" word
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text)
+    }
+    val out = TextAnalysis.repetitionSignals(docs.toDF("doc_id", "text"))
+      .orderBy($"doc_id").collect()
+    docs.zip(out).foreach { case ((id, text), r) =>
+      val ws = text.trim.split("\\s+").toSeq
+      val n = ws.length
+      val top = ws.groupBy(identity).values.map(_.size).max
+      val bigrams = if (n >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      assert(r.getLong(0) == id)
+      assert(r.getLong(1) == n.toLong, s"n_words doc $id")
+      assert(r.getDouble(2) == ws.distinct.size.toDouble / n, s"distinct ratio doc $id")
+      assert(r.getDouble(3) == top.toDouble / n, s"top_word_frac doc $id")
+      val expDup =
+        if (bigrams.isEmpty) 0.0
+        else 1.0 - bigrams.distinct.size.toDouble / bigrams.size
+      assert(math.abs(r.getDouble(4) - expDup) < 1e-15, s"dup_2gram_frac doc $id")
+      assert(r.getDouble(5) == ws.map(_.length).sum.toDouble / n, s"mean_word_len doc $id")
+    }
+  }
 }

@@ -45,6 +45,17 @@ class PlanAuditSpec extends GraftSparkSpec {
     assert("FileScan".r.findAllIn(p).length == 1, p)
   }
 
+  test("q37: repetition signals are per-row array algebra (no shuffle but the output sort)") {
+    val p = plan("q37_repetition_signals")
+    // the explode→groupBy→window formulation carried two hash exchanges and
+    // a per-doc sort; the flat formulation's only exchange is the ordered-
+    // output range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p) // no explode
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
   test("q38: split assignment is narrow — partial agg before the one shuffle") {
     val p = plan("q38_deterministic_split")
     // two-phase agg on (split, lang): exactly one hash exchange
