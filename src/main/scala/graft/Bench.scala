@@ -479,6 +479,9 @@ object Bench {
       case (r79, r80) => Seq("recall79" -> r79, "recall80" -> r80)
     } ++ SparkEntry.shardedGraphRecall(spark).toSeq.flatMap {
       case (r81, r82) => Seq("recall81" -> r81, "recall82" -> r82)
+    } ++ SparkEntry.cosineGraphRecall(spark).toSeq.flatMap {
+      case (rTopk, rKnn) =>
+        Seq("recall86topk" -> rTopk, "recall86" -> rKnn)
     }
     val all = results ++ buildMetrics ++ recallMetrics
     val total = results.map(_._2).sum
@@ -495,6 +498,10 @@ object Bench {
       } ++ SparkEntry.shardedGraphRecall(spark).toSeq.flatMap { case (r81, r82) =>
         Seq(("q81_sharded_graph_topk", 0.9, r81),
           ("q82_sharded_graph_knn_join", 0.95, r82))
+      } ++ SparkEntry.cosineGraphRecall(spark).toSeq.flatMap {
+        case (rTopk, rKnn) =>
+          Seq(("q86_cosine_graph_topk", 0.9, rTopk),
+            ("q86_cosine_graph_knn_join", 0.95, rKnn))
       }
     if (recallGateEntries.nonEmpty) {
       // provenance + sf in-band, and a non-sf0.1 run writes an sf-suffixed

@@ -669,6 +669,7 @@ object SparkEntry {
       * each session (RECALL_GATE.json). */
     def q86NearDupAnn(s: SparkSession, dir: String): DataFrame = {
       setupIndexOnce(s, dir, "q86_emb", "q86_idx", Map("metric" -> "cosine"))
+      assertCosineGraphRecall(s, dir)
       graft.ops.Dedup.embeddingNearDupViaIndex(s, "q86_emb", "vec_id",
         "q86_idx", maxDist = 0.65)
         .orderBy(col("a"))
@@ -729,6 +730,39 @@ object SparkEntry {
           case (k, v) if k.startsWith(prefix + ":") => v
         })
       }
+
+    /** Measured COSINE graph-mode recall (q86's own index — distinct from
+      * the shared L2² graph index the q79/q80 gate covers; a recall
+      * regression specific to cosine graph descent would otherwise hide
+      * behind q86's rows-only check), same shape as [[graphRecall]]. */
+    def cosineGraphRecall(s: SparkSession): Option[(Double, Double)] =
+      lastRecallFor(s, "cgraph")
+
+    /** q86's gate: the same two probe shapes every gated index variant
+      * measures (a TopN probe and a 100×k=3 knn join), against the cosine
+      * index's graph descent vs its own exhaustive path. */
+    private def assertCosineGraphRecall(s: SparkSession, dir: String): Unit =
+      recallGate(s, dir, "q86_emb", "q86_idx", "cgraph",
+        q86TopkGatePlan(s), q86KnnGatePlan(s))
+
+    private def q86TopkGatePlan(s: SparkSession): DataFrame = {
+      val qv = embQueryVec(s, "q86_emb", 0)
+      s.table("q86_emb")
+        .withColumn("dist",
+          vector.array_cosine_distance(col("embedding"), lit(qv)))
+        .orderBy(col("dist").asc_nulls_last).limit(10)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }
+
+    private def q86KnnGatePlan(s: SparkSession): DataFrame = {
+      val outer = s.table("q86_emb")
+        .filter(col("vec_id") < 100 && col("embedding").isNotNull)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Graft.knnJoin(s, outer, "qvec", "q86_idx", 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("dist"))
+        .orderBy(col("qid"), col("rank"))
+    }
 
     private def assertGraphRecall(s: SparkSession, dir: String): Unit = {
       val (table, index) = sharedGraphIndex(s, dir)
@@ -1792,6 +1826,12 @@ object SparkEntry {
     * 16-shard fan-out at graph ef), for the bench's recall81/recall82. */
   def shardedGraphRecall(s: SparkSession): Option[(Double, Double)] =
     Queries.shardedGraphRecall(s)
+
+  /** Measured COSINE graph-mode recall for `s` (the q86 gate — q86's own
+    * cosine index, which the L2² gates don't cover), for the bench's
+    * recall86. */
+  def cosineGraphRecall(s: SparkSession): Option[(Double, Double)] =
+    Queries.cosineGraphRecall(s)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -278,7 +278,9 @@ class HnswIndex(
     // down to ~4×. Items within a batch don't see each other during their
     // search (they are unlinked and invisible), the standard parallel-HNSW
     // relaxation.
-    val BatchSize = 8
+    val BatchSize =
+      sys.props.get("graft.hnsw.buildBatch").flatMap(v =>
+        scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(8)
     // Streaming block shuffle: batches draw RANDOM items from a bounded
     // buffer refilled from the input stream. The concurrent build's
     // in-flight windows are mutually invisible, so data arriving in a
@@ -320,12 +322,76 @@ class HnswIndex(
         out
       }
     }
+    // Flat-combining link stage. The previous design had every thread run
+    // W(alloc) → R(search) → W(link) per 8-item batch: with a writer
+    // queued on the ReentrantReadWriteLock, arriving readers PARK (the
+    // non-fair anti-starvation rule), and at ≥8 threads there was always a
+    // writer queued — measured 20k-row builds spent ~65 thread-seconds
+    // parked per ~18 thread-seconds of actual search work, and throughput
+    // was FLAT from 8 to 32 threads. Now builder threads only ever take
+    // the READ lock (search + select are the dominant, parallel cost) and
+    // enqueue their link plans; whichever thread trips the drain threshold
+    // CASes itself combiner and applies alloc+link for EVERYONE's pending
+    // plans under ONE write acquisition. Write acquisitions drop from
+    // 2 per 8 items to 1 per ~DrainAt items (64×), so readers almost
+    // never find a writer queued.
+    //
+    // Invisibility window: an item is searchable only after its combine,
+    // so up to QueueCap + threads·BatchSize items can be mutually
+    // invisible (vs threads·BatchSize before); the tail-window heal below
+    // and the end-of-build relink/repair already cover exactly this class
+    // of miss, and their window accounts for the queue.
+    if (entryPoint < 0) {
+      // seed: concurrent searches need an entry point before the pool starts
+      val first = nextBatch()
+      if (first == null) { pool.shutdown(); return }
+      add(first(0)._1, first(0)._2)
+      var i = 1
+      while (i < first.length) { add(first(i)._1, first(i)._2); i += 1 }
+    }
+    val linkQueue = new java.util.concurrent.ConcurrentLinkedQueue[LinkPlan]()
+    val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+    val combining = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val DrainAt = 256 // soft: trip a combine
+    val QueueCap = 1024 // hard: backpressure so the invisible window is bounded
+    def tryCombine(): Boolean = {
+      if (!combining.compareAndSet(false, true)) return false
+      val w = rwLock.writeLock()
+      try {
+        if (linkQueue.isEmpty) return true
+        var tq = System.nanoTime()
+        w.lock()
+        buildPhaseNanos.addAndGet(PhLinkWait, System.nanoTime() - tq)
+        tq = System.nanoTime()
+        try {
+          var plan = linkQueue.poll()
+          while (plan != null) {
+            applyLinkPlan(plan)
+            pending.decrementAndGet()
+            plan = linkQueue.poll()
+          }
+        } finally {
+          w.unlock()
+          buildPhaseNanos.addAndGet(PhLinkHold, System.nanoTime() - tq)
+        }
+        true
+      } finally combining.set(false)
+    }
     (0 until numThreads).foreach { _ =>
       pool.execute(new Runnable {
         def run(): Unit = try {
           var batch = nextBatch()
           while (batch != null && err.get() == null) {
-            addBatchConcurrent(batch)
+            val plans = searchBatchPlans(batch)
+            var i = 0
+            while (i < plans.length) { linkQueue.add(plans(i)); i += 1 }
+            val p = pending.addAndGet(plans.length)
+            if (p >= DrainAt) tryCombine()
+            // hard cap: don't let the mutually-invisible window grow
+            // unboundedly if combiners fall behind the searchers
+            while (pending.get() >= QueueCap && err.get() == null) {
+              if (!tryCombine()) Thread.`yield`()
+            }
             batch = nextBatch()
           }
         } catch { case t: Throwable => err.compareAndSet(null, t) }
@@ -335,6 +401,9 @@ class HnswIndex(
     // wait for ACTUAL termination — returning with builder threads alive
     // would let unlocked readers race in-flight inserts
     while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
+    if (err.get() != null) throw err.get()
+    // drain whatever the last workers enqueued (single-threaded now)
+    while (!linkQueue.isEmpty) { if (!tryCombine()) Thread.`yield`() }
     if (err.get() != null) throw err.get()
     // Final prune sweep, parallel and lock-free: builder threads are done,
     // each task prunes only ITS nodes' own lists (reads of other nodes'
@@ -371,17 +440,26 @@ class HnswIndex(
     // backward long-range edges and search recall collapses at the hot
     // end. Re-run the link step for those ids against the now-complete
     // graph: O(window) searches, negligible against the build.
-    val tailWindow = math.min(numThreads * BatchSize * 2, keys.size)
-    relinkTail(keys.size - tailWindow, keys.size)
+    // window covers the worst-case mutually-invisible span of the combining
+    // design: a full queue plus every thread's in-flight batch
+    val tailWindow =
+      math.min(1024 + numThreads * BatchSize * 2, keys.size)
+    relinkTail(keys.size - tailWindow, keys.size, numThreads)
     repairConnectivity()
   }
 
   /** Re-run the neighbor search + bidirectional link step for ids
     * [from, until) over the completed graph — the bulk build's tail-window
-    * heal (see addAll). Single-threaded, runs after the builder pool. */
-  private def relinkTail(from: Int, until: Int): Unit = {
-    var id = math.max(from, 0)
-    while (id < until) {
+    * heal (see addAll). The searches (the dominant cost) run in parallel
+    * over the frozen graph — every node is already allocated and linked,
+    * so unlike the build's in-flight windows the plans can see each other's
+    * nodes; only the link application mutates, and it runs single-threaded
+    * afterward. Runs after the builder pool, so no lock is needed. */
+  private def relinkTail(from: Int, until: Int, numThreads: Int = 1): Unit = {
+    val lo = math.max(from, 0)
+    val n = until - lo
+    if (n <= 0) return
+    def planFor(id: Int): List[(Int, List[(Double, Int)])] = {
       val vec = vecs(id)
       val level = nodeLevel(id)
       var ep = entryPoint
@@ -404,9 +482,39 @@ class HnswIndex(
       }
       var lev = math.min(level, topLevel)
       var eps = List((epDist, ep))
+      var acc: List[(Int, List[(Double, Int)])] = Nil
       while (lev >= 0) {
         val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
         val selected = selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m)
+        acc = (lev, selected) :: acc
+        eps = found
+        lev -= 1
+      }
+      acc
+    }
+    val plans = new Array[List[(Int, List[(Double, Int)])]](n)
+    if (numThreads <= 1 || n < 64) {
+      var i = 0
+      while (i < n) { plans(i) = planFor(lo + i); i += 1 }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(numThreads)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      (0 until numThreads).foreach { t =>
+        pool.execute(new Runnable {
+          def run(): Unit = try {
+            var i = t
+            while (i < n && err.get() == null) { plans(i) = planFor(lo + i); i += numThreads }
+          } catch { case th: Throwable => err.compareAndSet(null, th) }
+        })
+      }
+      pool.shutdown()
+      while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) ()
+      if (err.get() != null) throw err.get()
+    }
+    var i = 0
+    while (i < n) {
+      val id = lo + i
+      plans(i).foreach { case (lev, selected) =>
         val own = neighbors(id)(lev)
         val cap = maxNeighbors(lev)
         selected.foreach { case (_, nid) => if (!own.contains(nid)) own.add(nid) }
@@ -418,10 +526,8 @@ class HnswIndex(
             if (theirs.length > cap) pruneNeighbors(nid, theirs, cap)
           }
         }
-        eps = found
-        lev -= 1
       }
-      id += 1
+      i += 1
     }
   }
 
@@ -589,135 +695,112 @@ class HnswIndex(
     pruned.foreach { case (_, x) => nbrs.add(x) }
   }
 
-  /** One batch through the three-phase concurrent insert: allocate every
-    * node (write lock), beam-search + neighbor-select every node over the
-    * read-locked snapshot — the dominant cost, fully parallel across
-    * batches — then link every node (write lock). Batching amortizes lock
-    * acquisitions ~BatchSize-fold; the heavy per-backlink overflow prune
-    * is deferred to addAll's end sweep (see phase-3 comment). */
-  private def addBatchConcurrent(batch: Array[(Long, Array[Float])]): Unit = {
-    val w = rwLock.writeLock(); val r = rwLock.readLock()
-    val nb = batch.length
-    val idsArr = new Array[Int](nb)
-    val levelsArr = new Array[Int](nb)
-    var firstEntry = -1 // batch position that seeded an empty graph's entry
+  /** A searched-but-not-yet-linked item: its key/vector, hashed level, and
+    * the per-level selected neighbors (internal ids valid against the
+    * snapshot the search ran on). Produced under the read lock by
+    * [[searchBatchPlans]], applied under the write lock by a combiner
+    * (see addAll's flat-combining link stage). */
+  private final case class LinkPlan(key: Long, vec: Array[Float], level: Int,
+      selected: List[(Int, List[(Double, Int)])])
 
-    // phase 1: allocate all nodes (invisible until linked)
-    w.lock()
+  /** Build-phase telemetry (nanos summed across builder threads; wait =
+    * time parked acquiring the lock, hold = time inside it). Written by the
+    * concurrent build, read by ProfileBuild — steady-state cost is a
+    * handful of nanoTime calls per batch/drain. */
+  @transient lazy val buildPhaseNanos =
+    new java.util.concurrent.atomic.AtomicLongArray(6)
+  private final val PhSearchWait = 2; private final val PhSearchHold = 3
+  private final val PhLinkWait = 4; private final val PhLinkHold = 5
+
+  /** Beam-search + neighbor-select a batch over the read-locked snapshot —
+    * the dominant cost of an insert, fully parallel across threads. The
+    * items are NOT yet allocated (a combiner does that later), so no
+    * self-exclusion is needed: an unallocated node cannot be found. */
+  private def searchBatchPlans(
+      batch: Array[(Long, Array[Float])]): Array[LinkPlan] = {
+    val r = rwLock.readLock()
+    val nb = batch.length
+    val out = new Array[LinkPlan](nb)
+    var tq = System.nanoTime()
+    r.lock()
+    buildPhaseNanos.addAndGet(PhSearchWait, System.nanoTime() - tq)
+    tq = System.nanoTime()
     try {
       var i = 0
       while (i < nb) {
         val (key, vec) = batch(i)
         require(vec.length == dim,
           s"vector dimension ${vec.length} != index dimension $dim")
-        if (keyToId.contains(key)) {
-          throw new IllegalArgumentException(s"duplicate key $key")
-        }
-        val id = keys.size
         val level = levelFor(key)
-        keys += key
-        vecs += vec
-        nodeLevel += level
-        neighbors += Array.fill(level + 1)(new IntVec)
-        keyToId(key) = id
-        idsArr(i) = id
-        levelsArr(i) = level
-        if (entryPoint < 0) {
-          entryPoint = id
-          topLevel = level
-          firstEntry = i
+        var ep = entryPoint
+        var epDist = dist(vec, vecs(ep))
+        var l = topLevel
+        while (l > level) {
+          var changed = true
+          while (changed) {
+            changed = false
+            val nbrs = neighborsAt(ep, l)
+            var j = 0
+            while (j < nbrs.length) {
+              val cand = nbrs(j)
+              val d = dist(vec, vecs(cand))
+              if (d < epDist) { ep = cand; epDist = d; changed = true }
+              j += 1
+            }
+          }
+          l -= 1
         }
+        var lev = math.min(level, topLevel)
+        var eps = List((epDist, ep))
+        var acc: List[(Int, List[(Double, Int)])] = Nil
+        while (lev >= 0) {
+          val found =
+            searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
+          val selected = selectNeighborsHeuristic(vec, found, m)
+          acc = (lev, selected) :: acc
+          eps = found
+          lev -= 1
+        }
+        out(i) = LinkPlan(key, vec, level, acc)
         i += 1
       }
-    } finally w.unlock()
+    } finally { r.unlock(); buildPhaseNanos.addAndGet(PhSearchHold, System.nanoTime() - tq) }
+    out
+  }
 
-    // phase 2: beam-search candidate neighbors per level AND run the
-    // selection heuristic on the found sets — both read-only over the
-    // snapshot, so they parallelize under the read lock. (Selection used to
-    // run in phase 3 under the WRITE lock; its O(ef·M) distance evals made
-    // the serial section ~comparable to the search and capped parallel
-    // build speedup at ~2× regardless of thread count.) Batch members are
-    // unlinked and therefore invisible to each other's searches.
-    val perItem = new Array[List[(Int, List[(Double, Int)])]](nb)
-    r.lock()
-    try {
-      var i = 0
-      while (i < nb) {
-        if (i != firstEntry) {
-          val vec = batch(i)._2
-          val id = idsArr(i)
-          val level = levelsArr(i)
-          var ep = entryPoint
-          var epDist = dist(vec, vecs(ep))
-          var l = topLevel
-          while (l > level) {
-            var changed = true
-            while (changed) {
-              changed = false
-              val nbrs = neighborsAt(ep, l)
-              var j = 0
-              while (j < nbrs.length) {
-                val cand = nbrs(j)
-                val d = dist(vec, vecs(cand))
-                if (d < epDist) { ep = cand; epDist = d; changed = true }
-                j += 1
-              }
-            }
-            l -= 1
-          }
-          var lev = math.min(level, topLevel)
-          var eps = List((epDist, ep))
-          var acc: List[(Int, List[(Double, Int)])] = Nil
-          while (lev >= 0) {
-            val found =
-              searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
-            val selected =
-              selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m)
-            acc = (lev, selected) :: acc
-            eps = found
-            lev -= 1
-          }
-          perItem(i) = acc
-        }
-        i += 1
+  /** Allocate + link one planned item. Caller holds the WRITE lock.
+    * Amortized overflow pruning: the O(cap²)-distance heuristic prune is
+    * THE serial bottleneck when run on every saturated backlink, so lists
+    * may run to 2×cap during bulk build and addAll prunes everything back
+    * to cap in a lock-free parallel sweep at the end — searches against an
+    * over-full list only see extra routing edges. */
+  private def applyLinkPlan(plan: LinkPlan): Unit = {
+    if (keyToId.contains(plan.key)) {
+      throw new IllegalArgumentException(s"duplicate key ${plan.key}")
+    }
+    val id = keys.size
+    val level = plan.level
+    keys += plan.key
+    vecs += plan.vec
+    nodeLevel += level
+    neighbors += Array.fill(level + 1)(new IntVec)
+    keyToId(plan.key) = id
+    plan.selected.foreach { case (lev, selected) =>
+      val own = neighbors(id)(lev)
+      selected.foreach { case (_, nid) =>
+        if (!own.contains(nid)) own.add(nid)
       }
-    } finally r.unlock()
-
-    // phase 3: link — only the structural mutation holds the write lock.
-    // Amortized overflow pruning: the O(cap²)-distance heuristic prune is
-    // THE serial bottleneck of the parallel build when run on every
-    // saturated backlink (profiled: all sibling threads park on the write
-    // lock while one prunes). During bulk build, lists may run to 2×cap
-    // and addAll prunes everything back to cap in a lock-free parallel
-    // sweep at the end — searches against an over-full list only see
-    // extra routing edges.
-    w.lock()
-    try {
-      var i = 0
-      while (i < nb) {
-        if (i != firstEntry) {
-          val id = idsArr(i)
-          val level = levelsArr(i)
-          perItem(i).foreach { case (lev, selected) =>
-            val own = neighbors(id)(lev)
-            selected.foreach { case (_, nid) =>
-              if (!own.contains(nid)) own.add(nid)
-            }
-            selected.foreach { case (_, nid) =>
-              val theirNbrs = neighbors(nid)(lev)
-              if (!theirNbrs.contains(id)) theirNbrs.add(id)
-              val cap = maxNeighbors(lev)
-              if (theirNbrs.length > cap * 2) pruneNeighbors(nid, theirNbrs, cap)
-            }
-          }
-          if (level > topLevel) {
-            topLevel = level
-            entryPoint = id
-          }
-        }
-        i += 1
+      selected.foreach { case (_, nid) =>
+        val theirNbrs = neighbors(nid)(lev)
+        if (!theirNbrs.contains(id)) theirNbrs.add(id)
+        val cap = maxNeighbors(lev)
+        if (theirNbrs.length > cap * 2) pruneNeighbors(nid, theirNbrs, cap)
       }
-    } finally w.unlock()
+    }
+    if (level > topLevel) {
+      topLevel = level
+      entryPoint = id
+    }
   }
 
   /** Shrink `nbrs` (node `nid`'s level list) to `cap` with the diversity

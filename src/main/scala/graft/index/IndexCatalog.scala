@@ -270,7 +270,9 @@ object IndexCatalog {
     val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
       opts.efConstruction, opts.efSearch)
     idx.add(first.getLong(0), firstVec)
-    val threads = math.min(16, Runtime.getRuntime.availableProcessors())
+    // the flat-combining addAll scales past 16 threads (measured 10.5k vec/s
+    // at 32 vs 8.5k at 16 on 20k x 64f); use every core the driver has
+    val threads = Runtime.getRuntime.availableProcessors()
     val rows = new Iterator[(Long, Array[Float])] {
       def hasNext: Boolean = it.hasNext
       def next(): (Long, Array[Float]) = {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -647,7 +647,8 @@ object Dedup {
     * integer algebra — xor+bit_count — rather than an interpreted 64-slot
     * string fold (HOF lambdas don't codegen). */
   def simHashNearDupPairsFromFingerprints(hashes: DataFrame, idCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      bucketCap: Int = 100000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming <= bands - 1,
       s"banded blocking is only complete for maxHamming <= bands-1 " +
@@ -656,18 +657,84 @@ object Dedup {
     val banded = hashes.select(col(idCol), col("__h0"), col("__h1"),
       posexplode(array((0 until bands).map(b =>
         substring(col("simhash"), b * w + 1, w)): _*)).as(Seq("band", "bandval")))
-    val l = banded.select(col(idCol).as("a"), col("__h0").as("a0"),
-      col("__h1").as("a1"), col("band"), col("bandval"))
-    val r = banded.select(col(idCol).as("b"), col("__h0").as("b0"),
-      col("__h1").as("b1"), col("band"), col("bandval"))
-    l.join(r, Seq("band", "bandval"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("a0"), col("a1"), col("b0"), col("b1"))
-      .distinct()
-      .select(col("a"), col("b"),
-        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
-          bit_count(col("a1").bitwiseXOR(col("b1")))).cast(IntegerType)
-          .as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    // Join-based candidate verification, used for ids the bucket-local path
+    // can't carry (non-long) and for degenerate oversized buckets.
+    def joinPath(b: DataFrame): DataFrame = {
+      val l = b.select(col(idCol).as("a"), col("__h0").as("a0"),
+        col("__h1").as("a1"), col("band"), col("bandval"))
+      val r = b.select(col(idCol).as("b"), col("__h0").as("b0"),
+        col("__h1").as("b1"), col("band"), col("bandval"))
+      l.join(r, Seq("band", "bandval"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("a0"), col("a1"), col("b0"), col("b1"))
+        .distinct()
+        .select(col("a"), col("b"),
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1")))).cast(IntegerType)
+            .as("hamming"))
+        .where(col("hamming") <= maxHamming)
+    }
+    if (hashes.schema(idCol).dataType != LongType) return joinPath(banded)
+    // Bucket-local pairing: the self-join above materializes the FULL
+    // candidate volume (sum of bucket² over band buckets) through a
+    // shuffle + distinct before the Hamming filter drops nearly all of it —
+    // measured on 200k audio fingerprints whose band values live in a
+    // ~225-value space (two C(6,2) tone windows per 16-bit band), that was
+    // ~350M joined rows shuffled to keep ~700 pairs (64 s of wall). Here
+    // each (band, bandval) bucket is aggregated once (ONE shuffle of the
+    // banded rows, with partial aggregation) and its members compared
+    // pairwise in-task, emitting only pairs within maxHamming; the final
+    // distinct runs over the tiny surviving set. Same output, same worst-
+    // case comparison count, no candidate materialization. Buckets larger
+    // than `bucketCap` (degenerate keys — an all-identical corpus) would
+    // hold the whole bucket in one task's memory, so they fall back to the
+    // spill-friendly join path; completeness is preserved because every
+    // candidate pair shares EITHER a small or an oversized bucket and both
+    // paths verify exact Hamming on the full 64 bits.
+    val sizes = banded.groupBy(col("band"), col("bandval"))
+      .agg(count(lit(1)).as("__c"))
+    val sized = banded.join(sizes, Seq("band", "bandval"))
+    val big = joinPath(sized.where(col("__c") > bucketCap).drop("__c"))
+    val smallBuckets = sized.where(col("__c") <= bucketCap)
+      .groupBy(col("band"), col("bandval"))
+      .agg(collect_list(struct(col(idCol), col("__h0"), col("__h1"))).as("__m"))
+      .select(col("__m"))
+    val spark = hashes.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false)))
+    val localPairs = smallBuckets.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val m = r.getSeq[Row](0)
+        val n = m.length
+        val ids = new Array[Long](n)
+        val h0 = new Array[Long](n)
+        val h1 = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val e = m(i); ids(i) = e.getLong(0); h0(i) = e.getLong(1); h1(i) = e.getLong(2)
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val d = java.lang.Long.bitCount(h0(i) ^ h0(j)) +
+              java.lang.Long.bitCount(h1(i) ^ h1(j))
+            if (d <= maxHamming && ids(i) != ids(j)) {
+              val (a, b) =
+                if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+              out += Row(a, b, d)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+    localPairs.unionByName(big).distinct()
   }
 }

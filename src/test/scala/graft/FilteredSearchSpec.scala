@@ -127,6 +127,18 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
+  test("simHash pair miner: oversized-bucket join fallback matches the bucket-local path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fps = Dedup.simHashPacked(docs, "doc_id", "text").localCheckpoint()
+    val local = Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id")
+      .orderBy(col("a"), col("b")).collect().toSeq
+    // bucketCap=0 routes EVERY bucket through the join path
+    val joined = Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id",
+        bucketCap = 0)
+      .orderBy(col("a"), col("b")).collect().toSeq
+    assert(local == joined)
+  }
+
   test("knnOutlierScores == brute-force kth-NN distance") {
     val got = Dedup.knnOutlierScores(spark, table, "vec_id", index, 3)
       .orderBy(col("vec_id")).collect().toSeq

@@ -51,6 +51,17 @@ class SparkEntryIndexPathSpec extends GraftSparkSpec {
     assert(e.index.isInstanceOf[graft.index.ShardedHnswIndex])
   }
 
+  test("q86 arms the cosine-graph recall gate and its measured values pass") {
+    // a recall regression specific to cosine graph descent must throw here,
+    // not hide behind q86's rows-only driver check
+    SparkEntry.queries("q86_neardup_ann")(spark, sfDir).collect()
+    val r = SparkEntry.cosineGraphRecall(spark)
+    assert(r.nonEmpty, "q86 should have armed the cgraph recall gate")
+    val (topk, knn) = r.get
+    assert(topk >= 0.9 - 1e-9, s"topk recall $topk")
+    assert(knn >= 0.95 - 1e-9, s"knn recall $knn")
+  }
+
   test("q19_index_crud's final fetch is an index search result join") {
     // indexTopK is the guaranteed index path: the driver-side search feeds a
     // broadcast rowid join; no full-table sort appears in the plan
