@@ -14,6 +14,33 @@ import graft.index.HnswIndex
 object ProfileBuild {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("q28")) { profileQ28(args(1)); return }
+    if (args.headOption.contains("reclaim")) {
+      // the reclaim fixture's shape: 1M collinear [i,i,i] float vectors —
+      // the adversarial input for a parallel HNSW build
+      val n = args.lift(1).map(_.toInt).getOrElse(1000000)
+      val threads = args.lift(2).map(_.toInt).getOrElse(32)
+      val items = (0 until n).iterator.map(i =>
+        (i.toLong, Array(i.toFloat, i.toFloat, i.toFloat)))
+      val t0 = System.nanoTime()
+      val idx = new HnswIndex(3, "l2sq", 16, 32, 128, 64)
+      idx.add(0L, Array(0f, 0f, 0f))
+      val mon = new Thread(() => {
+        val rt0 = Runtime.getRuntime
+        while (true) {
+          Thread.sleep(2000)
+          println(f"[mon] nodes=${idx.totalNodes} " +
+            f"heap=${(rt0.totalMemory - rt0.freeMemory) >> 20}M " +
+            f"t=${(System.nanoTime() - t0) / 1e9}%.0f s")
+        }
+      })
+      mon.setDaemon(true); mon.start()
+      idx.addAll(items.drop(1), threads)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rt = Runtime.getRuntime
+      println(f"[reclaim] n=$n threads=$threads ${dt}%.1f s (${n / dt}%.0f vec/s) " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) >> 20}M")
+      return
+    }
     val n = args.headOption.map(_.toInt).getOrElse(2000)
     val dim = 64
     val rnd = new scala.util.Random(42)

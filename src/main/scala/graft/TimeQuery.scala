@@ -23,19 +23,36 @@ object TimeQuery {
     // timed run lets a contended sample be discarded instead of committed
     // into ISOLATED.json as a bogus warm baseline
     def ticks(): Option[(Long, Long)] = ProcStat.stealTotalTicks()
+    // GC deltas per timed run: lets an in-suite-conditions sample (many
+    // session artifacts resident, heap pressure) be compared against an
+    // isolated one — the q24 adjudication asked for exactly this signal
+    import scala.jdk.CollectionConverters._
+    def gc(): (Long, Long) = {
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+    }
+    def heapUsedMb(): Long = {
+      val m = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage
+      m.getUsed >> 20
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     names.foreach { name =>
       (1 to 2).foreach { i =>
         val k0 = ticks()
+        val (gcN0, gcMs0) = gc()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        val (gcN1, gcMs1) = gc()
         val steal = for { (s0, c0) <- k0; (s1, c1) <- ticks(); if c1 > c0 }
           yield 100.0 * (s1 - s0) / (c1 - c0)
         val stealStr = steal.map(s => f" steal $s%.1f%%").getOrElse("")
-        println(f"[time] $name run$i $dt%.2f s$stealStr")
+        println(f"[time] $name run$i $dt%.2f s$stealStr " +
+          f"gc=${gcN1 - gcN0} gc_ms=${gcMs1 - gcMs0} heap=${heapUsedMb()}M")
         if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           println(df.queryExecution.executedPlan.toString.take(8000))
       }

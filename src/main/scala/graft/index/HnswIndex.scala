@@ -352,8 +352,8 @@ class HnswIndex(
     val linkQueue = new java.util.concurrent.ConcurrentLinkedQueue[LinkPlan]()
     val pending = new java.util.concurrent.atomic.AtomicInteger(0)
     val combining = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val DrainAt = 256 // soft: trip a combine
-    val QueueCap = 1024 // hard: backpressure so the invisible window is bounded
+    val DrainAt = 64 // soft: trip a combine
+    val QueueCap = 256 // hard: backpressure so the invisible window is bounded
     def tryCombine(): Boolean = {
       if (!combining.compareAndSet(false, true)) return false
       val w = rwLock.writeLock()
@@ -443,7 +443,7 @@ class HnswIndex(
     // window covers the worst-case mutually-invisible span of the combining
     // design: a full queue plus every thread's in-flight batch
     val tailWindow =
-      math.min(1024 + numThreads * BatchSize * 2, keys.size)
+      math.min(256 + numThreads * BatchSize * 2, keys.size)
     relinkTail(keys.size - tailWindow, keys.size, numThreads)
     repairConnectivity()
   }
@@ -556,7 +556,10 @@ class HnswIndex(
   private[index] def repairConnectivity(): Unit = {
     val nNodes = keys.size
     if (nNodes == 0 || entryPoint < 0) return
-    val protectedIn = mutable.HashMap.empty[Int, mutable.BitSet]
+    // per-anchor protected sets sized by MEMBER COUNT, not max id: a BitSet
+    // here is O(maxOrphanId) bytes PER ANCHOR, which on a mass-orphan
+    // repair (adversarial collinear input) multiplied out to gigabytes
+    val protectedIn = mutable.HashMap.empty[Int, mutable.HashSet[Int]]
     var round = 0
     var orphansLeft = true
     while (orphansLeft && round < 3) {
@@ -630,7 +633,7 @@ class HnswIndex(
     * with `seen(id)`, so the chosen anchor is in the entry point's
     * component by construction. */
   private def linkOrphan(u: Int, seen: Array[Boolean],
-      protectedIn: mutable.HashMap[Int, mutable.BitSet]): Unit = {
+      protectedIn: mutable.HashMap[Int, mutable.HashSet[Int]]): Unit = {
     val vec = vecs(u)
     var ep = entryPoint
     var epDist = dist(vec, vecs(ep))
@@ -656,7 +659,7 @@ class HnswIndex(
       includeTombstones = true, allowed = seen)
     found.headOption.foreach { case (_, r) =>
       val rList = neighbors(r)(0)
-      val prot = protectedIn.getOrElseUpdate(r, mutable.BitSet.empty)
+      val prot = protectedIn.getOrElseUpdate(r, mutable.HashSet.empty[Int])
       prot += u
       if (!rList.contains(u)) {
         rList.add(u)
@@ -667,7 +670,7 @@ class HnswIndex(
       if (!uList.contains(r)) {
         uList.add(r)
         if (uList.length > m0) pruneNeighborsProtected(u, uList, m0,
-          protectedIn.getOrElse(u, mutable.BitSet.empty))
+          protectedIn.getOrElse(u, mutable.HashSet.empty[Int]))
       }
     }
   }
@@ -676,7 +679,7 @@ class HnswIndex(
     * must survive prunes triggered by later repairs of other orphans, or
     * one repaired tail node could re-orphan another. */
   private def pruneNeighborsProtected(nid: Int, nbrs: IntVec, cap: Int,
-      prot: mutable.BitSet): Unit = {
+      prot: mutable.HashSet[Int]): Unit = {
     if (prot.isEmpty) { pruneNeighbors(nid, nbrs, cap); return }
     val nv = vecs(nid)
     var kept: List[(Double, Int)] = Nil

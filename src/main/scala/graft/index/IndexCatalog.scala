@@ -270,9 +270,11 @@ object IndexCatalog {
     val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
       opts.efConstruction, opts.efSearch)
     idx.add(first.getLong(0), firstVec)
-    // the flat-combining addAll scales past 16 threads (measured 10.5k vec/s
-    // at 32 vs 8.5k at 16 on 20k x 64f); use every core the driver has
-    val threads = Runtime.getRuntime.availableProcessors()
+    // 16 threads: the flat-combining addAll is within ~20% of its best at
+    // 16 on random dim-64 input (8.5k vs 10.5k vec/s at 32) and 1.6x FASTER
+    // at 16 on adversarial collinear input (26.6k vs 16k at 1M x dim-3,
+    // where searches are cheap and the combiner's serial share dominates)
+    val threads = math.min(16, Runtime.getRuntime.availableProcessors())
     val rows = new Iterator[(Long, Array[Float])] {
       def hasNext: Boolean = it.hasNext
       def next(): (Long, Array[Float]) = {

@@ -40,7 +40,7 @@ class SingleHnswIndex(val underlying: HnswIndex) extends VectorIndex {
   def insert(key: Long, vec: Array[Float]): Unit = underlying.add(key, vec)
   def delete(key: Long): Boolean = underlying.remove(key)
   def compacted(): VectorIndex = new SingleHnswIndex(
-    underlying.compact(Runtime.getRuntime.availableProcessors()))
+    underlying.compact(math.min(16, Runtime.getRuntime.availableProcessors())))
   def save(path: String): Unit = underlying.save(path)
   def levels: Int = underlying.levels
   def levelStats: Seq[LevelStats] = underlying.levelStats

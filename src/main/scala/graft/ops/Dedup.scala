@@ -648,7 +648,7 @@ object Dedup {
     * string fold (HOF lambdas don't codegen). */
   def simHashNearDupPairsFromFingerprints(hashes: DataFrame, idCol: String,
       maxHamming: Int = 3, bands: Int = 4,
-      bucketCap: Int = 100000): DataFrame = {
+      hotBucketMin: Int = 64): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming <= bands - 1,
       s"banded blocking is only complete for maxHamming <= bands-1 " +
@@ -657,8 +657,12 @@ object Dedup {
     val banded = hashes.select(col(idCol), col("__h0"), col("__h1"),
       posexplode(array((0 until bands).map(b =>
         substring(col("simhash"), b * w + 1, w)): _*)).as(Seq("band", "bandval")))
-    // Join-based candidate verification, used for ids the bucket-local path
-    // can't carry (non-long) and for degenerate oversized buckets.
+    // Cold-bucket path: band equi-join with the Hamming verify INSIDE the
+    // join's codegen'd output stream (the original formulation ran a
+    // distinct on the raw candidate pairs first, shuffling the full
+    // collision volume). For the common high-entropy corpus (band buckets
+    // of a handful of rows) this is optimal: no aggregation state, pure
+    // streaming codegen.
     def joinPath(b: DataFrame): DataFrame = {
       val l = b.select(col(idCol).as("a"), col("__h0").as("a0"),
         col("__h1").as("a1"), col("band"), col("bandval"))
@@ -666,75 +670,81 @@ object Dedup {
         col("__h1").as("b1"), col("band"), col("bandval"))
       l.join(r, Seq("band", "bandval"))
         .where(col("a") < col("b"))
-        .select(col("a"), col("b"), col("a0"), col("a1"), col("b0"), col("b1"))
-        .distinct()
         .select(col("a"), col("b"),
           (bit_count(col("a0").bitwiseXOR(col("b0"))) +
             bit_count(col("a1").bitwiseXOR(col("b1")))).cast(IntegerType)
             .as("hamming"))
         .where(col("hamming") <= maxHamming)
     }
-    if (hashes.schema(idCol).dataType != LongType) return joinPath(banded)
-    // Bucket-local pairing: the self-join above materializes the FULL
-    // candidate volume (sum of bucket² over band buckets) through a
-    // shuffle + distinct before the Hamming filter drops nearly all of it —
-    // measured on 200k audio fingerprints whose band values live in a
-    // ~225-value space (two C(6,2) tone windows per 16-bit band), that was
-    // ~350M joined rows shuffled to keep ~700 pairs (64 s of wall). Here
-    // each (band, bandval) bucket is aggregated once (ONE shuffle of the
-    // banded rows, with partial aggregation) and its members compared
-    // pairwise in-task, emitting only pairs within maxHamming; the final
-    // distinct runs over the tiny surviving set. Same output, same worst-
-    // case comparison count, no candidate materialization. Buckets larger
-    // than `bucketCap` (degenerate keys — an all-identical corpus) would
-    // hold the whole bucket in one task's memory, so they fall back to the
-    // spill-friendly join path; completeness is preserved because every
-    // candidate pair shares EITHER a small or an oversized bucket and both
-    // paths verify exact Hamming on the full 64 bits.
+    if (hashes.schema(idCol).dataType != LongType)
+      return joinPath(banded).distinct()
+    // Hot-bucket path: a LOW-ENTROPY fingerprint corpus concentrates band
+    // values (200k audio clips whose 16-bit band values live in a
+    // ~225-value space → ~900-row buckets → ~350M joined rows to keep
+    // ~700 pairs, 54 s of wall even with the verify inlined — emitting a
+    // joined row costs ~100 ns where the raw xor+bit_count costs ~1 ns).
+    // Buckets with more than `hotBucketMin` members are aggregated once
+    // and compared pairwise over primitive long arrays in-task, pairs
+    // emitted lazily (task memory = the bucket's 24 B/row arrays, never
+    // the candidate or output volume); everything else streams through
+    // the join. A pair sharing hot AND cold buckets is verified in both
+    // paths — the final distinct over actual matches dedupes it. Skew
+    // bound: a hot bucket costs O(c²) comparisons in one task under
+    // EITHER strategy (the join hashes equal keys to one partition too);
+    // the local loop just pays ~100x less per comparison.
     val sizes = banded.groupBy(col("band"), col("bandval"))
       .agg(count(lit(1)).as("__c"))
     val sized = banded.join(sizes, Seq("band", "bandval"))
-    val big = joinPath(sized.where(col("__c") > bucketCap).drop("__c"))
-    val smallBuckets = sized.where(col("__c") <= bucketCap)
-      .groupBy(col("band"), col("bandval"))
-      .agg(collect_list(struct(col(idCol), col("__h0"), col("__h1"))).as("__m"))
-      .select(col("__m"))
-    val spark = hashes.sparkSession
+    val cold = joinPath(sized.where(col("__c") <= hotBucketMin).drop("__c"))
     val outSchema = StructType(Seq(
       StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false),
       StructField("hamming", IntegerType, nullable = false)))
-    val localPairs = smallBuckets.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val m = r.getSeq[Row](0)
-        val n = m.length
-        val ids = new Array[Long](n)
-        val h0 = new Array[Long](n)
-        val h1 = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val e = m(i); ids(i) = e.getLong(0); h0(i) = e.getLong(1); h1(i) = e.getLong(2)
-          i += 1
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val d = java.lang.Long.bitCount(h0(i) ^ h0(j)) +
-              java.lang.Long.bitCount(h1(i) ^ h1(j))
-            if (d <= maxHamming && ids(i) != ids(j)) {
-              val (a, b) =
-                if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
-              out += Row(a, b, d)
-            }
-            j += 1
+    val hot = sized.where(col("__c") > hotBucketMin)
+      .groupBy(col("band"), col("bandval"))
+      .agg(collect_list(struct(col(idCol), col("__h0"), col("__h1"))).as("__m"))
+      .select(col("__m"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val m = r.getSeq[Row](0)
+          val n = m.length
+          val ids = new Array[Long](n)
+          val h0 = new Array[Long](n)
+          val h1 = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val e = m(i)
+            ids(i) = e.getLong(0); h0(i) = e.getLong(1); h1(i) = e.getLong(2)
+            i += 1
           }
-          i += 1
+          new Iterator[Row] {
+            private var ii = 0
+            private var jj = 0
+            private var nextRow: Row = null
+            private def advance(): Unit = {
+              while (nextRow == null && ii < n - 1) {
+                jj += 1
+                if (jj >= n) { ii += 1; jj = ii + 1 }
+                if (ii < n - 1 && jj < n) {
+                  val d = java.lang.Long.bitCount(h0(ii) ^ h0(jj)) +
+                    java.lang.Long.bitCount(h1(ii) ^ h1(jj))
+                  if (d <= maxHamming && ids(ii) != ids(jj)) {
+                    val (a, b) =
+                      if (ids(ii) < ids(jj)) (ids(ii), ids(jj))
+                      else (ids(jj), ids(ii))
+                    nextRow = Row(a, b, d)
+                  }
+                }
+              }
+            }
+            advance()
+            def hasNext: Boolean = nextRow != null
+            def next(): Row = {
+              val r0 = nextRow; nextRow = null; advance(); r0
+            }
+          }
         }
-        out.iterator
-      }
-    }(Encoders.row(outSchema))
-    localPairs.unionByName(big).distinct()
+      }(Encoders.row(outSchema))
+    cold.unionByName(hot).distinct()
   }
 }

@@ -127,16 +127,26 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got == want)
   }
 
-  test("simHash pair miner: oversized-bucket join fallback matches the bucket-local path") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val fps = Dedup.simHashPacked(docs, "doc_id", "text").localCheckpoint()
-    val local = Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id")
+  test("simHash pair miner: hot-bucket local path == brute force on a low-entropy corpus") {
+    import spark.implicits._
+    // 300 docs drawn from 3 distinct texts (plus a per-doc tail so ids
+    // differ): every band bucket is ~100 rows, far over hotBucketMin, so
+    // the primitive in-task pairing path carries the whole corpus
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"the quick brown fox pattern ${i % 3} jumps over the lazy dog")
+    }.toDF("doc_id", "text")
+    val got = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4)
       .orderBy(col("a"), col("b")).collect().toSeq
-    // bucketCap=0 routes EVERY bucket through the join path
-    val joined = Dedup.simHashNearDupPairsFromFingerprints(fps, "doc_id",
-        bucketCap = 0)
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    val want = l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Dedup.hammingDist(col("ha"), col("hb")).as("hamming"))
+      .where(col("hamming") <= 3)
       .orderBy(col("a"), col("b")).collect().toSeq
-    assert(local == joined)
+    assert(got.nonEmpty && got == want)
   }
 
   test("knnOutlierScores == brute-force kth-NN distance") {
