@@ -565,6 +565,7 @@ object Graft {
             val key = r.getLong(0)
             val vec = r.getSeq[Float](1).toArray
             e.index.insert(key, vec)
+            graft.index.IndexCatalog.bumpBroadcastEpoch()
             wal.foreach(_.insert(key, vec))
           }
         shardedOpt match {
@@ -650,7 +651,10 @@ object Graft {
               case None =>
                 ids.toLocalIterator().forEachRemaining { r =>
                   val id = r.getLong(0)
-                  if (e.index.delete(id)) wal.foreach(_.delete(id))
+                  if (e.index.delete(id)) {
+                    wal.foreach(_.delete(id))
+                    graft.index.IndexCatalog.bumpBroadcastEpoch()
+                  }
                 }
             }
           }

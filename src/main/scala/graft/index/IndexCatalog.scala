@@ -294,6 +294,59 @@ object IndexCatalog {
     case _ => ()
   }
 
+  // ---------------------------------------------------------------------
+  // Broadcast reuse across executions. HnswKnnCandidatesExec used to call
+  // sparkContext.broadcast(entry.index) in EVERY doExecute: a long session
+  // (the 88-query bench, a real notebook) accumulates dozens of live index
+  // broadcasts, storage memory fills, the block manager evicts the
+  // DESERIALIZED copies, and every later task re-deserializes the index
+  // from chunks on .value — measured: the sf1 exhaustive KNN joins
+  // (q28/q65) read ~16 s late in a full bench session vs 6.2 s in a fresh
+  // JVM, at near-zero steal, with the same plan and the same index. The
+  // catalog now owns ONE broadcast per index, reused until the index is
+  // replaced (instance identity — compact/restore swap instances) or any
+  // in-place DML lands anywhere (a coarse global epoch, bumped by
+  // insert/delete/WAL-replay; DML is rare next to queries, and
+  // over-invalidation only costs one re-broadcast). The replaced
+  // broadcast's executor copies are unpersisted (non-blocking, safe for
+  // in-flight value holders); the object itself stays GC-collectable.
+  private val broadcastEpoch = new java.util.concurrent.atomic.AtomicLong(0)
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, VectorIndex, org.apache.spark.broadcast.Broadcast[VectorIndex])]()
+
+  /** Invalidate every cached index broadcast — call after ANY in-place
+    * index mutation (insert/delete/WAL replay). */
+  def bumpBroadcastEpoch(): Unit = { broadcastEpoch.incrementAndGet(); () }
+
+  /** The session-cached broadcast of `entry`'s index, re-broadcast only
+    * when the index instance changed or the DML epoch moved. */
+  def broadcastFor(sc: org.apache.spark.SparkContext, entry: IndexEntry)
+      : org.apache.spark.broadcast.Broadcast[VectorIndex] = {
+    val epoch = broadcastEpoch.get()
+    val cached = bcCache.get(entry.name)
+    if (cached != null && cached._1 == epoch && (cached._2 eq entry.index))
+      cached._3
+    else bcCache.synchronized {
+      // re-check under the lock: two concurrent first executions must not
+      // both broadcast and leak one
+      val again = bcCache.get(entry.name)
+      if (again != null && again._1 == epoch && (again._2 eq entry.index))
+        again._3
+      else {
+        val bc = sc.broadcast(entry.index)
+        val old = bcCache.put(entry.name, (epoch, entry.index, bc))
+        if (old != null) scala.util.Try(old._3.unpersist(false))
+        bc
+      }
+    }
+  }
+
+  private def dropBroadcast(name: String): Unit = {
+    val old = bcCache.remove(name)
+    if (old != null) scala.util.Try(old._3.unpersist(false))
+    ()
+  }
+
   /** DROP INDEX (reference CommitDrop, src/hnsw/hnsw_index.cpp:484-489).
     * When WAL logging is armed, the drop is itself a WAL record — without
     * it, a post-checkpoint DROP would be silently undone on restore, and a
@@ -303,6 +356,7 @@ object IndexCatalog {
     if (!entries.contains(name)) false
     else {
       withWal(name)(_.foreach(_.drop()))
+      dropBroadcast(name)
       entries.remove(name) match {
         case Some(e) => evictShards(e.index); true
         case None => false
@@ -669,6 +723,7 @@ object IndexCatalog {
     * and are parsed but NOT applied, and the caller must discard the
     * entry. */
   private def replayWal(entry: IndexEntry, segDir: String): Boolean = {
+    bumpBroadcastEpoch() // replay mutates entry.index in place
     migrateLegacyWal(segDir)
     val segments = ArtifactIO.list(segDir).filter(_.endsWith(".seg"))
       .sortBy(p => p.substring(p.lastIndexOf('/') + 1))

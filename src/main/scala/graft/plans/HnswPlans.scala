@@ -111,7 +111,11 @@ case class HnswKnnCandidatesExec(
       throw new IllegalStateException(s"HNSW index $indexName was dropped"))
     val ef = conf.getConfString(IndexCatalog.EfSearchConfKey,
       entry.options.efSearch.toString).toInt
-    val bcIndex = sparkContext.broadcast(entry.index)
+    // session-cached broadcast (see IndexCatalog.broadcastFor): a fresh
+    // broadcast per doExecute accumulated across a long session until the
+    // block manager evicted the deserialized copies and every later task
+    // re-deserialized the whole index on .value
+    val bcIndex = IndexCatalog.broadcastFor(sparkContext, entry)
     val childTypes = child.output.map(_.dataType).toArray
     val n = childTypes.length
     val vecOrd = child.output.indexWhere(_.exprId == vecAttr.exprId)
