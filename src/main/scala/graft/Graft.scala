@@ -560,14 +560,19 @@ object Graft {
       IndexCatalog.withWal(e.name) { wal =>
         // stream the delta partition-by-partition: driver memory is
         // bounded by one partition, not the insert volume
-        def streamIntoDelta(): Unit =
+        def streamIntoDelta(): Unit = {
           pairs.toLocalIterator().forEachRemaining { r =>
             val key = r.getLong(0)
             val vec = r.getSeq[Float](1).toArray
             e.index.insert(key, vec)
-            graft.index.IndexCatalog.bumpBroadcastEpoch()
             wal.foreach(_.insert(key, vec))
           }
+          // one broadcast-cache invalidation per STATEMENT, after the whole
+          // delta streamed (a per-row bump churned concurrent broadcastFor
+          // lookups for the length of the ingest — round-12 advisor). The
+          // sharded batch path self-invalidates inside appendShards.
+          graft.index.IndexCatalog.bumpBroadcastEpoch()
+        }
         shardedOpt match {
           case Some(sh) =>
             // threshold + shard sizing count INDEXABLE (non-NULL-vector)
@@ -649,13 +654,17 @@ object Graft {
                 }
                 flush()
               case None =>
+                var any = false
                 ids.toLocalIterator().forEachRemaining { r =>
                   val id = r.getLong(0)
                   if (e.index.delete(id)) {
                     wal.foreach(_.delete(id))
-                    graft.index.IndexCatalog.bumpBroadcastEpoch()
+                    any = true
                   }
                 }
+                // once per statement (see streamIntoDelta); the sharded
+                // branch self-invalidates inside ShardedHnswIndex.deleteAll
+                if (any) graft.index.IndexCatalog.bumpBroadcastEpoch()
             }
           }
         }

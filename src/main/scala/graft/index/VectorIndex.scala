@@ -335,6 +335,12 @@ class ShardedHnswIndex private (
         s"shard batch (dim=${metas.head.dim}, metric=${metas.head.metric}) " +
           s"does not match index (dim=$dim, metric=$metric)")
       shards0 = shards0 ++ metas
+      // In-place mutation behind a stable instance reference: the session
+      // broadcast cache (IndexCatalog.broadcastFor) keys on (epoch, instance
+      // identity), so every batch mutator must invalidate it itself — a KNN
+      // join after a sharded ingest must see the new shards (round-12
+      // verdict: stale-broadcast window).
+      IndexCatalog.bumpBroadcastEpoch()
     }
   }
 
@@ -395,7 +401,11 @@ class ShardedHnswIndex private (
         }
       }
     }
-    deleted.result()
+    val out = deleted.result()
+    // same invalidation contract as appendShards: tombstones land in THIS
+    // instance's deletedKeys map, invisible to a cached broadcast copy
+    if (out.nonEmpty) IndexCatalog.bumpBroadcastEpoch()
+    out
   }
 
   private def freshCompactDir(): String = {

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.index.IndexCatalog
+
+/** Regression for the round-12 stale-broadcast window: the session-cached
+  * index broadcast (IndexCatalog.broadcastFor) must be invalidated by EVERY
+  * DML path — including the SHARDED branches (insertInto ≥
+  * shardBatchThreshold → ShardedHnswIndex.appendShards, deleteFrom →
+  * ShardedHnswIndex.deleteAll), which mutate the index in place behind a
+  * stable instance reference. Before the fix, a KNN join after a sharded
+  * bulk ingest served the pre-DML broadcast (new shards invisible) and after
+  * a sharded batch delete could surface tombstoned keys (rank gaps / short
+  * result sets). Reference analog: index DML and scans stay transactionally
+  * coherent (reference src/hnsw/hnsw_index.cpp:466-500). */
+class BroadcastCoherenceSpec extends GraftSparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val Dim = 64
+  private val T = "bc_coh_t"
+
+  override def beforeAll(): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Graft.registerTable(spark, T, emb)
+    IndexCatalog.createIndex(spark, "bc_coh_idx", T, "embedding",
+      sharded = true, numShards = 4)
+  }
+
+  override def afterAll(): Unit = {
+    IndexCatalog.dropIndex("bc_coh_idx")
+    Graft.dropTable(spark, T)
+  }
+
+  /** One outer row probing at the planted cluster's location. */
+  private def probeOuter(v: Float) = Seq((0L, Array.fill(Dim)(v)))
+    .toDF("qid", "qvec")
+
+  private def knnAt(v: Float, k: Int) = {
+    spark.conf.set(IndexCatalog.EfSearchConfKey, "4096") // exhaustive ⇒ exact
+    try Graft.knnJoin(spark, probeOuter(v), "qvec", "bc_coh_idx", k)
+      .select($"vec_id", $"rank").orderBy($"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally spark.conf.unset(IndexCatalog.EfSearchConfKey)
+  }
+
+  test("sharded bulk insert (appendShards) invalidates the cached broadcast") {
+    val prevThresh = sys.props.get("graft.ingest.shardBatchThreshold")
+    sys.props("graft.ingest.shardBatchThreshold") = "8"
+    try {
+      // 1) prime the broadcast cache with a pre-DML knn join
+      knnAt(0.5f, 3)
+      val entry = IndexCatalog.get("bc_coh_idx").get
+      val shardsBefore = entry.index.asInstanceOf[graft.index.ShardedHnswIndex]
+        .shards.length
+      val bcBefore = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+
+      // 2) sharded ingest: 16 rows (≥ threshold 8) planted far from the
+      //    base data, landing as NEW shard artifacts via appendShards
+      val planted = (0 until 16).map { i =>
+        (900000L + i, Array.fill(Dim)(50f + i * 0.001f), 0)
+      }.toDF("vec_id", "embedding", "label")
+      Graft.insertInto(spark, T, planted)
+      val sh = IndexCatalog.get("bc_coh_idx").get.index
+        .asInstanceOf[graft.index.ShardedHnswIndex]
+      assert(sh.shards.length > shardsBefore,
+        "precondition: the insert must take the appendShards (sharded) path")
+
+      // 3) the mechanism: the cached broadcast must have been replaced
+      val bcAfter = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+      assert(!(bcAfter eq bcBefore),
+        "broadcastFor returned the pre-DML broadcast after appendShards")
+
+      // 4) the symptom: a knn join at the planted location must see the
+      //    new shard's rows (stale broadcast ⇒ only old, distant rows)
+      val got = knnAt(50f, 5)
+      assert(got.length == 5)
+      assert(got.forall(_._1 >= 900000L),
+        s"knn join after sharded ingest missed the new shard: $got")
+    } finally {
+      prevThresh match {
+        case Some(v) => sys.props("graft.ingest.shardBatchThreshold") = v
+        case None => sys.props.remove("graft.ingest.shardBatchThreshold")
+      }
+    }
+  }
+
+  test("sharded batch delete (deleteAll) invalidates the cached broadcast") {
+    // depends on the insert test's planted cluster being present
+    val entry = IndexCatalog.get("bc_coh_idx").get
+    knnAt(50f, 3) // prime the cache post-insert
+    val bcBefore = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+
+    Graft.deleteFrom(spark, T, $"vec_id" >= 900000L)
+
+    val bcAfter = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+    assert(!(bcAfter eq bcBefore),
+      "broadcastFor returned the pre-DML broadcast after deleteAll")
+
+    // a stale broadcast's copy of deletedKeys predates the delete: it would
+    // rank the tombstoned keys 1..16 and the back-join would drop them,
+    // leaving rank gaps / a short result. Post-fix: k live rows, ranks 1..k.
+    val got = knnAt(50f, 5)
+    assert(got.length == 5, s"short result after sharded delete: $got")
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 4L, 5L),
+      s"rank gaps after sharded delete (stale tombstone view): $got")
+    assert(got.forall(_._1 < 900000L),
+      s"deleted keys resurrected by a stale broadcast: $got")
+  }
+}
