@@ -13,7 +13,13 @@ import graft.index.HnswIndex
   */
 object ProfileBuild {
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("q28")) { profileQ28(args(1)); return }
+    if (args.headOption.contains("q28")) {
+      args.lift(1) match {
+        case Some(sfDir) => profileQ28(sfDir)
+        case None => println("usage: ProfileBuild q28 <sfDir>")
+      }
+      return
+    }
     if (args.headOption.contains("reclaim")) {
       // the reclaim fixture's shape: 1M collinear [i,i,i] float vectors —
       // the adversarial input for a parallel HNSW build

@@ -441,9 +441,10 @@ class HnswIndex(
     // end. Re-run the link step for those ids against the now-complete
     // graph: O(window) searches, negligible against the build.
     // window covers the worst-case mutually-invisible span of the combining
-    // design: a full queue plus every thread's in-flight batch
+    // design: a full queue plus every thread's in-flight batch (QueueCap by
+    // name: raising the cap must widen the heal window with it)
     val tailWindow =
-      math.min(256 + numThreads * BatchSize * 2, keys.size)
+      math.min(QueueCap + numThreads * BatchSize * 2, keys.size)
     relinkTail(keys.size - tailWindow, keys.size, numThreads)
     repairConnectivity()
   }

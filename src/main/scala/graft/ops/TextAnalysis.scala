@@ -128,10 +128,15 @@ object TextAnalysis {
     * divisions (bit-exact cross-engine). */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NULL-text docs produce NO output row (the contract of the original
+    // explode→groupBy formulation; without the filter the per-row algebra
+    // would emit an internally inconsistent row — NULL ratios but
+    // dup_2gram_frac=0.0 from greatest(n-1, 0))
+    val nonNull = docs.where(col(textCol).isNotNull)
     // stage 1: materialize the split ONCE behind an alias — six consumers
     // below; CollapseProject keeps a non-cheap multi-consumer producer in
     // its own Project, so the regex split runs once per row
-    val stage1 = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+    val stage1 = nonNull.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
     val ws = col("ws")
     val n = size(ws)
     // longest run of equal words in sorted order == max per-word count

@@ -391,6 +391,19 @@ class PipelineOpsSpec extends GraftSparkSpec {
       "single-word doc has zero bigram duplication, not NULL")
   }
 
+  test("repetitionSignals: NULL-text docs produce no output row") {
+    // the original explode→groupBy formulation emitted no row for a
+    // NULL-text doc; the per-row rewrite must keep that contract (round-12
+    // advisor: an unfiltered NULL doc produced an internally inconsistent
+    // row — NULL ratios alongside dup_2gram_frac=0.0)
+    val df = Seq((1L, Some("a b a")), (2L, None), (3L, Some("x y")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df).orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "NULL-text doc must be absent from the output, not a NULL-ratio row")
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(4)))
+  }
+
   test("repetitionSignals: flat-array algebra matches a plain-Scala reference") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
