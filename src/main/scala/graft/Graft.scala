@@ -561,17 +561,27 @@ object Graft {
         // stream the delta partition-by-partition: driver memory is
         // bounded by one partition, not the insert volume
         def streamIntoDelta(): Unit = {
-          pairs.toLocalIterator().forEachRemaining { r =>
-            val key = r.getLong(0)
-            val vec = r.getSeq[Float](1).toArray
-            e.index.insert(key, vec)
-            wal.foreach(_.insert(key, vec))
-          }
           // one broadcast-cache invalidation per STATEMENT, after the whole
           // delta streamed (a per-row bump churned concurrent broadcastFor
-          // lookups for the length of the ingest — round-12 advisor). The
-          // sharded batch path self-invalidates inside appendShards.
-          graft.index.IndexCatalog.bumpBroadcastEpoch()
+          // lookups for the length of the ingest — round-12 advisor). In a
+          // finally: a mid-stream failure leaves the index partially
+          // mutated, and a cached broadcast of the pre-statement state must
+          // not outlive that. Skipped only when NOTHING was applied (e.g.
+          // an all-NULL-vector batch) — a no-op statement must not churn
+          // every index's cached broadcast. The sharded batch path
+          // self-invalidates inside appendShards.
+          var any = false
+          try {
+            pairs.toLocalIterator().forEachRemaining { r =>
+              val key = r.getLong(0)
+              val vec = r.getSeq[Float](1).toArray
+              e.index.insert(key, vec)
+              wal.foreach(_.insert(key, vec))
+              any = true
+            }
+          } finally {
+            if (any) graft.index.IndexCatalog.bumpBroadcastEpoch()
+          }
         }
         shardedOpt match {
           case Some(sh) =>
@@ -654,17 +664,22 @@ object Graft {
                 }
                 flush()
               case None =>
+                // once per statement (see streamIntoDelta); in a finally so
+                // a mid-stream failure with tombstones already applied still
+                // invalidates the cached broadcast. The sharded branch
+                // self-invalidates inside ShardedHnswIndex.deleteAll.
                 var any = false
-                ids.toLocalIterator().forEachRemaining { r =>
-                  val id = r.getLong(0)
-                  if (e.index.delete(id)) {
-                    wal.foreach(_.delete(id))
-                    any = true
+                try {
+                  ids.toLocalIterator().forEachRemaining { r =>
+                    val id = r.getLong(0)
+                    if (e.index.delete(id)) {
+                      wal.foreach(_.delete(id))
+                      any = true
+                    }
                   }
+                } finally {
+                  if (any) graft.index.IndexCatalog.bumpBroadcastEpoch()
                 }
-                // once per statement (see streamIntoDelta); the sharded
-                // branch self-invalidates inside ShardedHnswIndex.deleteAll
-                if (any) graft.index.IndexCatalog.bumpBroadcastEpoch()
             }
           }
         }

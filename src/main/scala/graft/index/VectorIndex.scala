@@ -317,7 +317,14 @@ class ShardedHnswIndex private (
     * a shard already holds would leave two live copies (same as re-using a
     * DuckDB row_t), so tombstones are deliberately NOT cleared here. Bulk
     * ingest should prefer [[appendShards]] (executor-built artifacts) so the
-    * delta — and driver memory — stays small. */
+    * delta — and driver memory — stays small.
+    *
+    * CALLER CONTRACT (broadcast coherence): unlike the batch mutators
+    * ([[appendShards]]/[[deleteAll]]), this per-row path does NOT bump
+    * `IndexCatalog.bumpBroadcastEpoch()` itself — a per-row bump would churn
+    * concurrent broadcastFor lookups for the length of an ingest. The caller
+    * owning the STATEMENT (Graft DML, WAL replay) must bump once after its
+    * last insert, or cached index broadcasts serve a stale graph. */
   def insert(key: Long, vec: Array[Float]): Unit = synchronized {
     if (delta == null) {
       delta = new HnswIndex(dim, metric)
@@ -349,7 +356,12 @@ class ShardedHnswIndex private (
     * most the filter-matching shards, typically one, are consulted through
     * the cache). Returns true only if the key was actually present and live:
     * a stray key neither lands a tombstone nor corrupts `size()`
-    * (round-3 finding). */
+    * (round-3 finding).
+    *
+    * CALLER CONTRACT (broadcast coherence): same as [[insert]] — per-row, so
+    * it does NOT self-bump the broadcast epoch; the statement owner must
+    * bump once after its last delete. Batch callers should prefer
+    * [[deleteAll]], which self-invalidates. */
   def delete(key: Long): Boolean = synchronized {
     if (delta != null && delta.contains(key)) delta.remove(key)
     else if (deletedKeys.containsKey(key)) false
