@@ -129,4 +129,23 @@ class BroadcastCoherenceSpec extends GraftSparkSpec with BeforeAndAfterAll {
       }
     }
   }
+
+  test("no-op DML (all-NULL vectors / matchless delete) keeps the cached broadcast") {
+    // round-14 advisor fix: a statement that applies ZERO rows must not
+    // bump the broadcast epoch — an all-NULL-vector batch or a delete
+    // whose predicate matches nothing would otherwise churn EVERY index's
+    // cached broadcast for a no-op
+    val entry = IndexCatalog.get("bc_coh_idx").get
+    knnAt(0.5f, 3) // prime the cache
+    val bcBefore = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+
+    val nullBatch = Seq((990000L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    Graft.insertInto(spark, T, nullBatch)
+    Graft.deleteFrom(spark, T, $"vec_id" === -1L) // matches nothing
+
+    val bcAfter = IndexCatalog.broadcastFor(spark.sparkContext, entry)
+    assert(bcAfter eq bcBefore,
+      "a zero-row DML statement invalidated the cached broadcast")
+  }
 }
