@@ -723,15 +723,23 @@ object IndexCatalog {
     * and are parsed but NOT applied, and the caller must discard the
     * entry. */
   private def replayWal(entry: IndexEntry, segDir: String): Boolean = {
-    bumpBroadcastEpoch() // replay mutates entry.index in place
-    migrateLegacyWal(segDir)
-    val segments = ArtifactIO.list(segDir).filter(_.endsWith(".seg"))
-      .sortBy(p => p.substring(p.lastIndexOf('/') + 1))
-    var dropped = false
-    segments.foreach { seg =>
-      if (!replaySegment(entry, seg, dropped)) dropped = true
-    }
-    !dropped
+    // replay mutates entry.index in place. Bump AFTER the mutations, in a
+    // finally — a pre-replay bump would let a broadcastFor lookup landing
+    // MID-replay cache the half-replayed index at the already-bumped epoch,
+    // never to be invalidated (the same window the DML statement bumps
+    // close; see Graft.streamIntoDelta). The finally covers a replay that
+    // throws partway: partially applied records must not leave a
+    // pre-replay broadcast live.
+    try {
+      migrateLegacyWal(segDir)
+      val segments = ArtifactIO.list(segDir).filter(_.endsWith(".seg"))
+        .sortBy(p => p.substring(p.lastIndexOf('/') + 1))
+      var dropped = false
+      segments.foreach { seg =>
+        if (!replaySegment(entry, seg, dropped)) dropped = true
+      }
+      !dropped
+    } finally bumpBroadcastEpoch()
   }
 
   /** Pre-segment checkpoints appended all records to ONE file at
