@@ -346,7 +346,7 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(joined.groupBy($"comp").count().where($"count" === 3).count() == 20)
   }
 
-  test("connectedComponents matches a local union-find on random graphs") {
+  test("connectedComponents matches a local union-find on random graphs (both arms)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
       val n = 40 + trial * 30
@@ -358,11 +358,30 @@ class PipelineOpsSpec extends GraftSparkSpec {
       val minOf = (0 until n).groupBy(find).flatMap { case (_, vs) =>
         val m = vs.min.toLong; vs.map(v => v.toLong -> m)
       }
-      val got = graft.ops.Components.connectedComponents(
+      // default threshold → the driver-side union-find arm
+      val gotLocal = graft.ops.Components.connectedComponents(
           spark.range(0, n).toDF("id"), edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
-      assert(got == minOf, s"trial $trial mismatch")
+      assert(gotLocal == minOf, s"trial $trial mismatch (local arm)")
+      // threshold 0 → the distributed min-label-propagation arm
+      val gotDist = graft.ops.Components.connectedComponents(
+          spark.range(0, n).toDF("id"), edges.toDF("a", "b"),
+          localEdgeThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist == minOf, s"trial $trial mismatch (distributed arm)")
     }
+  }
+
+  test("connectedComponents distributed arm honors the absent-endpoint contract") {
+    // same fixture as the local-arm contract test, forced down the
+    // propagation loop: both arms must ignore edges with endpoints
+    // outside the vertex set ENTIRELY
+    val vs = Seq(5L, 6L, 7L).toDF("doc_id")
+    val es = Seq((5L, 2L), (2L, 6L), (6L, 7L)).toDF("a", "b")
+    val got = graft.ops.Components.connectedComponents(vs, es,
+        localEdgeThreshold = 0L)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
   test("dedupByClusters keeps exactly one representative per cluster") {
