@@ -56,6 +56,21 @@ object Bench {
     val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SKIP: comma-separated query/build-metric names excluded
+    // from this run, for scale records where an entry's WORK is quadratic
+    // by construction (the sf10 fixture's exhaustive exact pins — their
+    // documented scale path, the ANN twins, stays in). The exclusion is
+    // self-describing: the full record carries the list under "skipped"
+    // and the compact line carries a count, so a skipped record can never
+    // read as full coverage. Unknown names fail fast — a typo must not
+    // silently run the entry it meant to skip.
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val knownSkip = SparkEntry.queries.keySet ++ builds.map(_._2)
+    val unknownSkip = skip -- knownSkip
+    require(unknownSkip.isEmpty,
+      s"SPARK_GRAFT_SKIP names unknown entries: ${unknownSkip.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -271,7 +286,12 @@ object Bench {
     // semantics change; the rebuild cost is the comparable quantity.
     val buildTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val buildSteal = scala.collection.mutable.Map.empty[String, Double]
-    builds.foreach { case (q, metric, _) =>
+    // a skipped build metric also skips its warm-up query's cold run here
+    // (the query itself is gone from `names` below when skipped by name)
+    val activeBuilds = builds.filterNot { case (q, metric, _) =>
+      skip(q) || skip(metric)
+    }
+    activeBuilds.foreach { case (q, metric, _) =>
       run(q) // cold: family JIT + first artifact build, untimed
       settle()
       SparkEntry.dropBuildArtifacts(spark, sfDir, q)
@@ -294,7 +314,7 @@ object Bench {
     // (every-2nd-query GC here: warm-up runs are not timed, so interference
     // is harmless — this only bounds total bench wall-clock; the boundary
     // settle() below enters the measured passes with a clean heap)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
     names.foreach { q => run(q); settle(everyN = 2) }
     settle()
 
@@ -450,7 +470,7 @@ object Bench {
       // shape ISOLATED.json's build denominators are measured in, so a
       // quiet machine converges. Shares the repass window/cap.
       loadSample("brepass_pre")
-      for ((q, metric, _) <- builds; den <- denominator(metric)) {
+      for ((q, metric, _) <- activeBuilds; den <- denominator(metric)) {
         var tries = 0
         while (buildTimes(metric) > 2.0 * den && tries < 2 &&
             (System.nanoTime() - repassStart) / 1e9 < repassCapSec) {
@@ -579,8 +599,10 @@ object Bench {
     val denIso = names.count(isoWarm.contains)
     val denHist = names.count(n => !isoWarm.contains(n) && histMin.contains(n))
     val denNone = names.size - denIso - denHist
+    val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"pass_b_mode":"$passBMode","pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone,"discarded":"$isoDiscarded"},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"build_steal":$buildStealJson,"repassed":$repassJson,"over_bar":$overBarJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$nPasses,"degraded":$degraded,"pass_b_mode":"$passBMode","pass_b_coverage":"$passBCoverage/${names.size}","settle_sec":${settleNanos / 1e9},"denominators":{"isolated":$denIso,"bench_hist":$denHist,"none":$denNone,"discarded":"$isoDiscarded"},"load":$loadJson,"steal_pct":$stealJson,"query_steal":$queryStealJson,"build_steal":$buildStealJson,"repassed":$repassJson,"over_bar":$overBarJson,"skipped":$skippedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
 
@@ -618,7 +640,8 @@ object Bench {
     // case to protect the ~2000-char tail-window budget.
     val degradedTag = (if (degraded) "\"degraded\":true," else "") +
       (if (passBCoverage > 0 && passBCoverage < names.size)
-        s""""pass_b":"$passBCoverage/${names.size}",""" else "")
+        s""""pass_b":"$passBCoverage/${names.size}",""" else "") +
+      (if (skip.nonEmpty) s""""skipped":${skip.size},""" else "")
     val line =
       s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$nPasses,$degradedTag"settle_sec":${sec2(settleNanos / 1e9)},"repass":$repassTotal,"load_max":${sec2(loadMax)},"steal_max":${sec2(stealMax)},"queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(line)

@@ -369,6 +369,21 @@ object SparkEntry {
       }
     }
 
+    /** Scale-aware build defaults, scoped to one build: session-wide the
+      * conf would silently change LATER same-session builds (q19 creates a
+      * fresh index per measured run; the reference-replay specs assert
+      * M-dependent block counts) — set, build, restore. */
+    private def withAutoScale[T](s: SparkSession)(body: => T): T = {
+      val key = graft.index.IndexCatalog.AutoScaleConfKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
     /** Drop the session-cached artifacts behind one Bench build family
       * (keyed by the family's warm-up query) so its NEXT run re-executes
       * the build. This is the hook that gives `build_*` metrics the same
@@ -545,7 +560,12 @@ object SparkEntry {
       val (table, index) = (s"qgraph_emb_$tag", s"qgraph_idx_$tag")
       if (graft.index.IndexCatalog.get(index).isEmpty) {
         Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
-        graft.index.IndexCatalog.createIndex(s, index, table, "embedding")
+        // graph-ef consumer: opt into scale-aware build defaults (no-op at
+        // sf0.1/sf1 where n <= 65536; at sf10 this is what holds the
+        // recall gate — see IndexCatalog.AutoScaleConfKey)
+        withAutoScale(s) {
+          graft.index.IndexCatalog.createIndex(s, index, table, "embedding")
+        }
       }
       (table, index)
     }
@@ -668,7 +688,9 @@ object SparkEntry {
       * implementation and graph ef whose recall the q79/q80 gate measures
       * each session (RECALL_GATE.json). */
     def q86NearDupAnn(s: SparkSession, dir: String): DataFrame = {
-      setupIndexOnce(s, dir, "q86_emb", "q86_idx", Map("metric" -> "cosine"))
+      withAutoScale(s) {
+        setupIndexOnce(s, dir, "q86_emb", "q86_idx", Map("metric" -> "cosine"))
+      }
       assertCosineGraphRecall(s, dir)
       graft.ops.Dedup.embeddingNearDupViaIndex(s, "q86_emb", "vec_id",
         "q86_idx", maxDist = 0.65)

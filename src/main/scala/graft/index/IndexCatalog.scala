@@ -100,6 +100,31 @@ object IndexCatalog {
 
   val EfSearchConfKey = "graft.hnsw.efSearch"
 
+  /** Opt-in scale-aware build defaults (`graft.hnsw.autoScaleBuild`).
+    *
+    * Fixed graph-build defaults do not hold recall across scale decades:
+    * measured with ProfileRecall on the sf10 fixture (200k cosine vectors,
+    * dim 64), the reference defaults M=16/ef_construction=128 read recall@10
+    * 0.818 at ef=64 (vs 0.964 at 20k and 0.952 at 2k with the SAME
+    * defaults), and raising search ef cannot buy it back cheaply (0.966 at
+    * ef=512 — the graph itself is the bottleneck). M=32/ef_construction=256
+    * reads 0.994 at ef=32; each knob alone reads only ~0.93. So when this
+    * conf is true, a NON-sharded build whose row count exceeds
+    * `graft.hnsw.autoScaleThreshold` (default 65536) raises the knobs the
+    * user did not set explicitly to at least (M=32, ef_construction=256).
+    *
+    * OFF by default: the reference builds with its fixed defaults at every
+    * n, and its replayed storage tests (hnsw_reclaim_storage at 1M rows)
+    * assert block counts that depend on M — bit-parity wins by default, the
+    * 100 TB pipeline surface opts in. Explicit options always win. Sharded
+    * builds are untouched: their per-shard n is the operator's numShards
+    * choice, and small shards are exactly why sharded recall holds at
+    * scale. */
+  val AutoScaleConfKey = "graft.hnsw.autoScaleBuild"
+  val AutoScaleThresholdConfKey = "graft.hnsw.autoScaleThreshold"
+  val AutoScaleM = 32
+  val AutoScaleEfC = 256
+
   /** Where shard artifacts land (shared storage at cluster scale). */
   def indexArtifactDir: String =
     sys.props.getOrElse("graft.indexes.dir",
@@ -189,6 +214,26 @@ object IndexCatalog {
     // scan's partitioning (one shard per partition otherwise)
     val pairs = if (sharded && numShards > 0) pairs0.repartition(numShards) else pairs0
 
+    // Scale-aware build defaults (see AutoScaleConfKey doc): only for the
+    // single-graph path, only when opted in, and only for knobs the user
+    // did not pin. The count is one extra (rowid, vec) scan — noise next
+    // to a graph build that touches every vector M times.
+    val explicitKeys = options.keySet.map(_.toLowerCase)
+    val effOpts =
+      if (sharded ||
+          !spark.conf.getOption(AutoScaleConfKey).exists(_.toBoolean) ||
+          (explicitKeys("m") && explicitKeys("ef_construction"))) opts
+      else {
+        val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
+          .map(_.toLong).getOrElse(65536L)
+        if (pairs.count() <= threshold) opts
+        else opts.copy(
+          m = if (explicitKeys("m")) opts.m else math.max(opts.m, AutoScaleM),
+          efConstruction =
+            if (explicitKeys("ef_construction")) opts.efConstruction
+            else math.max(opts.efConstruction, AutoScaleEfC))
+      }
+
     val index: VectorIndex =
       if (sharded) {
         val metas = buildShardMetas(pairs,
@@ -203,8 +248,8 @@ object IndexCatalog {
         // build (reference src/hnsw/hnsw_index_physical_create.cpp:283-306).
         val it = pairs.toLocalIterator()
         if (!it.hasNext) {
-          emptyIndexOrThrow(table, opts)
-        } else buildSingle(it, opts)
+          emptyIndexOrThrow(table, effOpts)
+        } else buildSingle(it, effOpts)
       }
 
     // optimizedPlan, matching refreshTablePlans/restore: an index created on
@@ -213,7 +258,7 @@ object IndexCatalog {
     // query subtrees — the analyzed view would never sameResult-match and the
     // index would silently fall back to full scans until the next DML
     // happened to refresh it.
-    val entry = IndexEntry(name, table, column, opts, index,
+    val entry = IndexEntry(name, table, column, effOpts, index,
       df.queryExecution.optimizedPlan, rowidCol)
     entries(name) = entry
     entry

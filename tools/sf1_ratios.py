@@ -50,13 +50,19 @@ def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
         rows.append((fam, med, worst, flag))
         print(f"{fam:28s} median {med:5.2f}x  worst {worst[0]} "
               f"{worst[1]:5.2f}x ({worst[2]:.2f}s -> {worst[3]:.2f}s){flag}")
+    # totals over the records' COMMON keys only: a scale record cut with
+    # SPARK_GRAFT_SKIP (by-design-quadratic entries excluded, disclosed in
+    # its "skipped" list) must not compare against a baseline total that
+    # still includes them
+    common = set(base) & set(sf1)
     t0 = sum(v for k, v in base.items()
-             if k.startswith("q") and not k.startswith("recall"))
+             if k in common and k.startswith("q") and not k.startswith("recall"))
     t1 = sum(v for k, v in sf1.items()
-             if k.startswith("q") and not k.startswith("recall"))
-    print(f"\nsuite query total: {t0:.1f}s -> {t1:.1f}s = {t1 / t0:.2f}x for 10x data")
-    b0 = sum(v for k, v in base.items() if k.startswith("build_"))
-    b1 = sum(v for k, v in sf1.items() if k.startswith("build_"))
+             if k in common and k.startswith("q") and not k.startswith("recall"))
+    print(f"\nsuite query total: {t0:.1f}s -> {t1:.1f}s = {t1 / t0:.2f}x for 10x data"
+          f" (common keys only)")
+    b0 = sum(v for k, v in base.items() if k in common and k.startswith("build_"))
+    b1 = sum(v for k, v in sf1.items() if k in common and k.startswith("build_"))
     print(f"build total:       {b0:.1f}s -> {b1:.1f}s = {b1 / b0:.2f}x for 10x data")
 
 
