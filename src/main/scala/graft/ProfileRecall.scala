@@ -21,6 +21,10 @@ object ProfileRecall {
     val nProbes = if (args.length > 1) args(1).toInt else 50
     val efC = if (args.length > 2) args(2) else "128"
     val m = if (args.length > 3) args(3) else "16"
+    // 5th arg: shard count (0 = single driver-built graph). The sharded
+    // curve answers a different question — how per-shard ef compounds
+    // through the fan-out merge (union recall ~ avg per-shard recall).
+    val nShards = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +39,10 @@ object ProfileRecall {
     val t0 = System.nanoTime()
     graft.index.IndexCatalog.createIndex(spark, "pr_idx", "pr_emb",
       "embedding",
-      Map("metric" -> "cosine", "ef_construction" -> efC, "m" -> m))
-    println(f"[recall] build ${(System.nanoTime() - t0) / 1e9}%.1f s (efC=$efC M=$m)")
+      Map("metric" -> "cosine", "ef_construction" -> efC, "m" -> m),
+      sharded = nShards > 0, numShards = nShards)
+    println(f"[recall] build ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(efC=$efC M=$m shards=$nShards)")
     val idx = graft.index.IndexCatalog.get("pr_idx").get.index
     val n = idx.size
     val exhaustiveEf = n + 1

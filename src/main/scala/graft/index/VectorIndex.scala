@@ -233,7 +233,8 @@ class ShardedHnswIndex private (
       q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
     val live = shardHits.filterNot { case (id, _) => deletedKeys.containsKey(id) }
     val fromDelta =
-      if (delta == null) Iterator.empty else delta.search(q, k, ef).iterator
+      if (delta == null) Iterator.empty
+      else delta.search(q, k, ShardedHnswIndex.fanoutEf(delta, k, ef)).iterator
     (live ++ fromDelta).toArray.sortBy(r => (r._2, r._1)).take(k)
   }
 
@@ -247,8 +248,10 @@ class ShardedHnswIndex private (
     * prefer [[searchDistributed]] for one-off queries so shards stay remote. */
   def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] = {
     mergeHits(
-      shards0.iterator.flatMap(s =>
-        ShardCache.get(s.path).search(q, fetchK(k, s), ef).iterator),
+      shards0.iterator.flatMap { s =>
+        val g = ShardCache.get(s.path)
+        g.search(q, fetchK(k, s), ShardedHnswIndex.fanoutEf(g, k, ef)).iterator
+      },
       q, k, ef)
   }
 
@@ -275,9 +278,10 @@ class ShardedHnswIndex private (
     shards0.foreach { s =>
       val g = ShardCache.get(s.path)
       val kk = fetchK(k, s)
+      val shardEf = ShardedHnswIndex.fanoutEf(g, k, ef)
       var qi = 0
       while (qi < queries.length) {
-        val hits = g.search(queries(qi), kk, ef)
+        val hits = g.search(queries(qi), kk, shardEf)
         var h = 0
         var kept = 0
         while (h < hits.length && kept < k) {
@@ -290,9 +294,8 @@ class ShardedHnswIndex private (
     }
     Array.tabulate(queries.length) { qi =>
       if (delta != null) {
-        delta.search(queries(qi), k, ef).foreach { case (key, d) =>
-          offer(heaps(qi), (d, key))
-        }
+        delta.search(queries(qi), k, ShardedHnswIndex.fanoutEf(delta, k, ef))
+          .foreach { case (key, d) => offer(heaps(qi), (d, key)) }
       }
       heaps(qi).toArray.sorted(hitOrdering).map { case (d, key) => (key, d) }
     }
@@ -306,7 +309,10 @@ class ShardedHnswIndex private (
     val qb = q
     val hits = sc
       .parallelize(work, work.length)
-      .flatMap { case (p, kk) => ShardCache.get(p).search(qb, kk, ef) }
+      .flatMap { case (p, kk) =>
+        val g = ShardCache.get(p)
+        g.search(qb, kk, ShardedHnswIndex.fanoutEf(g, k, ef))
+      }
       .collect()
     mergeHits(hits.iterator, q, k, ef)
   }
@@ -571,6 +577,29 @@ class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
 }
 
 object ShardedHnswIndex {
+  /** Graph-mode per-shard ef floor for fan-out searches. A fan-out merge
+    * keeps only the global top-k, so per-shard misses COMPOUND: union
+    * recall tracks mean per-shard recall, and per-shard recall at a fixed
+    * ef sags as shards grow a decade. Measured on the sf10 fixture
+    * (ProfileRecall, 16 shards x 12.5k cosine vectors, default build):
+    * per-shard ef=64 reads union recall@10 0.902 — the 0.9 gate edge,
+    * a coin flip across nondeterministic builds; ef=128 reads 0.976,
+    * ef=192 0.988. The floor must NOT shrink with k: the k=3 KNN-join
+    * gate read 0.943-0.957 across rebuilds at per-shard ef=64 (its 0.95
+    * edge) — what holds union recall is the per-shard BEAM WIDTH, which
+    * the k=10 measurements put at ~10*log2(n_shard). Floor
+    * max(k, 10) * ceil(log2(n_shard)): 12.5k-row shards get ef >= 140
+    * for any k <= 10, while the sf0.1 fixture's 125-row shards get 70
+    * (and any shard where the floor reaches its size degenerates to
+    * HnswIndex's exact linear scan). Exhaustive callers pass ef >= n and
+    * are unaffected by the max. Static so executor closures
+    * (searchDistributed) can call it without capturing the index. */
+  private[index] def fanoutEf(g: HnswIndex, k: Int, ef: Int): Int = {
+    val resolved = if (ef > 0) ef else g.efSearch
+    val log2 = 32 - Integer.numberOfLeadingZeros(math.max(1, g.size - 1))
+    math.max(resolved, math.max(k, 10) * log2)
+  }
+
   @SuppressWarnings(Array("unchecked"))
   def load(path: String): ShardedHnswIndex = {
     val in = new ObjectInputStream(ArtifactIO.open(s"$path/manifest.bin"))
