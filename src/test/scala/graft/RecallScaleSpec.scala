@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opt-in (GRAFT_SLOW=1) reproduction of the two round-14 scale-recall
+  * findings WITHOUT the ephemeral scale_sf10 fixture: a copy-structured
+  * corpus (2000 deterministic base vectors × 50 signed-permutation copies =
+  * 100k cosine vectors, the same copy transform ScaleGen uses — orthogonal,
+  * so within-copy geometry is preserved and copies sit at the base rate to
+  * each other) is exactly the input class on which fixed build defaults
+  * lost the recall gate a decade up (0.818 @ ef=64 at 200k) and the sharded
+  * fan-out sat on the gate edge (0.902). Pins:
+  *
+  *   1. a single graph built with `graft.hnsw.autoScaleBuild` on (100k >
+  *      the 65536 threshold → M=32/efC=256) holds recall@10 ≥ 0.95 at the
+  *      DEFAULT ef=64, and reaches at least the default build's recall;
+  *   2. a 16-shard fan-out (6250 rows/shard, default build options — shards
+  *      small by design) holds union recall@10 ≥ 0.95 AND union recall@3
+  *      ≥ 0.95 at default ef through the per-shard ef floor
+  *      (ShardedHnswIndex.fanoutEf).
+  *
+  * The unit-level policy/formula pins live in AutoScaleSpec/FanoutEfSpec;
+  * the raw measurement tool is ProfileRecall. This spec is the end-to-end
+  * recall claim on reproducible data. */
+class RecallScaleSpec extends AnyFunSuite {
+
+  test("copy-structured 100k corpus: auto-scaled single graph and floored " +
+      "16-shard fan-out hold recall at default ef", SlowTest) {
+    assume(sys.env.get("GRAFT_SLOW").exists(_.nonEmpty),
+      "set GRAFT_SLOW=1 to run the 100k recall reproduction (~1-2 min)")
+    val spark = TestSpark.spark
+    val dim = 64
+    val base = 2000
+    val copies = 50
+    val vecCols = array((0 until dim).map(d =>
+      ((xxhash64(col("id"), lit(d)) % 100000L) / 100000.0).cast("float")): _*)
+    val baseDf = spark.range(base).select(col("id"), vecCols.as("embedding"))
+    val corpus = (0 until copies).map { k =>
+      baseDf.select(
+        (col("id") + lit(k * 10000000L)).as("vec_id"),
+        ScaleGen.signedPermutation(col("embedding"), dim, k).as("embedding"))
+    }.reduce(_ unionAll _)
+    Graft.registerTable(spark, "rscale_t", corpus)
+    val n = base * copies
+
+    def recallAt(index: String, k: Int, probes: Int): Double = {
+      val idx = graft.index.IndexCatalog.get(index).get.index
+      val stride = math.max(1, n / probes)
+      val qs = spark.table("rscale_t")
+        .where(col("vec_id") % 10000000L % stride === 0)
+        .limit(probes).collect()
+        .map(_.getSeq[Float](1).toArray)
+      var hits = 0
+      qs.foreach { q =>
+        val exactKth = idx.search(q, k, n + 1).last._2
+        hits += idx.search(q, k, -1) // default ef resolution
+          .count(_._2 <= exactKth * (1 + 1e-9) + 1e-12)
+      }
+      hits.toDouble / (qs.length * k)
+    }
+
+    try {
+      // arm 1: the auto-scaled single graph vs the default build
+      graft.index.IndexCatalog.createIndex(spark, "rscale_def", "rscale_t",
+        "embedding", Map("metric" -> "cosine"))
+      val defRecall = recallAt("rscale_def", 10, 40)
+      spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, "true")
+      val e = graft.index.IndexCatalog.createIndex(spark, "rscale_auto",
+        "rscale_t", "embedding", Map("metric" -> "cosine"))
+      spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
+      assert(e.options.m == graft.index.IndexCatalog.AutoScaleM,
+        "100k rows must trip the 65536-row auto-scale threshold")
+      val autoRecall = recallAt("rscale_auto", 10, 40)
+      info(f"single graph recall@10 at default ef: default-build " +
+        f"$defRecall%.3f, auto-scaled $autoRecall%.3f")
+      assert(autoRecall >= 0.95,
+        f"auto-scaled single graph recall $autoRecall%.3f < 0.95")
+      assert(autoRecall + 1e-9 >= defRecall,
+        "auto-scaled build must not lose recall vs the default build")
+
+      // arm 2: the sharded fan-out with the per-shard ef floor
+      graft.index.IndexCatalog.createIndex(spark, "rscale_sh", "rscale_t",
+        "embedding", Map("metric" -> "cosine"),
+        sharded = true, numShards = 16)
+      val sh10 = recallAt("rscale_sh", 10, 40)
+      val sh3 = recallAt("rscale_sh", 3, 40)
+      info(f"16-shard fan-out recall at default ef: @10 $sh10%.3f, @3 $sh3%.3f")
+      assert(sh10 >= 0.95, f"sharded fan-out recall@10 $sh10%.3f < 0.95")
+      assert(sh3 >= 0.95, f"sharded fan-out recall@3 $sh3%.3f < 0.95")
+    } finally {
+      Seq("rscale_def", "rscale_auto", "rscale_sh")
+        .foreach(graft.index.IndexCatalog.dropIndex(_))
+    }
+  }
+}
