@@ -78,8 +78,19 @@ object IsolatedSweep {
       }
     }
 
+    // SPARK_GRAFT_SKIP: same contract as Bench's — a scale sweep (e.g.
+    // sf10's ISOLATED denominators) must exclude exactly the entries its
+    // record skips, or the sweep spends an hour on the by-design-quadratic
+    // exact pins the record never runs. Unknown names fail fast.
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val knownSkip = SparkEntry.queries.keySet ++ Bench.builds.map(_._2)
+    require((skip -- knownSkip).isEmpty,
+      s"SPARK_GRAFT_SKIP names unknown entries: ${(skip -- knownSkip).mkString(",")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
+      .filterNot(skip)
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     names.foreach { name =>
       run(name) // cold: build/JIT cost, untimed
@@ -113,7 +124,7 @@ object IsolatedSweep {
     // so its >2× comparison is like-for-like.
     val buildEntries = Bench.builds.filter { case (q, metric, _) =>
       args.isEmpty || args.exists(a => q.startsWith(a) || metric.startsWith(a))
-    }
+    }.filterNot { case (q, metric, _) => skip(q) || skip(metric) }
     buildEntries.foreach { case (q, metric, _) =>
       run(q) // cold: JIT + first build, untimed
       settle()
