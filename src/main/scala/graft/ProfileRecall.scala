@@ -50,11 +50,15 @@ object ProfileRecall {
 
     // probe vectors: every (n/nProbes)-th row — spread across the id space
     // (copies in a ScaleGen fixture differ by a signed permutation, so
-    // clustered-low ids would probe only copy 0)
+    // clustered-low ids would probe only copy 0). Columns selected by NAME
+    // and ordered by vec_id: positional getSeq broke on any column reorder,
+    // and an unordered limit() made re-runs measure different probe sets.
     val stride = math.max(1L, n.toLong / nProbes)
     val probes = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(org.apache.spark.sql.functions.col("vec_id") % stride === 0)
       .where(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
       .limit(nProbes).collect()
       .map(_.getSeq[Float](1).toArray)
     val exactKth = probes.map(q => idx.search(q, k, exhaustiveEf).last._2)

@@ -14,7 +14,7 @@ FAMILIES = {
     "knn-brute": ["q10", "q11", "q12", "q13", "q14", "q15"],
     "hnsw-index": ["q16", "q17", "q18", "q19", "q78", "q79", "q80", "q81", "q82"],
     "dedup-pairs (mining)": ["q22", "q23", "q24", "q63", "q64", "q20"],
-    "embedding-neardup/lsh": ["q28", "q32", "q65"],
+    "embedding-neardup/lsh": ["q28", "q32", "q65", "q88"],
     "ann-twins (q28/q65 at graph ef)": ["q86", "q87"],
     "text-quality": ["q21", "q25", "q31", "q33", "q37", "q48", "q60"],
     "bm25/text-search": ["q52", "q53", "q54", "q56", "q59"],
@@ -32,6 +32,7 @@ def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
     base = json.load(open(base_path))["queries"]
     sf1 = json.load(open(sf1_path))["queries"]
     rows = []
+    over_bar = []  # EVERY entry over the flag bar, not just each family's worst
     for fam, prefixes in FAMILIES.items():
         ratios = []
         for name, v1 in sorted(sf1.items()):
@@ -48,8 +49,18 @@ def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
         worst = max(ratios, key=lambda r: r[1])
         flag = " <-- SUPER-LINEAR" if worst[1] > 10.0 else ""
         rows.append((fam, med, worst, flag))
+        over_bar.extend(r for r in ratios if r[1] > 10.0)
         print(f"{fam:28s} median {med:5.2f}x  worst {worst[0]} "
               f"{worst[1]:5.2f}x ({worst[2]:.2f}s -> {worst[3]:.2f}s){flag}")
+    # complete over-bar accounting: a family's worst must not hide its
+    # siblings (round-14 verdict: build_graph_index's 22.4x sat invisible
+    # behind build_q86_graph's 23.8x in the same category)
+    if over_bar:
+        print(f"\nALL entries over the 10x flag bar ({len(over_bar)}):")
+        for name, ratio, v0, v1 in sorted(over_bar, key=lambda r: -r[1]):
+            print(f"  {name:28s} {ratio:5.2f}x ({v0:.2f}s -> {v1:.2f}s)")
+    else:
+        print("\nno entries over the 10x flag bar")
     # totals over the records' COMMON keys only: a scale record cut with
     # SPARK_GRAFT_SKIP (by-design-quadratic entries excluded, disclosed in
     # its "skipped" list) must not compare against a baseline total that
