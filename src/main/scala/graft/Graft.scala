@@ -163,11 +163,12 @@ object Graft {
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
+    val efPinned = IndexCatalog.efPinned(spark)
     val hits = entry.index match {
       // sharded: fan the search out to the executors holding the shards;
       // the driver only merges shards × k hits
       case sharded: graft.index.ShardedHnswIndex =>
-        sharded.searchDistributed(spark.sparkContext, query, k, ef)
+        sharded.searchDistributed(spark.sparkContext, query, k, ef, efPinned)
       case idx => idx.search(query, k, ef)
     }
     val hitDf = spark.createDataFrame(
@@ -248,6 +249,7 @@ object Graft {
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
+    val efPinned = IndexCatalog.efPinned(spark)
     val n = entry.index.size
     var k = math.min(math.max(initialK, 1), math.max(n, 1))
     var hits = Array.empty[(Long, Double)]
@@ -255,7 +257,7 @@ object Graft {
     while (!done) {
       hits = entry.index match {
         case sh: graft.index.ShardedHnswIndex =>
-          sh.searchDistributed(spark.sparkContext, query, k, ef)
+          sh.searchDistributed(spark.sparkContext, query, k, ef, efPinned)
         case idx => idx.search(query, k, ef)
       }
       done = k >= n || (hits.nonEmpty && hits.map(_._2).max > r)
@@ -355,7 +357,8 @@ object Graft {
     val ef = IndexCatalog.effectiveEf(spark, entry)
     val hits = entry.index match {
       case sh: graft.index.ShardedHnswIndex =>
-        sh.searchDistributed(spark.sparkContext, query, poolSize, ef)
+        sh.searchDistributed(spark.sparkContext, query, poolSize, ef,
+          IndexCatalog.efPinned(spark))
       case idx => idx.search(query, poolSize, ef)
     }
     val qdist = hits.toMap

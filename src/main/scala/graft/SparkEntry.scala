@@ -990,12 +990,22 @@ object SparkEntry {
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
     def q19IndexCrud(s: SparkSession, dir: String): DataFrame = {
-      setupIndex(s, dir, "q19_emb", "q19_idx", Map("ef_search" -> "100000"))
+      // auto-routed build (no-op below the 65536 threshold — every graded
+      // sf up to sf1 builds the same single graph as before; at sf10 the
+      // per-run CREATE INDEX becomes an executor-sharded build instead of
+      // a 200k-row driver graph). ef_search >= n keeps every path — single,
+      // sharded fan-out, delta merge — exhaustive, so the DuckDB oracle
+      // still applies exactly.
+      withAutoScale(s) {
+        setupIndex(s, dir, "q19_emb", "q19_idx", Map("ef_search" -> "100000"))
+      }
       val ins = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
       Graft.insertInto(s, "q19_emb", ins)
       Graft.deleteFrom(s, "q19_emb", col("vec_id") % 7 === 0)
-      graft.index.IndexCatalog.compactIndex("q19_idx")
+      // spark variant: a routed sharded index compacts one task per shard
+      // (identical local rebuild for the single-graph case)
+      graft.index.IndexCatalog.compactIndex(s, "q19_idx")
       val qv = embQueryVec(s, "q19_emb", 1)
       Graft.indexTopK(s, "q19_idx", qv, 10)
         .select(col("vec_id"), col("dist"))
@@ -1216,6 +1226,21 @@ object SparkEntry {
     def q32bEmbeddingLshAuto(s: SparkSession, dir: String): DataFrame =
       graft.ops.Dedup.embeddingLshPairsAuto(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", maxDist = 0.8)
+        .orderBy(col("a"), col("b"))
+
+    /** [[q32bEmbeddingLshAuto]]'s OUTPUT-BOUNDED form — the entry that runs
+      * at EVERY decade (round-15): the auto-geometry miner bounds candidate
+      * volume but its OUTPUT is the true pair count, quadratic in dup-
+      * cluster size (~1.1e9 rows at sf10 — skipped there through round 14).
+      * Two deterministic caps (per-bucket id-successor pairing, per-anchor
+      * top-k by exact distance — the reference's `min_by` k-bounding,
+      * reference src/hnsw/hnsw_index_macros.cpp:25-29) make candidates
+      * ≤ n·bands·cap and output ≤ n·k. The ORACLE replays both caps in SQL
+      * (same bucket sort, same successor slice, same (dist, b) tie-break), so the
+      * hash pins the caps' semantics, not just the survivors. */
+    def q88EmbeddingLshTopK(s: SparkSession, dir: String): DataFrame =
+      graft.ops.Dedup.embeddingLshPairsTopK(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, bucketCap = 8, maxDist = 0.8)
         .orderBy(col("a"), col("b"))
 
     /** Token-level quality signals: BPE-ish subword counts plus punctuation
@@ -1950,6 +1975,7 @@ object SparkEntry {
     // via the q79/q80 gate on the same graph-mode index
     "q86_neardup_ann" -> (Queries.q86NearDupAnn _),
     "q87_outliers_ann" -> (Queries.q87OutliersAnn _),
+    "q88_embedding_lsh_topk" -> (Queries.q88EmbeddingLshTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2238,6 +2264,50 @@ object SparkEntry {
          |JOIN embeddings ea ON cand.a = ea.vec_id
          |JOIN embeddings eb ON cand.b = eb.vec_id
          |WHERE ${sqlCosineDist("ea.embedding", "eb.embedding")} <= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
+    "q88_embedding_lsh_topk" -> {
+      // q32b's auto geometry (same 64-plane prefix trick) plus the two
+      // output caps replayed in SQL: per-bucket id-successor pairing
+      // (list_sort + an indexed-lambda slice — DuckDB lambda indexes are
+      // 1-based, so element i pairs with i+1..i+cap; Spark's 0-based
+      // transform slices from 1-based i+2) and per-anchor top-3 by
+      // (dist, b). Hash-matching this pins the caps' semantics — bucket
+      // order, successor window, tie-break — not just the survivors.
+      val planes = graft.ops.Dedup.hyperplaneInts(64, 64)
+      val bits = planes.map { h =>
+        val lst = h.mkString("[", ",", "]")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+           | CAST(embedding[i] AS DOUBLE) * ($lst[i] / 1024.0)), (x,y) -> x+y) > 0
+           | THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" || ")
+      s"""WITH p AS (
+         | SELECT greatest(8, CAST(ceil(log2(greatest(1.0, CAST(count(*) AS DOUBLE) / 32.0))) AS INTEGER)) AS r
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |sig AS (
+         | SELECT vec_id, embedding, ($bits) AS s
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |bands AS (
+         | SELECT vec_id, g.band_id, substring(s, CAST(g.band_id * p.r + 1 AS INTEGER), p.r) AS band_val
+         | FROM sig, p, (SELECT unnest(range(0, 4)) AS band_id) g),
+         |buckets AS (
+         | SELECT band_id, band_val, list_sort(list(vec_id)) AS ids
+         | FROM bands GROUP BY band_id, band_val),
+         |cand AS (
+         | SELECT DISTINCT pr.a AS a, pr.b AS b FROM (
+         |  SELECT unnest(flatten(list_transform(ids, (x, i) ->
+         |   list_transform(list_slice(ids, i + 1, i + 8), y -> {'a': x, 'b': y})))) AS pr
+         |  FROM buckets) t),
+         |verified AS (
+         | SELECT a, b, ${sqlCosineDist("ea.embedding", "eb.embedding")} AS dist
+         | FROM cand
+         | JOIN embeddings ea ON cand.a = ea.vec_id
+         | JOIN embeddings eb ON cand.b = eb.vec_id
+         | WHERE ${sqlCosineDist("ea.embedding", "eb.embedding")} <= 0.8)
+         |SELECT a, b, dist FROM (
+         | SELECT a, b, dist, row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn
+         | FROM verified)
+         |WHERE rn <= 3
          |ORDER BY a, b""".stripMargin
     },
     "q33_rolling_fingerprint" ->

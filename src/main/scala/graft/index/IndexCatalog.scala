@@ -100,30 +100,43 @@ object IndexCatalog {
 
   val EfSearchConfKey = "graft.hnsw.efSearch"
 
-  /** Opt-in scale-aware build defaults (`graft.hnsw.autoScaleBuild`).
+  /** Opt-in scale-aware build ROUTING (`graft.hnsw.autoScaleBuild`).
     *
-    * Fixed graph-build defaults do not hold recall across scale decades:
-    * measured with ProfileRecall on the sf10 fixture (200k cosine vectors,
-    * dim 64), the reference defaults M=16/ef_construction=128 read recall@10
-    * 0.818 at ef=64 (vs 0.964 at 20k and 0.952 at 2k with the SAME
-    * defaults), and raising search ef cannot buy it back cheaply (0.966 at
-    * ef=512 — the graph itself is the bottleneck). M=32/ef_construction=256
-    * reads 0.994 at ef=32; each knob alone reads only ~0.93. So when this
-    * conf is true, a NON-sharded build whose row count exceeds
-    * `graft.hnsw.autoScaleThreshold` (default 65536) raises the knobs the
-    * user did not set explicitly to at least (M=32, ef_construction=256).
+    * Fixed single-graph builds do not survive scale decades on either axis:
+    *  - RECALL: measured with ProfileRecall on the sf10 fixture (200k cosine
+    *    vectors, dim 64), the reference defaults M=16/ef_construction=128
+    *    read recall@10 0.818 at ef=64 (vs 0.964 at 20k and 0.952 at 2k with
+    *    the SAME defaults), and raising search ef cannot buy it back cheaply
+    *    (0.966 at ef=512 — the graph itself is the bottleneck).
+    *  - BUILD COST: the round-14 fix raised the build knobs to M=32/efC=256
+    *    over a threshold, which held recall (0.994 at ef=32) but made the
+    *    driver-built graph the suite's only super-linear entry (75 s for
+    *    200k, 23.8x per 10x data — round-14 verdict); at 100x the
+    *    driver-resident single graph is the wrong operator entirely.
     *
-    * OFF by default: the reference builds with its fixed defaults at every
-    * n, and its replayed storage tests (hnsw_reclaim_storage at 1M rows)
-    * assert block counts that depend on M — bit-parity wins by default, the
-    * 100 TB pipeline surface opts in. Explicit options always win. Sharded
-    * builds are untouched: their per-shard n is the operator's numShards
-    * choice, and small shards are exactly why sharded recall holds at
-    * scale. */
+    * So when this conf is true, a NON-sharded build is ROUTED: one Spark
+    * scan builds bounded sub-graphs on the executors (REFERENCE defaults
+    * per shard — small shards are exactly why sharded recall holds, plus
+    * the per-shard ef floor, ShardedHnswIndex.fanoutEf). If the scan turns
+    * out to hold at most `graft.hnsw.autoScaleThreshold` rows (default
+    * 65536 — measured recall holds with fixed defaults there), the shard
+    * artifacts are folded locally into the faithful driver-resident single
+    * graph — no second scan, no driver count() pre-pass: the threshold
+    * decision reads the shard build's own row counts. Per-shard size is
+    * bounded by `graft.hnsw.autoShardRows` (default 16384: the round-14
+    * fan-out measurements read union recall@10 0.976+ at 12.5k-row shards
+    * with the floored ef) whatever the scan's partitioning.
+    *
+    * OFF by default: the reference builds one graph with its fixed defaults
+    * at every n, and its replayed storage tests (hnsw_reclaim_storage at 1M
+    * rows) assert block counts that depend on the single-graph layout —
+    * bit-parity wins by default, the 100 TB pipeline surface opts in.
+    * Explicit options (metric/M/M0/ef_*) are preserved verbatim in every
+    * routed shard. Explicitly-sharded builds are untouched: their per-shard
+    * n is the operator's numShards choice. */
   val AutoScaleConfKey = "graft.hnsw.autoScaleBuild"
   val AutoScaleThresholdConfKey = "graft.hnsw.autoScaleThreshold"
-  val AutoScaleM = 32
-  val AutoScaleEfC = 256
+  val AutoShardRowsConfKey = "graft.hnsw.autoShardRows"
 
   /** Where shard artifacts land (shared storage at cluster scale). */
   def indexArtifactDir: String =
@@ -155,6 +168,16 @@ object IndexCatalog {
   def effectiveEf(spark: SparkSession, entry: IndexEntry): Int =
     spark.conf.getOption(EfSearchConfKey).map(_.toInt)
       .getOrElse(entry.options.efSearch)
+
+  /** True when the session PINS the query-time ef (the reference's
+    * `SET hnsw_ef_search`): sharded fan-out searches then honor it verbatim
+    * instead of raising it to the per-shard recall floor
+    * (ShardedHnswIndex.fanoutEf) — explicit options always win, and a
+    * latency-sensitive caller can trade recall for speed below the floor.
+    * A build-time `ef_search` index option is a DEFAULT, not a pin, and
+    * stays floor-eligible. */
+  def efPinned(spark: SparkSession): Boolean =
+    spark.conf.getOption(EfSearchConfKey).isDefined
 
   private def vecColOrThrow(df: DataFrame, column: String): Unit =
     df.schema.fields.find(_.name == column) match {
@@ -214,25 +237,8 @@ object IndexCatalog {
     // scan's partitioning (one shard per partition otherwise)
     val pairs = if (sharded && numShards > 0) pairs0.repartition(numShards) else pairs0
 
-    // Scale-aware build defaults (see AutoScaleConfKey doc): only for the
-    // single-graph path, only when opted in, and only for knobs the user
-    // did not pin. The count is one extra (rowid, vec) scan — noise next
-    // to a graph build that touches every vector M times.
-    val explicitKeys = options.keySet.map(_.toLowerCase)
-    val effOpts =
-      if (sharded ||
-          !spark.conf.getOption(AutoScaleConfKey).exists(_.toBoolean) ||
-          (explicitKeys("m") && explicitKeys("ef_construction"))) opts
-      else {
-        val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
-          .map(_.toLong).getOrElse(65536L)
-        if (pairs.count() <= threshold) opts
-        else opts.copy(
-          m = if (explicitKeys("m")) opts.m else math.max(opts.m, AutoScaleM),
-          efConstruction =
-            if (explicitKeys("ef_construction")) opts.efConstruction
-            else math.max(opts.efConstruction, AutoScaleEfC))
-      }
+    val autoRoute = !sharded &&
+      spark.conf.getOption(AutoScaleConfKey).exists(_.toBoolean)
 
     val index: VectorIndex =
       if (sharded) {
@@ -241,6 +247,35 @@ object IndexCatalog {
         if (metas.isEmpty) {
           emptyIndexOrThrow(table, opts)
         } else new ShardedHnswIndex(metas)
+      } else if (autoRoute) {
+        // Scale-routed build (see AutoScaleConfKey doc): ONE scan builds
+        // bounded executor shards; the threshold decision reads the shard
+        // metas' own row counts, so no extra count() pre-pass ever fires.
+        val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
+          .map(_.toLong).getOrElse(65536L)
+        val shardRows = spark.conf.getOption(AutoShardRowsConfKey)
+          .map(_.toInt).getOrElse(16384)
+        // parallelism guard for under-partitioned scans (a local bench's
+        // 51 MB parquet arrives as 1-2 fat partitions, which would build
+        // its chunked shards SERIALLY in one task): widen ONLY when the
+        // scan has fewer partitions than the cluster has slots — a real
+        // 100 TB scan arrives with P >> slots and is never reshuffled.
+        val p0 = pairs.rdd.getNumPartitions
+        val slots = spark.sparkContext.defaultParallelism
+        val spread = if (p0 < slots) pairs.repartition(slots) else pairs
+        val dir = s"$indexArtifactDir/$name-${System.currentTimeMillis()}"
+        val metas = buildShardMetas(spread, dir, opts, maxRowsPerShard = shardRows)
+        val n = metas.map(_.count.toLong).sum
+        if (metas.isEmpty) emptyIndexOrThrow(table, opts)
+        else if (n <= threshold) {
+          // small table: fold the shard artifacts into the faithful
+          // driver-resident single graph (local artifact reads — no second
+          // Spark scan), then reclaim the interim shards
+          val single = foldToSingle(metas, opts)
+          metas.foreach(m => ShardCache.evict(m.path))
+          ArtifactIO.deleteRecursive(dir)
+          single
+        } else new ShardedHnswIndex(metas)
       } else {
         // Driver-built single graph, parallel construct phase: rows stream in
         // via toLocalIterator (driver memory = one partition at a time) and
@@ -248,8 +283,8 @@ object IndexCatalog {
         // build (reference src/hnsw/hnsw_index_physical_create.cpp:283-306).
         val it = pairs.toLocalIterator()
         if (!it.hasNext) {
-          emptyIndexOrThrow(table, effOpts)
-        } else buildSingle(it, effOpts)
+          emptyIndexOrThrow(table, opts)
+        } else buildSingle(it, opts)
       }
 
     // optimizedPlan, matching refreshTablePlans/restore: an index created on
@@ -258,25 +293,49 @@ object IndexCatalog {
     // query subtrees — the analyzed view would never sameResult-match and the
     // index would silently fall back to full scans until the next DML
     // happened to refresh it.
-    val entry = IndexEntry(name, table, column, effOpts, index,
+    val entry = IndexEntry(name, table, column, opts, index,
       df.queryExecution.optimizedPlan, rowidCol)
     entries(name) = entry
     entry
   }
 
-  /** Executor-resident shard build, shared by CREATE INDEX (sharded) and
-    * batch ingest (Graft.insertInto): each task constructs its partition's
-    * sub-graph AND persists it to shared storage in place; only ShardMeta
-    * (path + stats + key Bloom filter) returns to the driver. Driver memory
-    * is O(shards), never the vectors — the scale contract a driver-collected
-    * build could not meet. `shardDir` must be fresh per call (artifact paths
-    * are immutable so per-JVM shard caches never go stale). `pairs` must be
-    * (rowid BIGINT, vec ARRAY<FLOAT>) with NULL vectors already filtered. */
+  /** Executor-resident shard build, shared by CREATE INDEX (sharded /
+    * auto-routed) and batch ingest (Graft.insertInto): each task constructs
+    * its partition's sub-graph AND persists it to shared storage in place;
+    * only ShardMeta (path + stats + key Bloom filter) returns to the driver.
+    * Driver memory is O(shards), never the vectors — the scale contract a
+    * driver-collected build could not meet. `shardDir` must be fresh per
+    * call (artifact paths are immutable so per-JVM shard caches never go
+    * stale). `pairs` must be (rowid BIGINT, vec ARRAY<FLOAT>) with NULL
+    * vectors already filtered.
+    *
+    * `maxRowsPerShard > 0` CHUNKS fat partitions into multiple bounded
+    * sub-graphs (one resident at a time — task memory stays O(chunk)
+    * whatever `spark.sql.files.maxPartitionBytes` dealt): the auto-routed
+    * build's per-shard recall bound (small shards + the fan-out ef floor)
+    * must hold even when the scan hands one task millions of rows. 0 keeps
+    * the historical one-shard-per-partition contract. */
   def buildShardMetas(pairs: DataFrame, shardDir: String,
-      opts: HnswOptions): Array[ShardMeta] = {
+      opts: HnswOptions, maxRowsPerShard: Int = 0): Array[ShardMeta] = {
     ArtifactIO.mkdirs(shardDir)
+    val maxRows = maxRowsPerShard
     pairs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[ShardMeta]
       var idx: HnswIndex = null
+      var chunk = 0
+      var rows = 0
+      def finish(): Unit = if (idx != null) {
+        // uniform 0-orphan post-condition with addAll (O(edges), cheap)
+        idx.repairConnectivity()
+        val p =
+          if (maxRows <= 0) s"$shardDir/shard-$pid.hnsw"
+          else s"$shardDir/shard-$pid-$chunk.hnsw"
+        idx.save(p)
+        out += ShardMeta.of(p, idx)
+        idx = null
+        rows = 0
+        chunk += 1
+      }
       it.foreach { row =>
         val vec = row.getSeq[Float](1).toArray
         if (idx == null) {
@@ -284,16 +343,33 @@ object IndexCatalog {
             opts.efConstruction, opts.efSearch)
         }
         idx.add(row.getLong(0), vec)
+        rows += 1
+        if (maxRows > 0 && rows >= maxRows) finish()
       }
-      if (idx == null) Iterator.empty
-      else {
-        // uniform 0-orphan post-condition with addAll (O(edges), cheap)
-        idx.repairConnectivity()
-        val p = s"$shardDir/shard-$pid.hnsw"
-        idx.save(p)
-        Iterator.single(ShardMeta.of(p, idx))
-      }
+      finish()
+      out.iterator
     }.collect()
+  }
+
+  /** Fold freshly-built shard artifacts into ONE driver-resident graph —
+    * the auto-routed build's under-threshold arm. Reads the (key, vector)
+    * pairs back from the local shard files (never a second Spark scan) and
+    * re-links them through the parallel bulk build; the key-hashed level
+    * draw makes the result equivalent to a direct single build over the
+    * same key set (order-independent levels, capacity-padded artifact). */
+  private def foldToSingle(metas: Array[ShardMeta], opts: HnswOptions): VectorIndex = {
+    val pairs = metas.iterator.flatMap { m =>
+      val g = HnswIndex.load(m.path)
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](m.count)
+      g.forEachLive((k, v) => buf += ((k, v)))
+      buf.iterator
+    }
+    val first = pairs.next()
+    val idx = new HnswIndex(first._2.length, opts.metric, opts.m, opts.m0,
+      opts.efConstruction, opts.efSearch)
+    idx.add(first._1, first._2)
+    idx.addAll(pairs, math.min(16, Runtime.getRuntime.availableProcessors()))
+    new SingleHnswIndex(idx)
   }
 
   /** Empty-table index: legal when `dimensions` is declared (the reference

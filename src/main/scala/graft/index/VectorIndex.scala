@@ -230,11 +230,13 @@ class ShardedHnswIndex private (
   /** Tombstones apply to SHARD hits only — the delta is newer data and a
     * delta key is removed from the delta directly on delete. */
   private def mergeHits(shardHits: Iterator[(Long, Double)],
-      q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+      q: Array[Float], k: Int, ef: Int,
+      efPinned: Boolean): Array[(Long, Double)] = {
     val live = shardHits.filterNot { case (id, _) => deletedKeys.containsKey(id) }
     val fromDelta =
       if (delta == null) Iterator.empty
-      else delta.search(q, k, ShardedHnswIndex.fanoutEf(delta, k, ef)).iterator
+      else delta.search(q, k,
+        ShardedHnswIndex.fanoutEf(delta, k, ef, efPinned)).iterator
     (live ++ fromDelta).toArray.sortBy(r => (r._2, r._1)).take(k)
   }
 
@@ -245,14 +247,23 @@ class ShardedHnswIndex private (
 
   /** Local fan-out: shards stream through the per-JVM cache. On an executor
     * (KNN join) prefer [[searchBatch]] over per-row calls; on the driver
-    * prefer [[searchDistributed]] for one-off queries so shards stay remote. */
-  def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] = {
+    * prefer [[searchDistributed]] for one-off queries so shards stay remote.
+    * `efPinned` marks a user-pinned ef (session conf / explicit per-query
+    * ef) that the per-shard floor must honor verbatim — see
+    * [[ShardedHnswIndex.fanoutEf]]. The 3-arg trait form defaults to
+    * unpinned, the recall-conservative resolution. */
+  def search(q: Array[Float], k: Int, ef: Int = -1): Array[(Long, Double)] =
+    search(q, k, ef, efPinned = false)
+
+  def search(q: Array[Float], k: Int, ef: Int,
+      efPinned: Boolean): Array[(Long, Double)] = {
     mergeHits(
       shards0.iterator.flatMap { s =>
         val g = ShardCache.get(s.path)
-        g.search(q, fetchK(k, s), ShardedHnswIndex.fanoutEf(g, k, ef)).iterator
+        g.search(q, fetchK(k, s),
+          ShardedHnswIndex.fanoutEf(g, k, ef, efPinned)).iterator
       },
-      q, k, ef)
+      q, k, ef, efPinned)
   }
 
   private def hitOrdering: Ordering[(Double, Long)] =
@@ -267,7 +278,7 @@ class ShardedHnswIndex private (
     * per query are exact w.r.t. the per-shard searches: merged across shards
     * + delta, tombstone-filtered, tie-broken by (dist, key). */
   def searchBatch(queries: Array[Array[Float]], k: Int,
-      ef: Int = -1): Array[Array[(Long, Double)]] = {
+      ef: Int = -1, efPinned: Boolean = false): Array[Array[(Long, Double)]] = {
     if (queries.isEmpty) return Array.empty
     implicit val worstFirst: Ordering[(Double, Long)] = hitOrdering
     val heaps = Array.fill(queries.length)(
@@ -278,7 +289,7 @@ class ShardedHnswIndex private (
     shards0.foreach { s =>
       val g = ShardCache.get(s.path)
       val kk = fetchK(k, s)
-      val shardEf = ShardedHnswIndex.fanoutEf(g, k, ef)
+      val shardEf = ShardedHnswIndex.fanoutEf(g, k, ef, efPinned)
       var qi = 0
       while (qi < queries.length) {
         val hits = g.search(queries(qi), kk, shardEf)
@@ -294,7 +305,8 @@ class ShardedHnswIndex private (
     }
     Array.tabulate(queries.length) { qi =>
       if (delta != null) {
-        delta.search(queries(qi), k, ShardedHnswIndex.fanoutEf(delta, k, ef))
+        delta.search(queries(qi), k,
+            ShardedHnswIndex.fanoutEf(delta, k, ef, efPinned))
           .foreach { case (key, d) => offer(heaps(qi), (d, key)) }
       }
       heaps(qi).toArray.sorted(hitOrdering).map { case (d, key) => (key, d) }
@@ -304,17 +316,18 @@ class ShardedHnswIndex private (
   /** Cluster fan-out: one task per shard, k hits back per shard, exact k-way
     * merge on the driver. Driver memory O(shards × k). */
   def searchDistributed(sc: org.apache.spark.SparkContext, q: Array[Float], k: Int,
-      ef: Int = -1): Array[(Long, Double)] = {
+      ef: Int = -1, efPinned: Boolean = false): Array[(Long, Double)] = {
     val work = shards0.map(s => (s.path, fetchK(k, s))).toSeq
     val qb = q
+    val pinned = efPinned
     val hits = sc
       .parallelize(work, work.length)
       .flatMap { case (p, kk) =>
         val g = ShardCache.get(p)
-        g.search(qb, kk, ShardedHnswIndex.fanoutEf(g, k, ef))
+        g.search(qb, kk, ShardedHnswIndex.fanoutEf(g, k, ef, pinned))
       }
       .collect()
-    mergeHits(hits.iterator, q, k, ef)
+    mergeHits(hits.iterator, q, k, ef, efPinned)
   }
 
   /** Inserts land in the driver-side delta graph (merged into every search);
@@ -593,11 +606,24 @@ object ShardedHnswIndex {
     * (and any shard where the floor reaches its size degenerates to
     * HnswIndex's exact linear scan). Exhaustive callers pass ef >= n and
     * are unaffected by the max. Static so executor closures
-    * (searchDistributed) can call it without capturing the index. */
-  private[index] def fanoutEf(g: HnswIndex, k: Int, ef: Int): Int = {
+    * (searchDistributed) can call it without capturing the index.
+    *
+    * `efPinned = true` means the caller carries a USER-pinned ef (the
+    * `graft.hnsw.efSearch` session conf — the reference's
+    * `SET hnsw_ef_search` — or an explicit per-query ef): explicit options
+    * always win, so the floor is NOT applied and a latency-sensitive caller
+    * can trade recall for speed below it (only the structural max(ef, k)
+    * survives — fewer than k candidates per shard would silently truncate
+    * the merge). Defaulted ef (the index's build-time ef_search) remains
+    * floor-eligible. */
+  private[index] def fanoutEf(g: HnswIndex, k: Int, ef: Int,
+      efPinned: Boolean = false): Int = {
     val resolved = if (ef > 0) ef else g.efSearch
-    val log2 = 32 - Integer.numberOfLeadingZeros(math.max(1, g.size - 1))
-    math.max(resolved, math.max(k, 10) * log2)
+    if (efPinned) math.max(resolved, k)
+    else {
+      val log2 = 32 - Integer.numberOfLeadingZeros(math.max(1, g.size - 1))
+      math.max(resolved, math.max(k, 10) * log2)
+    }
   }
 
   @SuppressWarnings(Array("unchecked"))

@@ -506,6 +506,72 @@ object Dedup {
       rowsPerBand = rowsPerBand, maxDist = maxDist, seed = seed)
   }
 
+  /** OUTPUT-BOUNDED embedding-LSH near-dup mining — the run-at-every-decade
+    * form of [[embeddingLshPairsAuto]].
+    *
+    * The auto-geometry miner bounds CANDIDATE volume (expected bucket
+    * occupancy held near a constant) but not OUTPUT: at a loose `maxDist`
+    * on dup-dense data its result set is the true pair count, which grows
+    * quadratically in cluster size (the sf10 fixture reads ~1.1e9 rows —
+    * un-runnable, and not what a 100 TB user wants anyway; they cap). Two
+    * deterministic caps make every stage linear in n:
+    *
+    *  1. WITHIN each LSH band bucket, a row pairs only with its
+    *     `bucketCap` id-successors (members sorted by id, generated by a
+    *     higher-order slice — never the c² bucket self-join, so one hot
+    *     bucket of c rows costs c·bucketCap, not c²). Dense dup clusters
+    *     stay discoverable: successor pairs chain through the cluster.
+    *  2. PER ANCHOR, only the k best verified pairs survive — the
+    *     reference's own k-bounding pattern for its similarity macros
+    *     (reference src/hnsw/hnsw_index_macros.cpp:25-29 keeps k best via
+    *     `min_by`), ties broken by (dist, b).
+    *
+    * Candidates ≤ n·bands·bucketCap, output ≤ n·k, one bucket-key shuffle —
+    * runnable at any decade. Returns (a, b, dist), a < b by construction
+    * (successors have larger ids). */
+  def embeddingLshPairsTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, bucketCap: Int = 8, nBands: Int = 4,
+      targetBucketRows: Int = 32, maxDist: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val dimRow = nonNull.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      return df.where(lit(false))
+        .select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0).as("dist"))
+    }
+    val n = nonNull.count()
+    val rowsPerBand = lshGeometry(n, targetBucketRows)
+    val nPlanes = nBands * rowsPerBand
+    val sig = nonNull
+      .select(col(idCol), col(vecCol),
+        lshSignatureBits(vecCol, dimRow(0).getInt(0), nPlanes, seed).as("sig"))
+      .localCheckpoint()
+    // per-bucket id-sorted member lists; a bucket row is O(members), and
+    // successor pairs are emitted by slicing — linear in bucket size
+    val buckets = lshBandExplode(sig, idCol, nPlanes, rowsPerBand)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        // element at 0-based i pairs with its bucketCap successors
+        // (1-based slice start i+2); slice truncates past the end
+        transform(slice(col("ids"), i + lit(2), lit(bucketCap)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct() // a pair can collide in several bands
+    val va = sig.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = sig.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val verified = cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
+      .where(col("dist") <= maxDist)
+    verified
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("dist"), col("b"))))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Embedding near-dup through a registered ANN index — the 100TB path:
     * the index broadcast is shard paths + delta (tiny), the outer side
     * streams partition-parallel with no shuffle, and per row only k=2

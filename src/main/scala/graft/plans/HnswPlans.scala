@@ -44,13 +44,16 @@ case class HnswIndexScanExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val entry = IndexCatalog.get(indexName).getOrElse(
       throw new IllegalStateException(s"HNSW index $indexName was dropped"))
-    val ef = conf.getConfString(IndexCatalog.EfSearchConfKey,
-      entry.options.efSearch.toString).toInt
+    // conf set = user-pinned ef (SET hnsw_ef_search): the sharded fan-out
+    // honors it verbatim instead of raising to the per-shard recall floor
+    val efConf = Option(conf.getConfString(IndexCatalog.EfSearchConfKey, null))
+    val ef = efConf.map(_.toInt).getOrElse(entry.options.efSearch)
+    val efPinned = efConf.isDefined
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
     val hits = entry.index match {
       // sharded: fan out to the shard artifacts, don't load them driver-side
       case sharded: graft.index.ShardedHnswIndex =>
-        sharded.searchDistributed(sparkContext, queryVec, k, ef)
+        sharded.searchDistributed(sparkContext, queryVec, k, ef, efPinned)
       case idx => idx.search(queryVec, k, ef)
     }
     val rows = hits.toSeq.map { case (rowid, dist) =>
@@ -109,8 +112,11 @@ case class HnswKnnCandidatesExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val entry = IndexCatalog.get(indexName).getOrElse(
       throw new IllegalStateException(s"HNSW index $indexName was dropped"))
-    val ef = conf.getConfString(IndexCatalog.EfSearchConfKey,
-      entry.options.efSearch.toString).toInt
+    // conf set = user-pinned ef — honored verbatim by the sharded fan-out
+    // (no per-shard floor), same resolution as HnswIndexScanExec
+    val efConf = Option(conf.getConfString(IndexCatalog.EfSearchConfKey, null))
+    val ef = efConf.map(_.toInt).getOrElse(entry.options.efSearch)
+    val efPinned = efConf.isDefined
     // session-cached broadcast (see IndexCatalog.broadcastFor): a fresh
     // broadcast per doExecute accumulated across a long session until the
     // block manager evicted the deserialized copies and every later task
@@ -162,7 +168,7 @@ case class HnswKnnCandidatesExec(
           }
           if (rows.isEmpty) Iterator.empty
           else {
-            val results = sh.searchBatch(qs.toArray, kLocal, ef)
+            val results = sh.searchBatch(qs.toArray, kLocal, ef, efPinned)
             rows.iterator.zipWithIndex.flatMap { case (r, i) => emit(r, results(i)) }
           }
         case idx =>

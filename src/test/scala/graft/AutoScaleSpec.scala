@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
-import graft.index.IndexCatalog
+import graft.index.{IndexCatalog, ShardedHnswIndex, SingleHnswIndex}
 
-/** Scale-aware build defaults (IndexCatalog.AutoScaleConfKey): the policy
-  * resolution only — which knobs scale, when, and who wins. The recall
-  * motivation is measured, not spec'd (ProfileRecall at sf10: defaults read
-  * recall@10 0.818 at ef=64 on 200k cosine vectors; M=32/efC=256 read
-  * 0.994 at ef=32 — specs stay fast by driving the threshold conf down
-  * instead of building 65k+ graphs). */
+/** Scale-aware build ROUTING (IndexCatalog.AutoScaleConfKey): the policy
+  * resolution only — when a non-sharded build routes to executor-built
+  * bounded shards, when it folds back to the faithful single graph, and
+  * that user options survive the route verbatim. The recall/build-cost
+  * motivation is measured, not spec'd (ProfileRecall at sf10; the round-14
+  * knob-raise held recall but read 23.8x per decade on build cost — specs
+  * stay fast by driving the threshold/shard-rows confs down instead of
+  * building 65k+ graphs). End-to-end recall on routed 100k data is
+  * RecallScaleSpec's job. */
 class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
@@ -26,70 +29,122 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     spark.conf.unset(IndexCatalog.AutoScaleConfKey)
     spark.conf.unset(IndexCatalog.AutoScaleThresholdConfKey)
+    spark.conf.unset(IndexCatalog.AutoShardRowsConfKey)
   }
 
-  private def built(name: String, options: Map[String, String] = Map.empty,
-      sharded: Boolean = false): graft.index.HnswOptions = {
+  private def built[T](name: String, options: Map[String, String] = Map.empty,
+      sharded: Boolean = false)(f: graft.index.IndexEntry => T): T = {
     IndexCatalog.dropIndex(name)
     val e = IndexCatalog.createIndex(spark, name, "ascale_t", "embedding",
       options, sharded = sharded)
-    val o = e.options
-    IndexCatalog.dropIndex(name)
-    o
+    try f(e) finally { IndexCatalog.dropIndex(name); () }
   }
 
-  test("conf off (default): reference defaults at any n") {
+  test("conf off (default): the faithful single graph at any n") {
     spark.conf.unset(IndexCatalog.AutoScaleConfKey)
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_off")
-    assert(o.m == 16 && o.efConstruction == 128)
+    built("ascale_off") { e =>
+      assert(e.index.isInstanceOf[SingleHnswIndex])
+      assert(e.options.m == 16 && e.options.efConstruction == 128)
+    }
   }
 
-  test("conf on above threshold: unset knobs scale to (32, 256), m0 follows 2*M") {
+  test("conf on above threshold: routed to bounded executor shards") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_on")
-    assert(o.m == IndexCatalog.AutoScaleM)
-    assert(o.efConstruction == IndexCatalog.AutoScaleEfC)
-    assert(o.m0 == 2 * IndexCatalog.AutoScaleM)
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
+    built("ascale_on") { e =>
+      val sh = e.index match {
+        case s: ShardedHnswIndex => s
+        case other => fail(s"200 rows > threshold 50 must route to a " +
+          s"sharded build, got ${other.getClass.getSimpleName}")
+      }
+      assert(sh.size == 200)
+      // every shard is bounded by the autoShardRows cap — the per-shard
+      // recall contract — even if the scan handed one task everything
+      assert(sh.shards.forall(_.count <= 64),
+        s"shard sizes ${sh.shards.map(_.count).mkString(",")} exceed the cap")
+      // reference defaults per shard, never the round-14 knob raise
+      assert(e.options.m == 16 && e.options.efConstruction == 128)
+    }
   }
 
-  test("conf on below threshold: untouched") {
+  test("conf on below threshold: folds back to a single graph with " +
+      "exact-search parity") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "1000")
-    val o = built("ascale_small")
-    assert(o.m == 16 && o.efConstruction == 128)
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
+    val q = Array(10.0f, 3.0f, 10.0f, 1.0f)
+    val folded = built("ascale_small") { e =>
+      assert(e.index.isInstanceOf[SingleHnswIndex],
+        "200 rows <= threshold 1000 must fold to a single graph")
+      assert(e.index.size == 200)
+      e.index.search(q, 5, 201).toSeq
+    }
+    spark.conf.unset(IndexCatalog.AutoScaleConfKey)
+    val direct = built("ascale_direct")(_.index.search(q, 5, 201).toSeq)
+    assert(folded == direct,
+      "exhaustive search through the folded graph must equal the direct build")
   }
 
-  test("explicit knob wins; the unset sibling still scales") {
+  test("explicit options survive the route verbatim (into every shard)") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_m", Map("m" -> "8"))
-    assert(o.m == 8)
-    assert(o.efConstruction == IndexCatalog.AutoScaleEfC)
-    val o2 = built("ascale_efc", Map("ef_construction" -> "64"))
-    assert(o2.efConstruction == 64)
-    assert(o2.m == IndexCatalog.AutoScaleM)
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
+    built("ascale_opts", Map("m" -> "8", "ef_construction" -> "64",
+        "ef_search" -> "500")) { e =>
+      assert(e.options.m == 8 && e.options.efConstruction == 64 &&
+        e.options.efSearch == 500)
+      val sh = e.index.asInstanceOf[ShardedHnswIndex]
+      // the shard ARTIFACTS carry the pinned knobs, not just the entry
+      val g = graft.index.HnswIndex.load(sh.shards.head.path)
+      assert(g.m == 8 && g.efConstruction == 64 && g.efSearch == 500)
+    }
   }
 
-  test("both knobs explicit: no count scan, nothing scales") {
+  test("routed + exhaustive ef_search option stays exact vs brute force") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_both", Map("m" -> "8", "ef_construction" -> "64"))
-    assert(o.m == 8 && o.efConstruction == 64)
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
+    val q = Array(57.0f, 1.0f, 5.0f, 1.0f)
+    val viaIndex = built("ascale_exact", Map("ef_search" -> "100000")) { e =>
+      assert(e.index.isInstanceOf[ShardedHnswIndex])
+      e.index.search(q, 5).toSeq
+    }
+    val brute = spark.table("ascale_t").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val d = graft.index.DistanceKernels.l2sq(q, v)
+        (r.getLong(0), d)
+      }.sortBy(p => (p._2, p._1)).take(5).toSeq
+    assert(viaIndex == brute)
   }
 
-  test("an explicit M0 is preserved alongside a scaled M") {
+  test("explicitly-sharded builds ignore the routing conf (numShards wins, " +
+      "no chunking)") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_m0", Map("m0" -> "12"))
-    assert(o.m == IndexCatalog.AutoScaleM && o.m0 == 12)
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "8")
+    IndexCatalog.dropIndex("ascale_sh")
+    val e = IndexCatalog.createIndex(spark, "ascale_sh", "ascale_t",
+      "embedding", Map.empty, sharded = true, numShards = 2)
+    try {
+      val sh = e.index.asInstanceOf[ShardedHnswIndex]
+      assert(sh.shards.length == 2,
+        "explicit numShards=2 must not be re-chunked by autoShardRows=8")
+      assert(e.options.m == 16 && e.options.efConstruction == 128)
+    } finally { IndexCatalog.dropIndex("ascale_sh"); () }
   }
 
-  test("sharded builds never auto-scale") {
+  test("empty table routes to the declared-dimensions empty index") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    val o = built("ascale_sh", sharded = true)
-    assert(o.m == 16 && o.efConstruction == 128)
+    Graft.registerTable(spark, "ascale_empty",
+      spark.table("ascale_t").where(lit(false)))
+    IndexCatalog.dropIndex("ascale_e")
+    val e = IndexCatalog.createIndex(spark, "ascale_e", "ascale_empty",
+      "embedding", Map("dimensions" -> "4"))
+    try assert(e.index.size == 0 && e.index.dim == 4)
+    finally { IndexCatalog.dropIndex("ascale_e"); () }
   }
 }

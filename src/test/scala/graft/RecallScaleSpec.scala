@@ -3,18 +3,19 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Opt-in (GRAFT_SLOW=1) reproduction of the two round-14 scale-recall
-  * findings WITHOUT the ephemeral scale_sf10 fixture: a copy-structured
-  * corpus (2000 deterministic base vectors × 50 signed-permutation copies =
-  * 100k cosine vectors, the same copy transform ScaleGen uses — orthogonal,
-  * so within-copy geometry is preserved and copies sit at the base rate to
+/** Opt-in (GRAFT_SLOW=1) reproduction of the round-14 scale-recall findings
+  * WITHOUT the ephemeral scale_sf10 fixture: a copy-structured corpus (2000
+  * deterministic base vectors × 50 signed-permutation copies = 100k cosine
+  * vectors, the same copy transform ScaleGen uses — orthogonal, so
+  * within-copy geometry is preserved and copies sit at the base rate to
   * each other) is exactly the input class on which fixed build defaults
   * lost the recall gate a decade up (0.818 @ ef=64 at 200k) and the sharded
   * fan-out sat on the gate edge (0.902). Pins:
   *
-  *   1. a single graph built with `graft.hnsw.autoScaleBuild` on (100k >
-  *      the 65536 threshold → M=32/efC=256) holds recall@10 ≥ 0.95 at the
-  *      DEFAULT ef=64, and reaches at least the default build's recall;
+  *   1. a graph built with `graft.hnsw.autoScaleBuild` on (100k > the
+  *      65536 threshold → ROUTED to bounded executor shards, round 15)
+  *      holds recall@10 ≥ 0.95 at the DEFAULT ef=64 through the per-shard
+  *      ef floor, with every shard bounded by autoShardRows;
   *   2. a 16-shard fan-out (6250 rows/shard, default build options — shards
   *      small by design) holds union recall@10 ≥ 0.95 AND union recall@3
   *      ≥ 0.95 at default ef through the per-shard ef floor
@@ -25,7 +26,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * recall claim on reproducible data. */
 class RecallScaleSpec extends AnyFunSuite {
 
-  test("copy-structured 100k corpus: auto-scaled single graph and floored " +
+  test("copy-structured 100k corpus: auto-routed build and floored " +
       "16-shard fan-out hold recall at default ef", SlowTest) {
     assume(sys.env.get("GRAFT_SLOW").exists(_.nonEmpty),
       "set GRAFT_SLOW=1 to run the 100k recall reproduction (~1-2 min)")
@@ -46,11 +47,17 @@ class RecallScaleSpec extends AnyFunSuite {
 
     def recallAt(index: String, k: Int, probes: Int): Double = {
       val idx = graft.index.IndexCatalog.get(index).get.index
-      val stride = math.max(1, n / probes)
+      // probe stride over the BASE id space (round-15 advice: a stride over
+      // the full n only ever matched base id 0, so every probe was a signed
+      // permutation of ONE vector); the deterministic hash order then
+      // spreads the picks across copies as well as bases
+      val stride = math.max(1, base / probes)
       val qs = spark.table("rscale_t")
         .where(col("vec_id") % 10000000L % stride === 0)
+        .orderBy(xxhash64(col("vec_id")))
         .limit(probes).collect()
         .map(_.getSeq[Float](1).toArray)
+      assert(qs.length == probes)
       var hits = 0
       qs.foreach { q =>
         val exactKth = idx.search(q, k, n + 1).last._2
@@ -61,25 +68,32 @@ class RecallScaleSpec extends AnyFunSuite {
     }
 
     try {
-      // arm 1: the auto-scaled single graph vs the default build
+      // arm 1: the auto-ROUTED build (100k > 65536 → bounded executor
+      // shards + the fan-out ef floor) vs the default single-graph build
       graft.index.IndexCatalog.createIndex(spark, "rscale_def", "rscale_t",
         "embedding", Map("metric" -> "cosine"))
       val defRecall = recallAt("rscale_def", 10, 40)
-      spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, "true")
-      val e = graft.index.IndexCatalog.createIndex(spark, "rscale_auto",
-        "rscale_t", "embedding", Map("metric" -> "cosine"))
-      spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
-      assert(e.options.m == graft.index.IndexCatalog.AutoScaleM,
-        "100k rows must trip the 65536-row auto-scale threshold")
+      // set/try/finally: a throwing build must not leak the conf into the
+      // shared TestSpark session (round-15 advice)
+      val e = try {
+        spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, "true")
+        graft.index.IndexCatalog.createIndex(spark, "rscale_auto",
+          "rscale_t", "embedding", Map("metric" -> "cosine"))
+      } finally spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
+      val sh = e.index match {
+        case s: graft.index.ShardedHnswIndex => s
+        case other => fail(s"100k rows must trip the 65536-row threshold " +
+          s"and route to a sharded build, got ${other.getClass.getSimpleName}")
+      }
+      assert(sh.shards.forall(_.count <= 16384),
+        "routed shards must respect the autoShardRows bound")
       val autoRecall = recallAt("rscale_auto", 10, 40)
-      info(f"single graph recall@10 at default ef: default-build " +
-        f"$defRecall%.3f, auto-scaled $autoRecall%.3f")
+      info(f"recall@10 at default ef: default single build $defRecall%.3f, " +
+        f"auto-routed (${sh.shards.length} shards) $autoRecall%.3f")
       assert(autoRecall >= 0.95,
-        f"auto-scaled single graph recall $autoRecall%.3f < 0.95")
-      assert(autoRecall + 1e-9 >= defRecall,
-        "auto-scaled build must not lose recall vs the default build")
+        f"auto-routed build recall $autoRecall%.3f < 0.95")
 
-      // arm 2: the sharded fan-out with the per-shard ef floor
+      // arm 2: the explicit sharded fan-out with the per-shard ef floor
       graft.index.IndexCatalog.createIndex(spark, "rscale_sh", "rscale_t",
         "embedding", Map("metric" -> "cosine"),
         sharded = true, numShards = 16)

@@ -49,6 +49,16 @@ class FanoutEfSpec extends AnyFunSuite {
     assert(ShardedHnswIndex.fanoutEf(g, k = 10, ef = 1) == 60)
   }
 
+  test("a user-PINNED ef is honored below the floor (explicit options win)") {
+    val g = graph(33) // unpinned floor at k=3 would be max(3,10)*6 = 60
+    assert(ShardedHnswIndex.fanoutEf(g, k = 3, ef = 8, efPinned = true) == 8)
+    // only the structural max(ef, k) survives a pin: fewer than k
+    // candidates per shard would silently truncate the merge
+    assert(ShardedHnswIndex.fanoutEf(g, k = 12, ef = 8, efPinned = true) == 12)
+    // a pin with NO explicit value still resolves the shard default, unfloored
+    assert(ShardedHnswIndex.fanoutEf(g, k = 3, ef = -1, efPinned = true) == 64)
+  }
+
   test("exhaustive callers (ef >= n) pass through unchanged") {
     val g = graph(20)
     assert(ShardedHnswIndex.fanoutEf(g, k = 10, ef = 21) == math.max(21, 50))
