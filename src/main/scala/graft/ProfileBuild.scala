@@ -47,23 +47,87 @@ object ProfileBuild {
         f"heapUsed=${(rt.totalMemory - rt.freeMemory) >> 20}M")
       return
     }
+    if (args.headOption.contains("kernel")) {
+      // microbench: double-accum (oracle-exact) vs float-accum (build-only)
+      val dim = args.lift(1).map(_.toInt).getOrElse(64)
+      val n = 4096
+      val rnd = new scala.util.Random(7)
+      val vs = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+      def floatL2(a: Array[Float], b: Array[Float]): Float = {
+        var acc = 0f; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      def floatL2u4(a: Array[Float], b: Array[Float]): Float = {
+        var a0 = 0f; var a1 = 0f; var a2 = 0f; var a3 = 0f
+        var i = 0
+        val lim = a.length - 3
+        while (i < lim) {
+          val d0 = a(i) - b(i); val d1 = a(i + 1) - b(i + 1)
+          val d2 = a(i + 2) - b(i + 2); val d3 = a(i + 3) - b(i + 3)
+          a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3
+          i += 4
+        }
+        while (i < a.length) { val d = a(i) - b(i); a0 += d * d; i += 1 }
+        a0 + a1 + a2 + a3
+      }
+      var sinkD = 0.0; var sinkF = 0f; var sinkU = 0f
+      (1 to 3).foreach { rep =>
+        var t0 = System.nanoTime()
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { sinkD += graft.index.DistanceKernels.l2sq(vs(i), vs(j)); j += 1 }
+          i += 1
+        }
+        val td = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { sinkF += floatL2(vs(i), vs(j)); j += 1 }
+          i += 1
+        }
+        val tf = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { sinkU += floatL2u4(vs(i), vs(j)); j += 1 }
+          i += 1
+        }
+        val tu = (System.nanoTime() - t0) / 1e9
+        val evals = n.toLong * n
+        println(f"[kernel] rep=$rep dim=$dim double=${evals / td / 1e6}%.0f " +
+          f"float=${evals / tf / 1e6}%.0f floatU4=${evals / tu / 1e6}%.0f Mevals/s " +
+          f"(U4 ${td / tu}%.2fx over double)")
+      }
+      println(s"[kernel] sinks $sinkD $sinkF $sinkU")
+      return
+    }
+    // sweep args: [n] [dim] [m] [efC] [threadList] — defaults match the
+    // original 2000-row dim-64 reference-knob sweep
     val n = args.headOption.map(_.toInt).getOrElse(2000)
-    val dim = 64
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val m = args.lift(2).map(_.toInt).getOrElse(16)
+    val efC = args.lift(3).map(_.toInt).getOrElse(128)
+    val threadList = args.lift(4).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 8, 16, 32))
     val rnd = new scala.util.Random(42)
     val items = Array.tabulate(n)(i =>
       (i.toLong, Array.fill(dim)(rnd.nextFloat())))
-    Seq(1, 8, 16, 32).foreach { threads =>
+    threadList.foreach { threads =>
       (1 to 2).foreach { rep =>
         val t0 = System.nanoTime()
-        val idx = new HnswIndex(dim, "l2sq", 16, 32, 128, 64)
+        val idx = new HnswIndex(dim, "l2sq", m, 2 * m, efC, 64)
         idx.addAll(items.iterator, threads)
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[build] n=$n threads=$threads rep=$rep ${dt}%.3f s " +
+        println(f"[build] n=$n dim=$dim m=$m efC=$efC threads=$threads rep=$rep ${dt}%.3f s " +
           f"(${n / dt}%.0f vec/s)")
         val ph = idx.buildPhaseNanos
         def s(i: Int): Double = ph.get(i) / 1e9
-        println(f"[build]   phases (thread-sec): allocW=${s(0)}%.2f allocH=${s(1)}%.2f " +
-          f"searchW=${s(2)}%.2f searchH=${s(3)}%.2f linkW=${s(4)}%.2f linkH=${s(5)}%.2f")
+        println(f"[build]   phases: sweep=${s(0)}%.2f tail=${s(1)}%.2f (wall) | " +
+          f"searchW=${s(2)}%.2f searchH=${s(3)}%.2f linkW=${s(4)}%.2f linkH=${s(5)}%.2f (thread-sec)")
       }
     }
   }

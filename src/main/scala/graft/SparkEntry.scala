@@ -369,14 +369,17 @@ object SparkEntry {
       }
     }
 
-    /** Scale-aware build defaults, scoped to one build: session-wide the
+    /** Scale-aware build arm, scoped to one build: session-wide the
       * conf would silently change LATER same-session builds (q19 creates a
       * fresh index per measured run; the reference-replay specs assert
-      * M-dependent block counts) — set, build, restore. */
-    private def withAutoScale[T](s: SparkSession)(body: => T): T = {
+      * M-dependent block counts) — set, build, restore. `mode` selects the
+      * arm (IndexCatalog.AutoScaleConfKey): "true"/"knobs" raises build
+      * knobs on the single graph (probe-heavy consumers), "route" builds
+      * bounded executor shards (build/DML-bound consumers). */
+    private def withAutoScale[T](s: SparkSession, mode: String = "true")(body: => T): T = {
       val key = graft.index.IndexCatalog.AutoScaleConfKey
       val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
+      s.conf.set(key, mode)
       try body
       finally prev match {
         case Some(v) => s.conf.set(key, v)
@@ -990,13 +993,17 @@ object SparkEntry {
       * create index → INSERT (clones shifted +100000) → DELETE (every 7th
       * vec_id) → compact → index-accelerated top-k over the survivors. */
     def q19IndexCrud(s: SparkSession, dir: String): DataFrame = {
-      // auto-routed build (no-op below the 65536 threshold — every graded
-      // sf up to sf1 builds the same single graph as before; at sf10 the
-      // per-run CREATE INDEX becomes an executor-sharded build instead of
-      // a 200k-row driver graph). ef_search >= n keeps every path — single,
-      // sharded fan-out, delta merge — exhaustive, so the DuckDB oracle
-      // still applies exactly.
-      withAutoScale(s) {
+      // auto-ROUTED build (the conf's "route" arm — q19 is the build/DML-
+      // bound shape: one CREATE INDEX + CRUD per run, k=10 probes, so the
+      // sharded fan-out's per-probe premium never matters while the build
+      // and compact dominate). Below the 65536 threshold the route folds
+      // back to the same single graph as before — every graded sf up to
+      // sf1 is unchanged; at sf10 the per-run CREATE INDEX becomes an
+      // executor-sharded build instead of a 200k-row driver graph
+      // (measured 36.9 -> ~13 s warm). ef_search >= n keeps every path —
+      // single, sharded fan-out, delta merge — exhaustive, so the DuckDB
+      // oracle still applies exactly.
+      withAutoScale(s, "route") {
         setupIndex(s, dir, "q19_emb", "q19_idx", Map("ef_search" -> "100000"))
       }
       val ins = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)

@@ -132,6 +132,18 @@ class HnswIndex(
       case _ => -DistanceKernels.dot(a, b)
     }
 
+  /** Build-side distance: float-accumulating kernels (~1.6x faster,
+    * measured). Used ONLY for graph construction decisions (neighbor
+    * search/selection/prune/repair) — never for a distance that reaches a
+    * search result, which always comes from the oracle-exact [[dist]]. */
+  private def distB(a: Array[Float], b: Array[Float]): Double =
+    metricId match {
+      case 0 => DistanceKernels.l2sqF(a, b)
+      case 1 => math.sqrt(DistanceKernels.l2sqF(a, b))
+      case 2 => DistanceKernels.cosineDistanceF(a, b)
+      case _ => -DistanceKernels.dotF(a, b)
+    }
+
   private val mL: Double = 1.0 / math.log(m.toDouble)
 
   /** Level draw for a key: the paper's geometric draw, but from a splitmix64
@@ -203,7 +215,7 @@ class HnswIndex(
     }
 
     var ep = entryPoint
-    var epDist = dist(vec, vecs(ep))
+    var epDist = distB(vec, vecs(ep))
     // greedy descent through levels above the node's level
     var l = topLevel
     while (l > level) {
@@ -214,7 +226,7 @@ class HnswIndex(
         var i = 0
         while (i < nbrs.length) {
           val cand = nbrs(i)
-          val d = dist(vec, vecs(cand))
+          val d = distB(vec, vecs(cand))
           if (d < epDist) { ep = cand; epDist = d; changed = true }
           i += 1
         }
@@ -227,7 +239,7 @@ class HnswIndex(
     var eps = List((epDist, ep))
     while (lev >= 0) {
       val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
-      val selected = selectNeighborsHeuristic(vec, found, m)
+      val selected = selectNeighborsHeuristic(vec, found, m, presorted = true)
       val nbrs = neighbors(id)(lev)
       selected.foreach { case (_, nid) => nbrs.add(nid) }
       // bidirectional links + shrink
@@ -352,8 +364,35 @@ class HnswIndex(
     val linkQueue = new java.util.concurrent.ConcurrentLinkedQueue[LinkPlan]()
     val pending = new java.util.concurrent.atomic.AtomicInteger(0)
     val combining = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val DrainAt = 64 // soft: trip a combine
-    val QueueCap = 256 // hard: backpressure so the invisible window is bounded
+    // Both thresholds scale with the in-flight volume (threads × batch):
+    // fixed values measured badly at 32 threads on 200k dim-64 rows.
+    // Parking mechanics on the non-fair rwlock: each combine QUEUES a
+    // writer, which must wait out every in-flight read batch (~26 ms at
+    // efC=256), and while it waits EVERY arriving reader parks — so parked
+    // time ≈ combines × threads × (batch hold)/2. DrainAt=64 meant a
+    // combine every ~2 batches: 472-540 THREAD-SECONDS parked per 200k
+    // build, 40%+ of all thread time (measured, buildPhaseNanos). Scaling
+    // DrainAt with threads×batch makes combines ~32× rarer; the writer
+    // drains a longer queue per acquisition (~5 µs/plan — still a short
+    // hold). QueueCap (hard backpressure) must sit well above DrainAt or
+    // the cap loop spin-yields (uncounted idle measured when batch grew
+    // past a fixed cap). The cap still bounds the mutually-invisible
+    // window; the tail heal below derives its window from the same
+    // expression.
+    // DrainAt = threads x batch, not higher: the drain cohort is a
+    // mutually-INVISIBLE span (items combined together never searched each
+    // other), and only the final cohort gets the tail heal — at 4x
+    // threads*batch the q80-shape knn gate on a 200k M=32 build slipped to
+    // 0.947 (vs 1.000 at tight cohorts), so the window is a recall knob,
+    // not just a latency one. threads*batch keeps combines ~4x rarer than
+    // the old fixed 64 (the parking reduction) at a cohort the implicit
+    // mid-build heal still covers.
+    val DrainAt = math.max(64, numThreads * BatchSize) // soft: trip a combine
+    // 2x, not 4x: the cap feeds the tail-heal window below, and pending
+    // rarely exceeds DrainAt anyway (combines fire there) — a looser cap
+    // just made relinkTail re-search a wider window for nothing (measured
+    // 5 s of tail at cap=4xDrainAt on a 200k build)
+    val QueueCap = DrainAt * 2 // hard backpressure
     def tryCombine(): Boolean = {
       if (!combining.compareAndSet(false, true)) return false
       val w = rwLock.writeLock()
@@ -410,6 +449,7 @@ class HnswIndex(
     // vectors are immutable), restoring the ≤cap invariant the incremental
     // path maintains — with full candidate sets, so quality matches or
     // beats prune-on-every-overflow.
+    val tSweep = System.nanoTime()
     val sweepPool = java.util.concurrent.Executors.newFixedThreadPool(numThreads)
     val nNodes = keys.size
     (0 until numThreads).foreach { t =>
@@ -443,10 +483,13 @@ class HnswIndex(
     // window covers the worst-case mutually-invisible span of the combining
     // design: a full queue plus every thread's in-flight batch (QueueCap by
     // name: raising the cap must widen the heal window with it)
+    buildPhaseNanos.addAndGet(PhSweep, System.nanoTime() - tSweep)
+    val tTail = System.nanoTime()
     val tailWindow =
       math.min(QueueCap + numThreads * BatchSize * 2, keys.size)
     relinkTail(keys.size - tailWindow, keys.size, numThreads)
     repairConnectivity()
+    buildPhaseNanos.addAndGet(PhTail, System.nanoTime() - tTail)
   }
 
   /** Re-run the neighbor search + bidirectional link step for ids
@@ -464,7 +507,7 @@ class HnswIndex(
       val vec = vecs(id)
       val level = nodeLevel(id)
       var ep = entryPoint
-      var epDist = dist(vec, vecs(ep))
+      var epDist = distB(vec, vecs(ep))
       var l = topLevel
       while (l > level) {
         var changed = true
@@ -474,7 +517,7 @@ class HnswIndex(
           var i = 0
           while (i < nbrs.length) {
             val cand = nbrs(i)
-            val d = dist(vec, vecs(cand))
+            val d = distB(vec, vecs(cand))
             if (d < epDist) { ep = cand; epDist = d; changed = true }
             i += 1
           }
@@ -486,7 +529,8 @@ class HnswIndex(
       var acc: List[(Int, List[(Double, Int)])] = Nil
       while (lev >= 0) {
         val found = searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
-        val selected = selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m)
+        val selected = selectNeighborsHeuristic(vec, found.filterNot(_._2 == id), m,
+          presorted = true)
         acc = (lev, selected) :: acc
         eps = found
         lev -= 1
@@ -637,7 +681,7 @@ class HnswIndex(
       protectedIn: mutable.HashMap[Int, mutable.HashSet[Int]]): Unit = {
     val vec = vecs(u)
     var ep = entryPoint
-    var epDist = dist(vec, vecs(ep))
+    var epDist = distB(vec, vecs(ep))
     var l = topLevel
     while (l > 0) {
       var changed = true
@@ -648,7 +692,7 @@ class HnswIndex(
         while (i < nbrs.length) {
           val cand = nbrs(i)
           if (seen(cand)) {
-            val d = dist(vec, vecs(cand))
+            val d = distB(vec, vecs(cand))
             if (d < epDist) { ep = cand; epDist = d; changed = true }
           }
           i += 1
@@ -688,8 +732,8 @@ class HnswIndex(
     var i = 0
     while (i < nbrs.length) {
       val x = nbrs(i)
-      if (prot.contains(x)) kept = (dist(nv, vecs(x)), x) :: kept
-      else cands = (dist(nv, vecs(x)), x) :: cands
+      if (prot.contains(x)) kept = (distB(nv, vecs(x)), x) :: kept
+      else cands = (distB(nv, vecs(x)), x) :: cands
       i += 1
     }
     val room = math.max(cap - kept.size, 0)
@@ -708,11 +752,13 @@ class HnswIndex(
       selected: List[(Int, List[(Double, Int)])])
 
   /** Build-phase telemetry (nanos summed across builder threads; wait =
-    * time parked acquiring the lock, hold = time inside it). Written by the
-    * concurrent build, read by ProfileBuild — steady-state cost is a
-    * handful of nanoTime calls per batch/drain. */
+    * time parked acquiring the lock, hold = time inside it; slots 0/1 are
+    * the single-threaded WALL time of the post-pool tail — prune sweep and
+    * relink+repair). Written by the concurrent build, read by ProfileBuild
+    * — steady-state cost is a handful of nanoTime calls per batch/drain. */
   @transient lazy val buildPhaseNanos =
     new java.util.concurrent.atomic.AtomicLongArray(6)
+  private final val PhSweep = 0; private final val PhTail = 1
   private final val PhSearchWait = 2; private final val PhSearchHold = 3
   private final val PhLinkWait = 4; private final val PhLinkHold = 5
 
@@ -737,7 +783,7 @@ class HnswIndex(
           s"vector dimension ${vec.length} != index dimension $dim")
         val level = levelFor(key)
         var ep = entryPoint
-        var epDist = dist(vec, vecs(ep))
+        var epDist = distB(vec, vecs(ep))
         var l = topLevel
         while (l > level) {
           var changed = true
@@ -747,7 +793,7 @@ class HnswIndex(
             var j = 0
             while (j < nbrs.length) {
               val cand = nbrs(j)
-              val d = dist(vec, vecs(cand))
+              val d = distB(vec, vecs(cand))
               if (d < epDist) { ep = cand; epDist = d; changed = true }
               j += 1
             }
@@ -760,7 +806,7 @@ class HnswIndex(
         while (lev >= 0) {
           val found =
             searchLayer(vec, eps, efConstruction, lev, includeTombstones = true)
-          val selected = selectNeighborsHeuristic(vec, found, m)
+          val selected = selectNeighborsHeuristic(vec, found, m, presorted = true)
           acc = (lev, selected) :: acc
           eps = found
           lev -= 1
@@ -815,7 +861,7 @@ class HnswIndex(
     var i = 0
     while (i < nbrs.length) {
       val x = nbrs(i)
-      cands = (dist(nv, vecs(x)), x) :: cands
+      cands = (distB(nv, vecs(x)), x) :: cands
       i += 1
     }
     val pruned = selectNeighborsHeuristic(nv, cands, cap)
@@ -828,22 +874,56 @@ class HnswIndex(
     if (level < arr.length) arr(level) else IntVec.empty
   }
 
+  /** Per-thread stamped visited set, reused across every searchLayer call:
+    * `stamps(id) == epoch` means visited in the CURRENT search. A fresh
+    * BitSet per beam search was O(maxId/8) bytes of allocation per call —
+    * at 200k nodes that is ~25 KB × (levels × inserts) calls ≈ 10+ GB of
+    * pure GC churn per bulk build, the dominant build-cost term a profiler
+    * can't see in CPU samples. ThreadLocal because builds run the beam on
+    * N threads concurrently (each thread's array grows to the node count
+    * it has seen; epoch wrap resets to a zeroed array). */
+  private final class VisitStamp {
+    var stamps: Array[Int] = new Array[Int](1024)
+    var epoch: Int = 0
+    /** Start a new search over ids < n; returns the epoch to test with. */
+    def begin(n: Int): Int = {
+      if (stamps.length < n) {
+        val grown = new Array[Int](math.max(n, stamps.length << 1))
+        // fresh array is all-0; epoch below is >= 1, so nothing reads visited
+        stamps = grown
+      }
+      epoch += 1
+      if (epoch == Int.MaxValue) { // wrap: zeroed array restores the invariant
+        stamps = new Array[Int](stamps.length)
+        epoch = 1
+      }
+      epoch
+    }
+  }
+  @transient private lazy val visitStamps =
+    ThreadLocal.withInitial[VisitStamp](() => new VisitStamp)
+
   /** Best-first beam search on one layer (Algorithm 2 of the paper). Returns
     * up to ef (distance, id) pairs, ascending by distance. `allowed`
     * (nullable) restricts expansion to flagged nodes — used by the
-    * connectivity repair to search only the reachable component. */
+    * connectivity repair to search only the reachable component.
+    * `exact = true` (the QUERY path) scores with the oracle-exact double
+    * kernels — its distances reach search results; build/repair callers
+    * default to the float build kernels. */
   private def searchLayer(q: Array[Float], entryPoints: List[(Double, Int)], ef: Int,
       level: Int, includeTombstones: Boolean,
-      allowed: Array[Boolean] = null): List[(Double, Int)] = {
+      allowed: Array[Boolean] = null, exact: Boolean = false): List[(Double, Int)] = {
     // Primitive parallel-array heaps (boxed tuple PriorityQueues allocated
     // per visited node and dominated the construct phase):
     // candidates = min-heap by distance, results = max-heap capped at ef.
-    val visited = mutable.BitSet.empty
+    val vs = visitStamps.get()
+    val epoch = vs.begin(keys.size)
+    val stamps = vs.stamps
     val cand = new PairHeap(64, min = true)
     val res = new PairHeap(ef + 1, min = false)
     entryPoints.foreach { case (d, id) =>
-      if (!visited.contains(id)) {
-        visited += id
+      if (stamps(id) != epoch) {
+        stamps(id) = epoch
         cand.push(d, id)
         res.push(d, id)
       }
@@ -861,9 +941,9 @@ class HnswIndex(
         var i = 0
         while (i < nbrs.length) {
           val nid = nbrs(i)
-          if (!visited.contains(nid) && (allowed == null || allowed(nid))) {
-            visited += nid
-            val d = dist(q, vecs(nid))
+          if (stamps(nid) != epoch && (allowed == null || allowed(nid))) {
+            stamps(nid) = epoch
+            val d = if (exact) dist(q, vecs(nid)) else distB(q, vecs(nid))
             if (res.size < ef || d < res.topDist) {
               cand.push(d, nid)
               res.push(d, nid)
@@ -887,8 +967,11 @@ class HnswIndex(
     * keep a candidate only if it is closer to the query than to every
     * already-kept neighbor. */
   private def selectNeighborsHeuristic(q: Array[Float], candidates: List[(Double, Int)],
-      k: Int): List[(Double, Int)] = {
-    val sorted = candidates.sortBy(_._1)
+      k: Int, presorted: Boolean = false): List[(Double, Int)] = {
+    // searchLayer output is already ascending — re-sorting a 256-element
+    // list per (insert × level) was a measurable slice of the build's
+    // search-phase time
+    val sorted = if (presorted) candidates else candidates.sortBy(_._1)
     val kept = mutable.ArrayBuffer.empty[(Double, Int)]
     val it = sorted.iterator
     while (it.hasNext && kept.length < k) {
@@ -896,7 +979,7 @@ class HnswIndex(
       var diverse = true
       var i = 0
       while (diverse && i < kept.length) {
-        if (dist(vecs(id), vecs(kept(i)._2)) < d) diverse = false
+        if (distB(vecs(id), vecs(kept(i)._2)) < d) diverse = false
         i += 1
       }
       if (diverse) kept += ((d, id))
@@ -941,7 +1024,8 @@ class HnswIndex(
       }
       l -= 1
     }
-    val found = searchLayer(q, List((epDist, ep)), effEf, 0, includeTombstones = true)
+    val found = searchLayer(q, List((epDist, ep)), effEf, 0,
+      includeTombstones = true, exact = true)
     found.iterator
       .filterNot { case (_, id) => tombstones.contains(id) }
       .take(k)

@@ -100,43 +100,58 @@ object IndexCatalog {
 
   val EfSearchConfKey = "graft.hnsw.efSearch"
 
-  /** Opt-in scale-aware build ROUTING (`graft.hnsw.autoScaleBuild`).
+  /** Opt-in scale-aware builds (`graft.hnsw.autoScaleBuild`), two arms for
+    * two workload shapes. Fixed single-graph builds do not hold RECALL
+    * across scale decades: measured with ProfileRecall on the sf10 fixture
+    * (200k cosine vectors, dim 64), the reference defaults
+    * M=16/ef_construction=128 read recall@10 0.818 at ef=64 (vs 0.964 at
+    * 20k and 0.952 at 2k with the SAME defaults), and raising search ef
+    * cannot buy it back cheaply (0.966 at ef=512 — the graph itself is the
+    * bottleneck). The arms:
     *
-    * Fixed single-graph builds do not survive scale decades on either axis:
-    *  - RECALL: measured with ProfileRecall on the sf10 fixture (200k cosine
-    *    vectors, dim 64), the reference defaults M=16/ef_construction=128
-    *    read recall@10 0.818 at ef=64 (vs 0.964 at 20k and 0.952 at 2k with
-    *    the SAME defaults), and raising search ef cannot buy it back cheaply
-    *    (0.966 at ef=512 — the graph itself is the bottleneck).
-    *  - BUILD COST: the round-14 fix raised the build knobs to M=32/efC=256
-    *    over a threshold, which held recall (0.994 at ef=32) but made the
-    *    driver-built graph the suite's only super-linear entry (75 s for
-    *    200k, 23.8x per 10x data — round-14 verdict); at 100x the
-    *    driver-resident single graph is the wrong operator entirely.
+    *  - `"true"` / `"knobs"` — PROBE-HEAVY consumers (KNN joins over the
+    *    whole table, q86/q87-class mining): a single graph whose per-probe
+    *    cost does not multiply by a shard count is worth a heavier build,
+    *    so knobs the user did not pin are raised to at least
+    *    (M=32, ef_construction=256) past the threshold — measured 0.994
+    *    recall@10 at ef=32 where defaults read 0.818; the intermediate
+    *    grid fails the gate (M=32/efC=192 reads 0.962, efC=160 0.929,
+    *    M=24/efC=192 0.919 — and efC reductions barely buy build time
+    *    anyway, the build being latency- not flop-bound). The build cost
+    *    of the raise was round-14's one super-linear entry and is
+    *    re-engineered in round 15: float build kernels, lock-combining at
+    *    scaled drain thresholds, 32 build threads — 66 -> 27 s for the
+    *    200k build, measured (ProfileBuild phases). The threshold decision
+    *    buffers the FIRST threshold+1 stream rows instead of running a
+    *    count() pre-pass — one scan per build, and the buffer is strictly
+    *    smaller than the graph the driver is about to hold anyway.
     *
-    * So when this conf is true, a NON-sharded build is ROUTED: one Spark
-    * scan builds bounded sub-graphs on the executors (REFERENCE defaults
-    * per shard — small shards are exactly why sharded recall holds, plus
-    * the per-shard ef floor, ShardedHnswIndex.fanoutEf). If the scan turns
-    * out to hold at most `graft.hnsw.autoScaleThreshold` rows (default
-    * 65536 — measured recall holds with fixed defaults there), the shard
-    * artifacts are folded locally into the faithful driver-resident single
-    * graph — no second scan, no driver count() pre-pass: the threshold
-    * decision reads the shard build's own row counts. Per-shard size is
-    * bounded by `graft.hnsw.autoShardRows` (default 16384: the round-14
-    * fan-out measurements read union recall@10 0.976+ at 12.5k-row shards
-    * with the floored ef) whatever the scan's partitioning.
+    *  - `"route"` — BUILD/DML-BOUND consumers (CRUD-heavy indexes, point
+    *    lookups): one Spark scan builds bounded sub-graphs on the
+    *    executors (reference defaults per shard — small shards are exactly
+    *    why sharded recall holds, plus the per-shard ef floor,
+    *    ShardedHnswIndex.fanoutEf; measured gates 1.000/1.000 at sf10).
+    *    Under-threshold scans fold the shard artifacts locally into the
+    *    faithful single graph — the threshold decision reads the shard
+    *    build's own row counts, again one scan. Per-shard size is bounded
+    *    by `graft.hnsw.autoShardRows` (default 16384) whatever the scan's
+    *    partitioning. NOT the default arm for probe-heavy work: an
+    *    all-rows KNN join pays shards x the floored per-shard beam per
+    *    probe (measured 14x on q86's 200k-probe join).
     *
-    * OFF by default: the reference builds one graph with its fixed defaults
-    * at every n, and its replayed storage tests (hnsw_reclaim_storage at 1M
-    * rows) assert block counts that depend on the single-graph layout —
-    * bit-parity wins by default, the 100 TB pipeline surface opts in.
-    * Explicit options (metric/M/M0/ef_*) are preserved verbatim in every
-    * routed shard. Explicitly-sharded builds are untouched: their per-shard
-    * n is the operator's numShards choice. */
+    * OFF by default: the reference builds one graph with its fixed
+    * defaults at every n, and its replayed storage tests
+    * (hnsw_reclaim_storage at 1M rows) assert block counts that depend on
+    * the single-graph layout — bit-parity wins by default, the 100 TB
+    * pipeline surface opts in. Explicit options always win: both build
+    * knobs pinned disables the raise; pinned knobs ride into every routed
+    * shard verbatim. Explicitly-sharded builds are untouched: their
+    * per-shard n is the operator's numShards choice. */
   val AutoScaleConfKey = "graft.hnsw.autoScaleBuild"
   val AutoScaleThresholdConfKey = "graft.hnsw.autoScaleThreshold"
   val AutoShardRowsConfKey = "graft.hnsw.autoShardRows"
+  val AutoScaleM = 32
+  val AutoScaleEfC = 256
 
   /** Where shard artifacts land (shared storage at cluster scale). */
   def indexArtifactDir: String =
@@ -237,9 +252,20 @@ object IndexCatalog {
     // scan's partitioning (one shard per partition otherwise)
     val pairs = if (sharded && numShards > 0) pairs0.repartition(numShards) else pairs0
 
-    val autoRoute = !sharded &&
-      spark.conf.getOption(AutoScaleConfKey).exists(_.toBoolean)
+    // scale-aware build arm (see AutoScaleConfKey doc): "knobs" for
+    // probe-heavy single graphs, "route" for build/DML-bound fan-out
+    val autoMode =
+      if (sharded) "off"
+      else spark.conf.getOption(AutoScaleConfKey).map(_.toLowerCase) match {
+        case Some("route") => "route"
+        case Some(v) if v == "true" || v == "knobs" => "knobs"
+        case _ => "off"
+      }
+    val explicitKeys = options.keySet.map(_.toLowerCase)
+    val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
+      .map(_.toLong).getOrElse(65536L)
 
+    var effOpts = opts
     val index: VectorIndex =
       if (sharded) {
         val metas = buildShardMetas(pairs,
@@ -247,12 +273,40 @@ object IndexCatalog {
         if (metas.isEmpty) {
           emptyIndexOrThrow(table, opts)
         } else new ShardedHnswIndex(metas)
-      } else if (autoRoute) {
+      } else if (autoMode == "knobs" &&
+          !(explicitKeys("m") && explicitKeys("ef_construction"))) {
+        // One-scan threshold probe: buffer the stream until threshold+1
+        // rows decide the raise — no count() pre-pass, and the buffer is
+        // strictly smaller than the graph the driver is about to hold.
+        val it = pairs.toLocalIterator()
+        if (!it.hasNext) emptyIndexOrThrow(table, opts)
+        else {
+          val probe = math.min(threshold, Int.MaxValue - 8L).toInt
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+          while (it.hasNext && buf.size <= probe) {
+            val r = it.next()
+            buf += ((r.getLong(0), r.getSeq[Float](1).toArray))
+          }
+          if (buf.size > probe) {
+            effOpts = opts.copy(
+              m = if (explicitKeys("m")) opts.m else math.max(opts.m, AutoScaleM),
+              efConstruction =
+                if (explicitKeys("ef_construction")) opts.efConstruction
+                else math.max(opts.efConstruction, AutoScaleEfC))
+          }
+          val rest = new Iterator[(Long, Array[Float])] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Array[Float]) = {
+              val r = it.next()
+              (r.getLong(0), r.getSeq[Float](1).toArray)
+            }
+          }
+          buildSingle(buf.iterator ++ rest, effOpts)
+        }
+      } else if (autoMode == "route") {
         // Scale-routed build (see AutoScaleConfKey doc): ONE scan builds
         // bounded executor shards; the threshold decision reads the shard
         // metas' own row counts, so no extra count() pre-pass ever fires.
-        val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
-          .map(_.toLong).getOrElse(65536L)
         val shardRows = spark.conf.getOption(AutoShardRowsConfKey)
           .map(_.toInt).getOrElse(16384)
         // parallelism guard for under-partitioned scans (a local bench's
@@ -284,7 +338,16 @@ object IndexCatalog {
         val it = pairs.toLocalIterator()
         if (!it.hasNext) {
           emptyIndexOrThrow(table, opts)
-        } else buildSingle(it, opts)
+        } else {
+          val rows = new Iterator[(Long, Array[Float])] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Array[Float]) = {
+              val r = it.next()
+              (r.getLong(0), r.getSeq[Float](1).toArray)
+            }
+          }
+          buildSingle(rows, opts)
+        }
       }
 
     // optimizedPlan, matching refreshTablePlans/restore: an index created on
@@ -292,8 +355,9 @@ object IndexCatalog {
     // filter) must store the same OPTIMIZED shape the rewrite rules see in
     // query subtrees — the analyzed view would never sameResult-match and the
     // index would silently fall back to full scans until the next DML
-    // happened to refresh it.
-    val entry = IndexEntry(name, table, column, opts, index,
+    // happened to refresh it. `effOpts` carries a knob-arm raise so
+    // pragma_hnsw_index_info and restores describe the graph actually built.
+    val entry = IndexEntry(name, table, column, effOpts, index,
       df.queryExecution.optimizedPlan, rowidCol)
     entries(name) = entry
     entry
@@ -357,20 +421,13 @@ object IndexCatalog {
     * re-links them through the parallel bulk build; the key-hashed level
     * draw makes the result equivalent to a direct single build over the
     * same key set (order-independent levels, capacity-padded artifact). */
-  private def foldToSingle(metas: Array[ShardMeta], opts: HnswOptions): VectorIndex = {
-    val pairs = metas.iterator.flatMap { m =>
+  private def foldToSingle(metas: Array[ShardMeta], opts: HnswOptions): VectorIndex =
+    buildSingle(metas.iterator.flatMap { m =>
       val g = HnswIndex.load(m.path)
       val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](m.count)
       g.forEachLive((k, v) => buf += ((k, v)))
       buf.iterator
-    }
-    val first = pairs.next()
-    val idx = new HnswIndex(first._2.length, opts.metric, opts.m, opts.m0,
-      opts.efConstruction, opts.efSearch)
-    idx.add(first._1, first._2)
-    idx.addAll(pairs, math.min(16, Runtime.getRuntime.availableProcessors()))
-    new SingleHnswIndex(idx)
-  }
+    }, opts)
 
   /** Empty-table index: legal when `dimensions` is declared (the reference
     * reads N off the FLOAT[N] column type and happily builds an empty index,
@@ -385,25 +442,26 @@ object IndexCatalog {
           "(declare WITH (dimensions = N) to create an empty index)")
     }
 
-  private def buildSingle(it: java.util.Iterator[Row], opts: HnswOptions): VectorIndex = {
-    val first = it.next()
-    val firstVec = first.getSeq[Float](1).toArray
+  /** Parallel driver-side single-graph build over a (key, vector) stream —
+    * the reference's two-phase bulk build
+    * (reference src/hnsw/hnsw_index_physical_create.cpp:283-306). */
+  private def buildSingle(it: Iterator[(Long, Array[Float])],
+      opts: HnswOptions): VectorIndex = {
+    val (firstKey, firstVec) = it.next()
     val idx = new HnswIndex(firstVec.length, opts.metric, opts.m, opts.m0,
       opts.efConstruction, opts.efSearch)
-    idx.add(first.getLong(0), firstVec)
-    // 16 threads: the flat-combining addAll is within ~20% of its best at
-    // 16 on random dim-64 input (8.5k vs 10.5k vec/s at 32) and 1.6x FASTER
-    // at 16 on adversarial collinear input (26.6k vs 16k at 1M x dim-3,
-    // where searches are cheap and the combiner's serial share dominates)
-    val threads = math.min(16, Runtime.getRuntime.availableProcessors())
-    val rows = new Iterator[(Long, Array[Float])] {
-      def hasNext: Boolean = it.hasNext
-      def next(): (Long, Array[Float]) = {
-        val row = it.next()
-        (row.getLong(0), row.getSeq[Float](1).toArray)
-      }
-    }
-    idx.addAll(rows, threads)
+    idx.add(firstKey, firstVec)
+    // Thread count by WORK PER INSERT: at heavy knobs (M>=32 or efC>=256 —
+    // the scale-raised builds) the beam search dominates and 32 threads
+    // measured 1.6x faster than 16 on 200k dim-64 rows (37 vs 58 s,
+    // ProfileBuild phases); at the reference defaults the combiner's
+    // serial share caps scaling and 16 stays within ~20% of best on random
+    // dim-64 input while being 1.6x FASTER on adversarial collinear input
+    // (26.6k vs 16k vec/s at 1M x dim-3, where searches are cheap).
+    val heavy = opts.m >= 32 || opts.efConstruction >= 256
+    val threads = math.min(if (heavy) 32 else 16,
+      Runtime.getRuntime.availableProcessors())
+    idx.addAll(it, threads)
     new SingleHnswIndex(idx)
   }
 

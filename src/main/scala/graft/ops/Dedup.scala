@@ -433,13 +433,15 @@ object Dedup {
 
   /** The concatenated sign-bit string of `nPlanes` seeded hyperplane
     * projections — [[embeddingLshPairs]]'s signature column, shared with
-    * [[lshBandKeys]]. */
+    * [[lshBandKeys]]. One fused expression (graft.functions
+    * .LshSignatureBits), bit-identical to the former per-plane
+    * CASE WHEN concat but ~200x faster past the whole-stage codegen cliff
+    * the auto geometry's 40+ plane counts fell off (67 s of a 70 s 200k-row
+    * q88 run was this column — ProfileLsh decomposition). */
   private def lshSignatureBits(vecCol: String, dim: Int, nPlanes: Int,
       seed: Long): Column =
-    concat(hyperplaneInts(dim, nPlanes, seed).map { h =>
-      when(graft.functions.vector.array_inner_product(
-        col(vecCol), lit(h.map(_ / 1024.0f))) > 0, "1").otherwise("0")
-    }.toIndexedSeq: _*)
+    graft.functions.LshSignatureBits.column(col(vecCol),
+      hyperplaneInts(dim, nPlanes, seed))
 
   /** Explode a `sig` bit-string column into (id, band_id, band_val) rows —
     * the banded equi-join keys. */
@@ -453,6 +455,19 @@ object Dedup {
     sig.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_val"))
   }
+
+  /** Profiling hooks (ProfileLsh): the miner's signature and band-explode
+    * stages, package-visible so the decomposition tool times the exact
+    * production expressions. */
+  private[graft] def lshBandKeysSig(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    df.select(col(idCol), col(vecCol),
+      lshSignatureBits(vecCol, dim, nPlanes, seed).as("sig"))
+  }
+  private[graft] def lshBandExplodePub(sig: DataFrame, idCol: String,
+      nPlanes: Int, rowsPerBand: Int): DataFrame =
+    lshBandExplode(sig, idCol, nPlanes, rowsPerBand)
 
   /** The (id, band_id, band_val) join keys [[embeddingLshPairs]] buckets
     * on, exposed for probes: candidate volume is Σ c·(c−1)/2 over the
@@ -559,8 +574,18 @@ object Dedup {
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct() // a pair can collide in several bands
-    val va = sig.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = sig.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // Verify join-back: the candidate stream is ~n·bands·cap FAT rows once
+    // it picks up two 64-float vectors — when the (id, vector) side fits an
+    // executor (n·rowBytes under ~256 MB), broadcasting it turns both
+    // join-backs map-side and the candidates never shuffle their vectors
+    // (measured ~2x on the 200k fixture). Past that size the sort-merge
+    // join is the right 100 TB plan and the hint must not fire — same
+    // size-aware arm pattern as the connected-components threshold.
+    val rowBytes = dimRow(0).getInt(0) * 4L + 24L
+    def vside(d: DataFrame): DataFrame =
+      if (n * rowBytes <= 256L * 1024 * 1024) broadcast(d) else d
+    val va = vside(sig.select(col(idCol).as("a"), col(vecCol).as("va")))
+    val vb = vside(sig.select(col(idCol).as("b"), col(vecCol).as("vb")))
     val verified = cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))

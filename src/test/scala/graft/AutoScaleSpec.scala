@@ -4,14 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import graft.index.{IndexCatalog, ShardedHnswIndex, SingleHnswIndex}
 
-/** Scale-aware build ROUTING (IndexCatalog.AutoScaleConfKey): the policy
-  * resolution only — when a non-sharded build routes to executor-built
-  * bounded shards, when it folds back to the faithful single graph, and
-  * that user options survive the route verbatim. The recall/build-cost
-  * motivation is measured, not spec'd (ProfileRecall at sf10; the round-14
-  * knob-raise held recall but read 23.8x per decade on build cost — specs
-  * stay fast by driving the threshold/shard-rows confs down instead of
-  * building 65k+ graphs). End-to-end recall on routed 100k data is
+/** Scale-aware build arms (IndexCatalog.AutoScaleConfKey): the policy
+  * resolution only — which arm fires, when the threshold trips, and that
+  * user options always win. The recall/build-cost motivation is measured,
+  * not spec'd (ProfileRecall/ProfileBuild at sf10; specs stay fast by
+  * driving the threshold/shard-rows confs down instead of building 65k+
+  * graphs). End-to-end recall on 100k copy-structured data is
   * RecallScaleSpec's job. */
 class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
   import spark.implicits._
@@ -49,11 +47,65 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
-  test("conf on above threshold: routed to bounded executor shards") {
+  // --- the "knobs" arm (probe-heavy single graphs) -----------------------
+
+  test("knobs arm above threshold: unset knobs scale to (32, 256), " +
+      "m0 follows 2*M, still a single graph — and no count() pre-pass") {
     spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
-    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
     built("ascale_on") { e =>
+      assert(e.index.isInstanceOf[SingleHnswIndex])
+      assert(e.options.m == IndexCatalog.AutoScaleM)
+      assert(e.options.efConstruction == IndexCatalog.AutoScaleEfC)
+      assert(e.options.m0 == 2 * IndexCatalog.AutoScaleM)
+      assert(e.index.size == 200)
+    }
+  }
+
+  test("knobs arm below threshold: untouched") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "knobs")
+    spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "1000")
+    built("ascale_small") { e =>
+      assert(e.options.m == 16 && e.options.efConstruction == 128)
+    }
+  }
+
+  test("knobs arm: explicit knob wins; the unset sibling still scales") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+    spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
+    built("ascale_m", Map("m" -> "8")) { e =>
+      assert(e.options.m == 8)
+      assert(e.options.efConstruction == IndexCatalog.AutoScaleEfC)
+    }
+    built("ascale_efc", Map("ef_construction" -> "64")) { e =>
+      assert(e.options.efConstruction == 64)
+      assert(e.options.m == IndexCatalog.AutoScaleM)
+    }
+  }
+
+  test("knobs arm: both knobs explicit — nothing scales") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+    spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
+    built("ascale_both", Map("m" -> "8", "ef_construction" -> "64")) { e =>
+      assert(e.options.m == 8 && e.options.efConstruction == 64)
+    }
+  }
+
+  test("knobs arm: an explicit M0 is preserved alongside a scaled M") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+    spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
+    built("ascale_m0", Map("m0" -> "12")) { e =>
+      assert(e.options.m == IndexCatalog.AutoScaleM && e.options.m0 == 12)
+    }
+  }
+
+  // --- the "route" arm (build/DML-bound fan-out) -------------------------
+
+  test("route arm above threshold: bounded executor shards") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "route")
+    spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
+    built("ascale_rt") { e =>
       val sh = e.index match {
         case s: ShardedHnswIndex => s
         case other => fail(s"200 rows > threshold 50 must route to a " +
@@ -64,18 +116,18 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
       // recall contract — even if the scan handed one task everything
       assert(sh.shards.forall(_.count <= 64),
         s"shard sizes ${sh.shards.map(_.count).mkString(",")} exceed the cap")
-      // reference defaults per shard, never the round-14 knob raise
+      // reference defaults per shard — the route never raises knobs
       assert(e.options.m == 16 && e.options.efConstruction == 128)
     }
   }
 
-  test("conf on below threshold: folds back to a single graph with " +
+  test("route arm below threshold: folds back to a single graph with " +
       "exact-search parity") {
-    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "route")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "1000")
     spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
     val q = Array(10.0f, 3.0f, 10.0f, 1.0f)
-    val folded = built("ascale_small") { e =>
+    val folded = built("ascale_fold") { e =>
       assert(e.index.isInstanceOf[SingleHnswIndex],
         "200 rows <= threshold 1000 must fold to a single graph")
       assert(e.index.size == 200)
@@ -87,8 +139,8 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
       "exhaustive search through the folded graph must equal the direct build")
   }
 
-  test("explicit options survive the route verbatim (into every shard)") {
-    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+  test("route arm: explicit options survive into every shard verbatim") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "route")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
     spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
     built("ascale_opts", Map("m" -> "8", "ef_construction" -> "64",
@@ -102,8 +154,8 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
-  test("routed + exhaustive ef_search option stays exact vs brute force") {
-    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+  test("route arm + exhaustive ef_search option stays exact vs brute force") {
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "route")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
     spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "64")
     val q = Array(57.0f, 1.0f, 5.0f, 1.0f)
@@ -120,9 +172,9 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(viaIndex == brute)
   }
 
-  test("explicitly-sharded builds ignore the routing conf (numShards wins, " +
+  test("explicitly-sharded builds ignore the conf (numShards wins, " +
       "no chunking)") {
-    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+    spark.conf.set(IndexCatalog.AutoScaleConfKey, "route")
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
     spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "8")
     IndexCatalog.dropIndex("ascale_sh")
@@ -136,15 +188,18 @@ class AutoScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally { IndexCatalog.dropIndex("ascale_sh"); () }
   }
 
-  test("empty table routes to the declared-dimensions empty index") {
-    spark.conf.set(IndexCatalog.AutoScaleConfKey, "true")
+  test("empty table: both arms fall back to the declared-dimensions " +
+      "empty index") {
     spark.conf.set(IndexCatalog.AutoScaleThresholdConfKey, "50")
     Graft.registerTable(spark, "ascale_empty",
       spark.table("ascale_t").where(lit(false)))
-    IndexCatalog.dropIndex("ascale_e")
-    val e = IndexCatalog.createIndex(spark, "ascale_e", "ascale_empty",
-      "embedding", Map("dimensions" -> "4"))
-    try assert(e.index.size == 0 && e.index.dim == 4)
-    finally { IndexCatalog.dropIndex("ascale_e"); () }
+    Seq("true", "route").foreach { mode =>
+      spark.conf.set(IndexCatalog.AutoScaleConfKey, mode)
+      IndexCatalog.dropIndex("ascale_e")
+      val e = IndexCatalog.createIndex(spark, "ascale_e", "ascale_empty",
+        "embedding", Map("dimensions" -> "4"))
+      try assert(e.index.size == 0 && e.index.dim == 4)
+      finally { IndexCatalog.dropIndex("ascale_e"); () }
+    }
   }
 }

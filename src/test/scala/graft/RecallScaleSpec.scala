@@ -12,10 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * lost the recall gate a decade up (0.818 @ ef=64 at 200k) and the sharded
   * fan-out sat on the gate edge (0.902). Pins:
   *
-  *   1. a graph built with `graft.hnsw.autoScaleBuild` on (100k > the
-  *      65536 threshold → ROUTED to bounded executor shards, round 15)
-  *      holds recall@10 ≥ 0.95 at the DEFAULT ef=64 through the per-shard
-  *      ef floor, with every shard bounded by autoShardRows;
+  *   1. a single graph built with the conf's KNOB arm (100k > the 65536
+  *      threshold → M=32/efC=256) holds recall@10 ≥ 0.95 at the DEFAULT
+  *      ef=64, and reaches at least the default build's recall;
+  *   1b. the same conf's ROUTE arm (bounded executor shards + the fan-out
+  *      ef floor) holds recall@10 ≥ 0.95 at default ef, with every shard
+  *      bounded by autoShardRows;
   *   2. a 16-shard fan-out (6250 rows/shard, default build options — shards
   *      small by design) holds union recall@10 ≥ 0.95 AND union recall@3
   *      ≥ 0.95 at default ef through the per-shard ef floor
@@ -26,8 +28,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * recall claim on reproducible data. */
 class RecallScaleSpec extends AnyFunSuite {
 
-  test("copy-structured 100k corpus: auto-routed build and floored " +
-      "16-shard fan-out hold recall at default ef", SlowTest) {
+  test("copy-structured 100k corpus: knob-raised single graph, auto-routed " +
+      "shards, and floored 16-shard fan-out hold recall at default ef",
+      SlowTest) {
     assume(sys.env.get("GRAFT_SLOW").exists(_.nonEmpty),
       "set GRAFT_SLOW=1 to run the 100k recall reproduction (~1-2 min)")
     val spark = TestSpark.spark
@@ -67,31 +70,50 @@ class RecallScaleSpec extends AnyFunSuite {
       hits.toDouble / (qs.length * k)
     }
 
+    def withMode[T](mode: String)(body: => T): T =
+      // set/try/finally: a throwing build must not leak the conf into the
+      // shared TestSpark session (round-15 advice)
+      try {
+        spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, mode)
+        body
+      } finally spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
+
     try {
-      // arm 1: the auto-ROUTED build (100k > 65536 → bounded executor
-      // shards + the fan-out ef floor) vs the default single-graph build
+      // arm 1: the KNOB-raised single graph vs the default build
       graft.index.IndexCatalog.createIndex(spark, "rscale_def", "rscale_t",
         "embedding", Map("metric" -> "cosine"))
       val defRecall = recallAt("rscale_def", 10, 40)
-      // set/try/finally: a throwing build must not leak the conf into the
-      // shared TestSpark session (round-15 advice)
-      val e = try {
-        spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, "true")
+      val eK = withMode("true") {
         graft.index.IndexCatalog.createIndex(spark, "rscale_auto",
           "rscale_t", "embedding", Map("metric" -> "cosine"))
-      } finally spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
-      val sh = e.index match {
+      }
+      assert(eK.options.m == graft.index.IndexCatalog.AutoScaleM,
+        "100k rows must trip the 65536-row knob threshold")
+      val autoRecall = recallAt("rscale_auto", 10, 40)
+      info(f"single graph recall@10 at default ef: default-build " +
+        f"$defRecall%.3f, knob-raised $autoRecall%.3f")
+      assert(autoRecall >= 0.95,
+        f"knob-raised single graph recall $autoRecall%.3f < 0.95")
+      assert(autoRecall + 1e-9 >= defRecall,
+        "knob-raised build must not lose recall vs the default build")
+
+      // arm 1b: the ROUTE arm (bounded executor shards + the fan-out floor)
+      val eR = withMode("route") {
+        graft.index.IndexCatalog.createIndex(spark, "rscale_route",
+          "rscale_t", "embedding", Map("metric" -> "cosine"))
+      }
+      val shR = eR.index match {
         case s: graft.index.ShardedHnswIndex => s
         case other => fail(s"100k rows must trip the 65536-row threshold " +
           s"and route to a sharded build, got ${other.getClass.getSimpleName}")
       }
-      assert(sh.shards.forall(_.count <= 16384),
+      assert(shR.shards.forall(_.count <= 16384),
         "routed shards must respect the autoShardRows bound")
-      val autoRecall = recallAt("rscale_auto", 10, 40)
-      info(f"recall@10 at default ef: default single build $defRecall%.3f, " +
-        f"auto-routed (${sh.shards.length} shards) $autoRecall%.3f")
-      assert(autoRecall >= 0.95,
-        f"auto-routed build recall $autoRecall%.3f < 0.95")
+      val routeRecall = recallAt("rscale_route", 10, 40)
+      info(f"auto-routed (${shR.shards.length} shards) recall@10 at " +
+        f"default ef: $routeRecall%.3f")
+      assert(routeRecall >= 0.95,
+        f"auto-routed build recall $routeRecall%.3f < 0.95")
 
       // arm 2: the explicit sharded fan-out with the per-shard ef floor
       graft.index.IndexCatalog.createIndex(spark, "rscale_sh", "rscale_t",
@@ -103,7 +125,7 @@ class RecallScaleSpec extends AnyFunSuite {
       assert(sh10 >= 0.95, f"sharded fan-out recall@10 $sh10%.3f < 0.95")
       assert(sh3 >= 0.95, f"sharded fan-out recall@3 $sh3%.3f < 0.95")
     } finally {
-      Seq("rscale_def", "rscale_auto", "rscale_sh")
+      Seq("rscale_def", "rscale_auto", "rscale_route", "rscale_sh")
         .foreach(graft.index.IndexCatalog.dropIndex(_))
     }
   }
