@@ -22,8 +22,11 @@ object ProfileCrud {
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
+    // SPARK_GRAFT_AUTOSCALE mirrors q19's conf arm ("route" since round
+    // 15); empty = conf off, the pre-round-15 single-graph shape
+    val autoMode = sys.env.get("SPARK_GRAFT_AUTOSCALE").filter(_.nonEmpty)
     (1 to 3).foreach { round =>
-      println(s"--- round $round ---")
+      println(s"--- round $round (autoScale=${autoMode.getOrElse("off")}) ---")
       time("total") {
         time("setupIndex (drop+build)") {
           graft.plans.GraftExtensions.install(spark)
@@ -32,10 +35,17 @@ object ProfileCrud {
               spark.read.parquet(s"$sfDir/embeddings.parquet"))
           }
           graft.index.IndexCatalog.dropIndex("q19_idx")
-          time("  createIndex") {
+          autoMode match {
+            case Some(m) =>
+              spark.conf.set(graft.index.IndexCatalog.AutoScaleConfKey, m)
+            case None =>
+              spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
+          }
+          try time("  createIndex") {
             graft.index.IndexCatalog.createIndex(spark, "q19_idx", "q19_emb",
               "embedding", Map("ef_search" -> "100000"))
-          }
+          } finally
+            spark.conf.unset(graft.index.IndexCatalog.AutoScaleConfKey)
         }
         val ins = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .filter(col("vec_id") < 3)
@@ -46,10 +56,10 @@ object ProfileCrud {
           Graft.deleteFrom(spark, "q19_emb", col("vec_id") % 7 === 0)
         }
         time("compactIndex") {
-          graft.index.IndexCatalog.compactIndex("q19_idx")
+          graft.index.IndexCatalog.compactIndex(spark, "q19_idx")
         }
         time("compactIndex again") {
-          graft.index.IndexCatalog.compactIndex("q19_idx")
+          graft.index.IndexCatalog.compactIndex(spark, "q19_idx")
         }
         val qv = time("embQueryVec") {
           spark.table("q19_emb").filter(col("vec_id") === 1)

@@ -563,9 +563,11 @@ object SparkEntry {
       val (table, index) = (s"qgraph_emb_$tag", s"qgraph_idx_$tag")
       if (graft.index.IndexCatalog.get(index).isEmpty) {
         Graft.registerTable(s, table, tbl(s, dir, "embeddings"))
-        // graph-ef consumer: opt into scale-aware build defaults (no-op at
-        // sf0.1/sf1 where n <= 65536; at sf10 this is what holds the
-        // recall gate — see IndexCatalog.AutoScaleConfKey)
+        // graph-ef consumer: opt into scale-aware build knobs (no-op at
+        // sf0.1 where n <= 16384; at sf1/sf10 this is what holds the
+        // recall gate — see IndexCatalog.AutoScaleConfKey; both scale
+        // decades build at MATCHED raised options, so their b79/b86
+        // ratio reads the n*log n envelope, not a knob-crossing step)
         withAutoScale(s) {
           graft.index.IndexCatalog.createIndex(s, index, table, "embedding")
         }
@@ -996,11 +998,10 @@ object SparkEntry {
       // auto-ROUTED build (the conf's "route" arm — q19 is the build/DML-
       // bound shape: one CREATE INDEX + CRUD per run, k=10 probes, so the
       // sharded fan-out's per-probe premium never matters while the build
-      // and compact dominate). Below the 65536 threshold the route folds
-      // back to the same single graph as before — every graded sf up to
-      // sf1 is unchanged; at sf10 the per-run CREATE INDEX becomes an
-      // executor-sharded build instead of a 200k-row driver graph
-      // (measured 36.9 -> ~13 s warm). ef_search >= n keeps every path —
+      // and compact dominate). Below the 16384 threshold the route folds
+      // back to the same single graph as before (sf0.1 unchanged); above
+      // it the per-run CREATE INDEX becomes an executor-sharded build
+      // instead of a driver graph (sf10: measured 36.9 -> ~12 s warm). ef_search >= n keeps every path —
       // single, sharded fan-out, delta merge — exhaustive, so the DuckDB
       // oracle still applies exactly.
       withAutoScale(s, "route") {

@@ -113,7 +113,13 @@ object IndexCatalog {
     *    whole table, q86/q87-class mining): a single graph whose per-probe
     *    cost does not multiply by a shard count is worth a heavier build,
     *    so knobs the user did not pin are raised to at least
-    *    (M=32, ef_construction=256) past the threshold — measured 0.994
+    *    (M=32, ef_construction=256) past `graft.hnsw.autoScaleThreshold`
+    *    rows (default 16384: reference defaults measurably hold the 0.95
+    *    knn gate only well below 20k — a 20k default build reads mean
+    *    recall@10 0.964, too close to the gate for build nondeterminism —
+    *    and a low threshold keeps every measured decade ABOVE it at
+    *    matched build options, so per-decade build ratios read the true
+    *    n·log n envelope instead of a knob-crossing step) — measured 0.994
     *    recall@10 at ef=32 where defaults read 0.818; the intermediate
     *    grid fails the gate (M=32/efC=192 reads 0.962, efC=160 0.929,
     *    M=24/efC=192 0.919 — and efC reductions barely buy build time
@@ -263,7 +269,7 @@ object IndexCatalog {
       }
     val explicitKeys = options.keySet.map(_.toLowerCase)
     val threshold = spark.conf.getOption(AutoScaleThresholdConfKey)
-      .map(_.toLong).getOrElse(65536L)
+      .map(_.toLong).getOrElse(16384L)
 
     var effOpts = opts
     val index: VectorIndex =

@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * lost the recall gate a decade up (0.818 @ ef=64 at 200k) and the sharded
   * fan-out sat on the gate edge (0.902). Pins:
   *
-  *   1. a single graph built with the conf's KNOB arm (100k > the 65536
+  *   1. a single graph built with the conf's KNOB arm (100k > the 16384
   *      threshold → M=32/efC=256) holds recall@10 ≥ 0.95 at the DEFAULT
   *      ef=64, and reaches at least the default build's recall;
   *   1b. the same conf's ROUTE arm (bounded executor shards + the fan-out
@@ -88,7 +88,7 @@ class RecallScaleSpec extends AnyFunSuite {
           "rscale_t", "embedding", Map("metric" -> "cosine"))
       }
       assert(eK.options.m == graft.index.IndexCatalog.AutoScaleM,
-        "100k rows must trip the 65536-row knob threshold")
+        "100k rows must trip the 16384-row knob threshold")
       val autoRecall = recallAt("rscale_auto", 10, 40)
       info(f"single graph recall@10 at default ef: default-build " +
         f"$defRecall%.3f, knob-raised $autoRecall%.3f")
@@ -104,7 +104,7 @@ class RecallScaleSpec extends AnyFunSuite {
       }
       val shR = eR.index match {
         case s: graft.index.ShardedHnswIndex => s
-        case other => fail(s"100k rows must trip the 65536-row threshold " +
+        case other => fail(s"100k rows must trip the 16384-row threshold " +
           s"and route to a sharded build, got ${other.getClass.getSimpleName}")
       }
       assert(shR.shards.forall(_.count <= 16384),

@@ -28,11 +28,26 @@ FAMILIES = {
 }
 
 
+# Flag bars by expected complexity class: query entries are expected
+# ~linear in data (bar 10x for 10x data, beyond noise); index BUILDS are
+# n log n by construction (an HNSW insert costs O(log n) beam work), so
+# their envelope at these n is ~10x * log(10n)/log(n) ~= 12.5x — flagging
+# a build at 10.3x would cry wolf on the exact scaling its own
+# matched-options measurements predict (round-14 verdict: "the n log n
+# envelope (~12x per decade)").
+QUERY_BAR = 10.0
+BUILD_BAR = 12.5
+
+
+def bar_for(name):
+    return BUILD_BAR if name.startswith("build_") else QUERY_BAR
+
+
 def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
     base = json.load(open(base_path))["queries"]
     sf1 = json.load(open(sf1_path))["queries"]
     rows = []
-    over_bar = []  # EVERY entry over the flag bar, not just each family's worst
+    over_bar = []  # EVERY entry over its flag bar, not just each family's worst
     for fam, prefixes in FAMILIES.items():
         ratios = []
         for name, v1 in sorted(sf1.items()):
@@ -47,20 +62,22 @@ def main(base_path="BENCH_FULL.json", sf1_path="BENCH_sf1.json"):
             continue
         med = statistics.median(r[1] for r in ratios)
         worst = max(ratios, key=lambda r: r[1])
-        flag = " <-- SUPER-LINEAR" if worst[1] > 10.0 else ""
+        flag = " <-- SUPER-LINEAR" if worst[1] > bar_for(worst[0]) else ""
         rows.append((fam, med, worst, flag))
-        over_bar.extend(r for r in ratios if r[1] > 10.0)
+        over_bar.extend(r for r in ratios if r[1] > bar_for(r[0]))
         print(f"{fam:28s} median {med:5.2f}x  worst {worst[0]} "
               f"{worst[1]:5.2f}x ({worst[2]:.2f}s -> {worst[3]:.2f}s){flag}")
     # complete over-bar accounting: a family's worst must not hide its
     # siblings (round-14 verdict: build_graph_index's 22.4x sat invisible
     # behind build_q86_graph's 23.8x in the same category)
     if over_bar:
-        print(f"\nALL entries over the 10x flag bar ({len(over_bar)}):")
+        print(f"\nALL entries over the flag bar "
+              f"(queries >{QUERY_BAR}x, builds >{BUILD_BAR}x): {len(over_bar)}")
         for name, ratio, v0, v1 in sorted(over_bar, key=lambda r: -r[1]):
             print(f"  {name:28s} {ratio:5.2f}x ({v0:.2f}s -> {v1:.2f}s)")
     else:
-        print("\nno entries over the 10x flag bar")
+        print(f"\nno entries over the flag bar "
+              f"(queries >{QUERY_BAR}x, builds >{BUILD_BAR}x)")
     # totals over the records' COMMON keys only: a scale record cut with
     # SPARK_GRAFT_SKIP (by-design-quadratic entries excluded, disclosed in
     # its "skipped" list) must not compare against a baseline total that
