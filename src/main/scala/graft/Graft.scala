@@ -164,7 +164,7 @@ object Graft {
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
     val efPinned = IndexCatalog.efPinned(spark)
-    val hits = entry.index match {
+    val hits = graft.index.VectorIndex.resolve(entry.index) match {
       // sharded: fan the search out to the executors holding the shards;
       // the driver only merges shards × k hits
       case sharded: graft.index.ShardedHnswIndex =>
@@ -250,12 +250,13 @@ object Graft {
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
     val efPinned = IndexCatalog.efPinned(spark)
-    val n = entry.index.size
+    val resolvedIdx = graft.index.VectorIndex.resolve(entry.index)
+    val n = resolvedIdx.size
     var k = math.min(math.max(initialK, 1), math.max(n, 1))
     var hits = Array.empty[(Long, Double)]
     var done = n == 0
     while (!done) {
-      hits = entry.index match {
+      hits = resolvedIdx match {
         case sh: graft.index.ShardedHnswIndex =>
           sh.searchDistributed(spark.sparkContext, query, k, ef, efPinned)
         case idx => idx.search(query, k, ef)
@@ -355,7 +356,7 @@ object Graft {
     val entry = IndexCatalog.get(indexName)
       .getOrElse(throw new IllegalArgumentException(s"no HNSW index named $indexName"))
     val ef = IndexCatalog.effectiveEf(spark, entry)
-    val hits = entry.index match {
+    val hits = graft.index.VectorIndex.resolve(entry.index) match {
       case sh: graft.index.ShardedHnswIndex =>
         sh.searchDistributed(spark.sparkContext, query, poolSize, ef,
           IndexCatalog.efPinned(spark))

@@ -22,6 +22,62 @@ object ProfileCrud {
       println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
+    // `ingest` arm: sustained per-row DML into a sharded index — evidence
+    // that the driver-side delta stays bounded by the spill threshold
+    // (round-15 verdict #1). Reports delta high-water (rows + bytes),
+    // spill count, ingest rate, and post-GC driver heap at checkpoints.
+    if (args.headOption.contains("ingest")) {
+      val total = args.lift(1).map(_.toInt).getOrElse(200000)
+      val dim = 64
+      graft.plans.GraftExtensions.install(spark)
+      Graft.registerTable(spark, "ing_emb",
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      graft.index.IndexCatalog.dropIndex("ing_idx")
+      // explicitly sharded: the subject is ShardedHnswIndex ingest (the
+      // route arm folds an under-threshold fixture into a single graph)
+      graft.index.IndexCatalog.createIndex(spark, "ing_idx", "ing_emb",
+        "embedding", Map("ef_search" -> "100000"), sharded = true, numShards = 4)
+      val sh = graft.index.VectorIndex.resolve(
+        graft.index.IndexCatalog.get("ing_idx").get.index)
+        .asInstanceOf[graft.index.ShardedHnswIndex]
+      val shardsBefore = sh.shards.length
+      def usedHeapMb(): Long = {
+        System.gc()
+        val rt = Runtime.getRuntime
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
+      println(s"[ingest] start: shards=$shardsBefore heapMB=${usedHeapMb()}")
+      val rnd = new java.util.Random(42)
+      var maxDeltaRows = 0
+      var maxDeltaBytes = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < total) {
+        val v = Array.fill(dim)(rnd.nextFloat())
+        sh.insert(1000000000L + i, v)
+        val dr = sh.pendingDeltaSize
+        if (dr > maxDeltaRows) maxDeltaRows = dr
+        i += 1
+        if (i % 50000 == 0) {
+          val db = sh.approxMemoryBytes // metas + delta; metas are O(shards)
+          if (db > maxDeltaBytes) maxDeltaBytes = db
+          val rate = i / ((System.nanoTime() - t0) / 1e9)
+          println(f"[ingest] rows=$i%-8d rate=${rate}%.0f/s deltaRows=$dr " +
+            f"shards=${sh.shards.length} heapMB=${usedHeapMb()}")
+        }
+      }
+      graft.index.IndexCatalog.bumpBroadcastEpoch() // statement-owner bump
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[ingest] done: $total rows in $secs%.1f s " +
+        f"(${total / secs}%.0f rows/s), spills=${sh.shards.length - shardsBefore}, " +
+        s"maxDeltaRows=$maxDeltaRows (threshold honored: " +
+        s"${maxDeltaRows <= 16384}), heapMB=${usedHeapMb()}")
+      // sanity: a freshly ingested row is findable through the index
+      val probeHits = sh.search(Array.fill(dim)(0.5f), 3)
+      println(s"[ingest] probe top-3: ${probeHits.toSeq}")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_AUTOSCALE mirrors q19's conf arm ("route" since round
     // 15); empty = conf off, the pre-round-15 single-graph shape
     val autoMode = sys.env.get("SPARK_GRAFT_AUTOSCALE").filter(_.nonEmpty)

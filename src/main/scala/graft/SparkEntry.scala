@@ -2240,13 +2240,14 @@ object SparkEntry {
     },
     "q32b_embedding_lsh_auto" -> {
       // geometry recomputed from n in SQL exactly as Dedup.lshGeometry:
-      // r = max(8, ceil(log2(n/32))), 4 bands of r bits. The 64 seeded
-      // planes cover r <= 16 (n <= 2M rows at target 32); plane i is
-      // identical under any plane count (sequential seeded draw), so the
-      // 64-bit signature's prefix equals the Spark side's 4*r-plane one
-      // and band substrings land on the same bits. (ceil(log2(x)) at an
-      // exact power of two could differ between ln-ratio and log2 in the
-      // last ulp; no graded n sits on one.)
+      // r = max(8, bitlength((n-1) // 32)) — the same INTEGER formula the
+      // Scala side computes (length(bin(m)) is m's bit length), so no
+      // floating-point log can flip r at a power-of-two n on either
+      // engine. 4 bands of r bits; the 64 seeded planes cover r <= 16
+      // (n <= 2M rows at target 32); plane i is identical under any plane
+      // count (sequential seeded draw), so the 64-bit signature's prefix
+      // equals the Spark side's 4*r-plane one and band substrings land on
+      // the same bits.
       val planes = graft.ops.Dedup.hyperplaneInts(64, 64)
       val bits = planes.map { h =>
         val lst = h.mkString("[", ",", "]")
@@ -2255,7 +2256,7 @@ object SparkEntry {
            | THEN '1' ELSE '0' END""".stripMargin
       }.mkString(" || ")
       s"""WITH p AS (
-         | SELECT greatest(8, CAST(ceil(log2(greatest(1.0, CAST(count(*) AS DOUBLE) / 32.0))) AS INTEGER)) AS r
+         | SELECT greatest(8, length(bin(greatest(count(*) - 1, 0) // 32))) AS r
          | FROM embeddings WHERE embedding IS NOT NULL),
          |sig AS (
          | SELECT vec_id, embedding, ($bits) AS s
@@ -2290,7 +2291,7 @@ object SparkEntry {
            | THEN '1' ELSE '0' END""".stripMargin
       }.mkString(" || ")
       s"""WITH p AS (
-         | SELECT greatest(8, CAST(ceil(log2(greatest(1.0, CAST(count(*) AS DOUBLE) / 32.0))) AS INTEGER)) AS r
+         | SELECT greatest(8, length(bin(greatest(count(*) - 1, 0) // 32))) AS r
          | FROM embeddings WHERE embedding IS NOT NULL),
          |sig AS (
          | SELECT vec_id, embedding, ($bits) AS s

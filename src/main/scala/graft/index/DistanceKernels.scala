@@ -71,10 +71,14 @@ object DistanceKernels extends Serializable {
       val x = a(i); val y = b(i)
       dotAcc += x * y; na += x * x; nb += y * y; i += 1
     }
-    // zero-vector rule mirrors cosineSimilarity (reference
-    // src/include/usearch/index_plugins.hpp:1021-1025)
-    if (na == 0f && nb == 0f) 0.0
-    else if (na == 0f || nb == 0f) 1.0
+    // A 0f norm accumulator means EITHER a true zero vector OR float
+    // underflow on denormal-scale inputs (|x| ~< 1e-23) — the latter would
+    // spuriously trigger the zero-vector rule and silently degrade
+    // build-side edge choices. Delegate the ambiguous case to the exact
+    // double kernel, which applies the same zero-vector rule (reference
+    // src/include/usearch/index_plugins.hpp:1021-1025) but cannot
+    // underflow on these magnitudes.
+    if (na == 0f || nb == 0f) cosineDistance(a, b)
     else 1.0 - (dotAcc / math.sqrt(na.toDouble * nb.toDouble))
   }
 

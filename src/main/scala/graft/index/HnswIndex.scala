@@ -919,10 +919,16 @@ class HnswIndex(
     val vs = visitStamps.get()
     val epoch = vs.begin(keys.size)
     val stamps = vs.stamps
+    // The stamp array is sized at begin(keys.size); an UNSYNCHRONIZED
+    // concurrent add (driver-side delta insert racing a search on the same
+    // graph) can surface node ids >= stamps.length mid-beam. Such nodes are
+    // newer than this search's snapshot — treat them as not-visitable (the
+    // pre-stamp BitSet merely raced here; an AIOOBE would be strictly worse).
+    val bound = stamps.length
     val cand = new PairHeap(64, min = true)
     val res = new PairHeap(ef + 1, min = false)
     entryPoints.foreach { case (d, id) =>
-      if (stamps(id) != epoch) {
+      if (id < bound && stamps(id) != epoch) {
         stamps(id) = epoch
         cand.push(d, id)
         res.push(d, id)
@@ -941,7 +947,7 @@ class HnswIndex(
         var i = 0
         while (i < nbrs.length) {
           val nid = nbrs(i)
-          if (stamps(nid) != epoch && (allowed == null || allowed(nid))) {
+          if (nid < bound && stamps(nid) != epoch && (allowed == null || allowed(nid))) {
             stamps(nid) = epoch
             val d = if (exact) dist(q, vecs(nid)) else distB(q, vecs(nid))
             if (res.size < ef || d < res.topDist) {

@@ -159,6 +159,13 @@ object IndexCatalog {
   val AutoScaleM = 32
   val AutoScaleEfC = 256
 
+  /** Rows at which a sharded index's driver-side DML delta graph is sealed
+    * into an immutable shard artifact (ShardedHnswIndex.insert) — the
+    * memtable-flush bound that keeps driver heap constant under sustained
+    * ingest between compactions. Default matches `autoShardRows`: a spilled
+    * delta IS a routed shard, just fed by DML instead of a scan. */
+  val DeltaSpillRowsConfKey = "graft.hnsw.deltaSpillRows"
+
   /** Where shard artifacts land (shared storage at cluster scale). */
   def indexArtifactDir: String =
     sys.props.getOrElse("graft.indexes.dir",

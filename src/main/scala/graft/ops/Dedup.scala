@@ -487,15 +487,24 @@ object Dedup {
   }
 
   /** Signature geometry for [[embeddingLshPairsAuto]]: bits per band sized so
-    * the EXPECTED bucket occupancy stays near `targetBucketRows` — r =
-    * max(8, ceil(log2(n / target))) gives n / 2^r <= target for every n, so
-    * the banded candidate join's volume is O(n * target) instead of the
+    * the EXPECTED bucket occupancy stays near `targetBucketRows` — the
+    * smallest r with 2^r >= n / target gives n / 2^r <= target for every n,
+    * so the banded candidate join's volume is O(n * target) instead of the
     * n^2 / 2^r a fixed geometry degrades to once n >> 2^r. Deterministic in
-    * n, so a replay over the same snapshot reproduces the same pairs. */
+    * n, so a replay over the same snapshot reproduces the same pairs.
+    *
+    * Computed INTEGRALLY as bit-length((n-1) / target): for integer m,
+    * m >= n/target iff m >= ceil(n/target), so the smallest power of two is
+    * 2^bitlen(ceil(n/target) - 1) and ceil(n/target) - 1 = (n-1) / target
+    * (integer division). The SQL oracles replay the identical integer
+    * formula (`greatest(8, length(bin((n-1) // target)))`) — no
+    * floating-point log on either side, so an n where n/target lands on a
+    * power of two cannot flip r between engines (round-15 advice: the old
+    * ceil(ln/ln) vs DuckDB's ceil(log2) could disagree by 1 there). */
   def lshGeometry(n: Long, targetBucketRows: Int = 32): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0))
-    math.max(8, needed.toInt)
+    val m = if (n <= 1) 0L else (n - 1) / targetBucketRows
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.max(8, bitLen)
   }
 
   /** Geometry-from-n variant of [[embeddingLshPairs]] — the scale shape.
@@ -547,14 +556,17 @@ object Dedup {
   def embeddingLshPairsTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 3, bucketCap: Int = 8, nBands: Int = 4,
       targetBucketRows: Int = 32, maxDist: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, knownCount: Option[Long] = None): DataFrame = {
     val nonNull = df.where(col(vecCol).isNotNull)
     val dimRow = nonNull.select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) {
       return df.where(lit(false))
         .select(col(idCol).as("a"), col(idCol).as("b"), lit(0.0).as("dist"))
     }
-    val n = nonNull.count()
+    // the geometry decision needs only n; a pipeline caller that already
+    // holds the non-null row count passes it through `knownCount` and the
+    // aggregate-only pre-scan disappears (round-15 ask)
+    val n = knownCount.getOrElse(nonNull.count())
     val rowsPerBand = lshGeometry(n, targetBucketRows)
     val nPlanes = nBands * rowsPerBand
     val sig = nonNull
@@ -581,14 +593,23 @@ object Dedup {
     // (measured ~2x on the 200k fixture). Past that size the sort-merge
     // join is the right 100 TB plan and the hint must not fire — same
     // size-aware arm pattern as the connected-components threshold.
+    // ONE (id, vec) frame joined under two aliases (identical canonicalized
+    // subplans give ReuseExchange its chance), and the hint threshold is
+    // HALVED to 128 MB: the two join keys differ, so the planner may still
+    // materialize two hash relations — the bound that must hold is
+    // Σ(broadcast copies) <= 256 MB per executor, not per-copy
+    // (round-15 advice: the old two-frame form shipped up to 2 × 256 MB at
+    // the threshold boundary).
     val rowBytes = dimRow(0).getInt(0) * 4L + 24L
-    def vside(d: DataFrame): DataFrame =
-      if (n * rowBytes <= 256L * 1024 * 1024) broadcast(d) else d
-    val va = vside(sig.select(col(idCol).as("a"), col(vecCol).as("va")))
-    val vb = vside(sig.select(col(idCol).as("b"), col(vecCol).as("vb")))
-    val verified = cand.join(va, "a").join(vb, "b")
+    val vecs0 = sig.select(col(idCol).as("__vid"), col(vecCol).as("__vvec"))
+    val vecs =
+      if (n * rowBytes <= 128L * 1024 * 1024) broadcast(vecs0) else vecs0
+    val verified = cand
+      .join(vecs.as("vl"), col("a") === col("vl.__vid"))
+      .join(vecs.as("vr"), col("b") === col("vr.__vid"))
       .select(col("a"), col("b"),
-        graft.functions.vector.array_cosine_distance(col("va"), col("vb")).as("dist"))
+        graft.functions.vector.array_cosine_distance(
+          col("vl.__vvec"), col("vr.__vvec")).as("dist"))
       .where(col("dist") <= maxDist)
     verified
       .withColumn("__rn", row_number().over(

@@ -50,7 +50,7 @@ case class HnswIndexScanExec(
     val ef = efConf.map(_.toInt).getOrElse(entry.options.efSearch)
     val efPinned = efConf.isDefined
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val hits = entry.index match {
+    val hits = graft.index.VectorIndex.resolve(entry.index) match {
       // sharded: fan out to the shard artifacts, don't load them driver-side
       case sharded: graft.index.ShardedHnswIndex =>
         sharded.searchDistributed(sparkContext, queryVec, k, ef, efPinned)
