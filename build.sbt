@@ -34,7 +34,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD build-side distance kernels (SimdKernels.java); DistanceKernels
+  // probes availability reflectively and falls back to scalar when a JVM
+  // lacks the module flag
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

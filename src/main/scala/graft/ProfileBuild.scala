@@ -97,10 +97,29 @@ object ProfileBuild {
           i += 1
         }
         val tu = (System.nanoTime() - t0) / 1e9
+        // the shipped build-kernel seam (SIMD when the module is present)
+        t0 = System.nanoTime()
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { sinkD += graft.index.DistanceKernels.l2sqF(vs(i), vs(j)); j += 1 }
+          i += 1
+        }
+        val ts = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { sinkD += graft.index.DistanceKernels.cosineDistanceF(vs(i), vs(j)); j += 1 }
+          i += 1
+        }
+        val tc = (System.nanoTime() - t0) / 1e9
         val evals = n.toLong * n
         println(f"[kernel] rep=$rep dim=$dim double=${evals / td / 1e6}%.0f " +
-          f"float=${evals / tf / 1e6}%.0f floatU4=${evals / tu / 1e6}%.0f Mevals/s " +
-          f"(U4 ${td / tu}%.2fx over double)")
+          f"float=${evals / tf / 1e6}%.0f floatU4=${evals / tu / 1e6}%.0f " +
+          f"distB=${evals / ts / 1e6}%.0f cosB=${evals / tc / 1e6}%.0f Mevals/s " +
+          f"(U4 ${td / tu}%.2fx, distB ${td / ts}%.2fx over double; " +
+          s"simd=${graft.index.DistanceKernels.simdEnabled})")
       }
       println(s"[kernel] sinks $sinkD $sinkF $sinkU")
       return

@@ -43,29 +43,52 @@ object DistanceKernels extends Serializable {
     1.0 - cosineSimilarity(a, b)
 
   // --- float-accumulating BUILD kernels ------------------------------------
-  // Same math with a float accumulator: ~1.6x faster (measured,
-  // ProfileBuild kernel mode — the double widening defeats pipelining) but
-  // NOT bit-identical to the oracle-exact kernels above. Used ONLY where
+  // Same math with a float accumulator: faster (measured, ProfileBuild
+  // kernel mode — the double widening defeats pipelining) but NOT
+  // bit-identical to the oracle-exact kernels above. Used ONLY where
   // distances never reach an output: graph construction's neighbor
   // selection (HnswIndex build/link/prune/repair paths). Every SEARCH
   // result distance still comes from the sequential-double kernels, so
   // engine/oracle parity is untouched; build-side rounding only perturbs
   // which near-tied neighbor an edge picks, a statistical non-event the
   // per-run recall gates measure anyway.
+  //
+  // When the JVM carries --add-modules=jdk.incubator.vector (build.sbt adds
+  // it to every forked run/test JVM) the build kernels dispatch to the SIMD
+  // versions (SimdKernels.java) — lane-parallel float accumulation, a
+  // further reassociation the float contract already permits. The probe
+  // runs once per JVM; a JVM without the module falls back to the scalar
+  // loops below (the call sites never touch the class again, so the
+  // NoClassDefFoundError cannot recur).
+  private val simd: Boolean =
+    try { SimdKernels.l2sqF(Array(3f, 0f), Array(0f, 4f)) == 25.0 }
+    catch { case _: Throwable => false }
+
+  /** Introspection for ProfileBuild's kernel mode. */
+  def simdEnabled: Boolean = simd
 
   def l2sqF(a: Array[Float], b: Array[Float]): Double = {
+    if (simd) return SimdKernels.l2sqF(a, b)
     var acc = 0f; var i = 0
     while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
     acc.toDouble
   }
 
   def dotF(a: Array[Float], b: Array[Float]): Double = {
+    if (simd) return SimdKernels.dotF(a, b)
     var acc = 0f; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc.toDouble
   }
 
   def cosineDistanceF(a: Array[Float], b: Array[Float]): Double = {
+    if (simd) {
+      val d = SimdKernels.cosineDistF(a, b)
+      // NaN = a norm accumulator underflowed to 0f (true zero vector or
+      // denormal-scale inputs) — delegate to the exact kernel, which owns
+      // the zero-vector rule and cannot underflow (see below)
+      return if (java.lang.Double.isNaN(d)) cosineDistance(a, b) else d
+    }
     var dotAcc = 0f; var na = 0f; var nb = 0f; var i = 0
     while (i < a.length) {
       val x = a(i); val y = b(i)
