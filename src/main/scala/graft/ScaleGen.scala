@@ -64,7 +64,6 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "scale_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val stride = 10_000_000_000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,6 +71,17 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, dest, copies)
+    spark.stop()
+    println(s"[scale] wrote $dest ($copies copies of $src)")
+  }
+
+  /** The fixture writer proper, callable in-session (TimingScaleSpec regens
+    * a scale fixture inside the shared test session — `main` would stop
+    * it). */
+  def generate(spark: SparkSession, src: String, dest: String,
+      copies: Int): Unit = {
+    val stride = 10_000_000_000L
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -117,7 +127,5 @@ object ScaleGen {
       df.withColumn("vec_id", col("vec_id") + lit(k * stride))
         .withColumn("embedding", signedPermutation(col("embedding"), dim, k))
     }
-    spark.stop()
-    println(s"[scale] wrote $dest ($copies copies of $src)")
   }
 }
