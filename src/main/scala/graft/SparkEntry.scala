@@ -1091,7 +1091,10 @@ object SparkEntry {
       * shingle artifact (the self-join runs exchange-free). */
     def q24JaccardPairs(s: SparkSession, dir: String): DataFrame =
       graft.ops.Dedup.ngramJaccardPairsFromShingles(sharedShingles(s, dir),
-        "doc_id", minJaccard = 0.05, maxShingleDocFreq = 100)
+        "doc_id", minJaccard = 0.05, maxShingleDocFreq = 100,
+        // footer-only row count = an upper bound on distinct docs: the
+        // broadcast decision costs no counts-checkpoint scan (Dedup doc)
+        knownDocCount = Some(tbl(s, dir, "documents").count()))
         .orderBy(col("a"), col("b"))
 
     /** Per-document corpus-duplication fraction: how many of the doc's

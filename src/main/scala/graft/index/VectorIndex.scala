@@ -380,7 +380,15 @@ class ShardedHnswIndex private (
     * the delta arm to the shard arm of the same search.) */
   def insert(key: Long, vec: Array[Float]): Unit = synchronized {
     if (delta == null) {
-      delta = new HnswIndex(dim, metric)
+      // inherit the index's build knobs from an existing shard graph (a
+      // spilled delta becomes a PERMANENT shard, so it must be built like
+      // one — default knobs would silently degrade its recall vs its
+      // siblings). One bounded driver-side shard load, usually already
+      // cached by searches/deletes; explicit knobs ride shards verbatim
+      // (IndexCatalog), so this inherits exactly what the user pinned.
+      val proto = ShardCache.get(shards0.head.path)
+      delta = new HnswIndex(dim, metric, proto.m, proto.m0,
+        proto.efConstruction, proto.efSearch)
     }
     delta.add(key, vec)
     if (delta.size >= ShardedHnswIndex.deltaSpillRows) spillDeltaLocked()

@@ -350,10 +350,17 @@ object Dedup {
       idCol, minJaccard, maxShingleDocFreq)
 
   /** [[ngramJaccardPairs]] from an already-materialized hashed-shingle
-    * table. */
+    * table. `knownDocCount` is any UPPER BOUND on the distinct-doc count
+    * (e.g. the source table's parquet row count — a footer-only job): with
+    * it supplied, the broadcast-size decision needs no extra scan and the
+    * per-doc counts stay FUSED in the plan (no checkpoint materialization —
+    * the map-side aggregate over the bucketed artifact is cheap to compute
+    * once per join side, and at small n the checkpoint's job overhead costs
+    * more than the fusion saves). */
   def ngramJaccardPairsFromShingles(sh0: DataFrame, idCol: String,
       minJaccard: Double = 0.0,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxShingleDocFreq: Int = Int.MaxValue,
+      knownDocCount: Option[Long] = None): DataFrame = {
     val capped =
       if (maxShingleDocFreq == Int.MaxValue) sh0
       else {
@@ -383,9 +390,13 @@ object Dedup {
     // measured 27.8 → 10.2 s on the sf10 decomposition (ProfileJaccard).
     // Past the bar — billions of docs — sort-merge is the right plan and
     // the hint must not fire.
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val nDocs = counts.count()
+    val counts0 = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val (counts, nDocs) = knownDocCount match {
+      case Some(n) => (counts0, n) // upper bound: safe for the size decision
+      case None =>
+        val c = counts0.localCheckpoint()
+        (c, c.count())
+    }
     def cside(d: DataFrame): DataFrame =
       if (nDocs * 24L <= 128L * 1024 * 1024) broadcast(d) else d
     val a = sh.select(col(idCol).as("a"), col("shingle"))
