@@ -97,6 +97,27 @@ class ShardedScaleSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("checkpoint-restore proxy resolves to the sharded index; a pinned ef " +
+      "takes the same path as the live instance (round-15 advice)") {
+    val live = idx
+    val dir = java.nio.file.Files.createTempDirectory("resolve-proxy").toString
+    live.save(s"$dir/idx")
+    val proxy = new graft.index.LazyLoadedIndex(s"$dir/idx")
+    val resolved = graft.index.VectorIndex.resolve(proxy)
+    // the dispatch contract: resolve unwraps to the REAL index class, so
+    // every call site's `case sh: ShardedHnswIndex` arm fires for restored
+    // indexes too (previously they fell into the generic 3-arg search that
+    // re-floored a user-pinned ef and loaded shards driver-side)
+    assert(resolved.isInstanceOf[ShardedHnswIndex])
+    val q = queryVec(5)
+    // pinned tiny ef: both instances read identical immutable artifacts, so
+    // the pinned fan-out must return identical results through the proxy
+    val viaProxy = resolved.asInstanceOf[ShardedHnswIndex]
+      .search(q, 3, ef = 3, efPinned = true)
+    val direct = live.search(q, 3, ef = 3, efPinned = true)
+    assert(viaProxy.toSeq == direct.toSeq)
+  }
+
   test("bulk insertInto lands as executor-built shards, not a driver delta (100k rows)") {
     // deterministic unique vectors: coord j = bits 3j..3j+2 of the id
     def vecs(ids: org.apache.spark.sql.DataFrame) = ids.select(
