@@ -104,6 +104,54 @@ class DeltaSpillSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(compacted.search(vec(170L), 1).head._1 == 170L)
   }
 
+  /** The two round-16 race findings, exercised by genuinely racing spills:
+    * (a) advisor high — a search that captured the shard list pre-spill and
+    * the delta post-spill saw spilled rows in NEITHER arm (fixed by the
+    * delta-first spillCoherentSnapshot); (b) a row briefly visible in both
+    * arms occupied two of searchBatch's k heap slots, evicting a genuine
+    * k-th hit, so the post-heap dedup returned k−1 rows (fixed by skipping
+    * already-in-heap keys). Every search here is exhaustive (huge ef ⇒
+    * exact linear scans), so any miss or short result is a real race, not
+    * recall. */
+  test("searches racing spills never lose acknowledged rows; batch returns exactly k") {
+    val idx = freshIndex("spill_race", 100)
+    val shardsBefore = idx.shards.length
+    spark.conf.set(SpillKey, "64")
+    try {
+      val k = 5
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val maxId = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val searcher = new Thread(() => {
+        val rnd = new java.util.Random(7)
+        try while (!stop.get()) {
+          val hi = maxId.get()
+          if (hi >= 1100L) { // enough acknowledged rows for k live hits
+            val id = 1000L + rnd.nextInt((hi - 1000L).toInt + 1)
+            val hit = idx.search(vec(id), 1)
+            if (hit.isEmpty || hit.head._1 != id || hit.head._2 != 0.0)
+              errs.add(s"search lost acknowledged row $id: ${hit.toSeq}")
+            val batch = idx.searchBatch(Array(vec(id), vec(hi)), k)
+            batch.zip(Seq(id, hi)).foreach { case (rows, qid) =>
+              if (rows.length != k)
+                errs.add(s"searchBatch returned ${rows.length} != $k rows for $qid")
+              else if (rows.head._1 != qid)
+                errs.add(s"searchBatch lost acknowledged row $qid: ${rows.toSeq}")
+            }
+          }
+        } catch { case t: Throwable => errs.add(s"searcher died: $t") }
+      })
+      searcher.start()
+      (1000L until 5000L).foreach { id => idx.insert(id, vec(id)); maxId.set(id) }
+      stop.set(true)
+      searcher.join(60000)
+      assert(!searcher.isAlive, "searcher thread wedged")
+      assert(errs.isEmpty, s"${errs.size} race failures, first: ${errs.peek()}")
+      assert(idx.shards.length >= shardsBefore + 60, "spills must actually have raced")
+      assert(idx.size == 100 + 4000)
+    } finally spark.conf.unset(SpillKey)
+  }
+
   test("a delta holding delete-removed rows spills only its live rows") {
     val idx = freshIndex("spill_b", 10)
     spark.conf.set(SpillKey, "40")

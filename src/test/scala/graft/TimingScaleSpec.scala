@@ -14,6 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - tpch agg (q01 family)          — linear scan/agg, bar 10×
   *   - shingle-Jaccard mining (q24)   — banded, df-capped, bar 10×
   *   - output-bounded LSH top-k (q88) — candidates ≤ n·bands·cap, bar 10×
+  *   - text-quality signals (q37)     — zero-shuffle per-row algebra, bar
+  *     10× (worst measured sf10 query scaler, 6.48× — round-16 ask #4)
+  *   - multimodal decode (q83)        — per-row binary decode, bar 10×
+  *     (second-worst family not previously enveloped, 5.49× at sf10)
   *   - knob-raised single-graph build — n·log n by construction, bar 12.5×
   *     (knobs PINNED at both scales so the ratio reads the envelope, not a
   *     threshold crossing — the same matched-options protocol as the
@@ -74,7 +78,9 @@ class TimingScaleSpec extends AnyFunSuite {
     val queryOps: Seq[(String, String)] = Seq(
       "tpch_agg" -> "q01_pricing_summary",
       "jaccard_mining" -> "q24_jaccard_pairs",
-      "lsh_topk" -> "q88_embedding_lsh_topk")
+      "lsh_topk" -> "q88_embedding_lsh_topk",
+      "text_quality" -> "q37_repetition_signals",
+      "multimodal_decode" -> "q83_image_decode")
 
     def measure(dir: String): Map[String, Double] = {
       val q = queryOps.map { case (fam, qname) =>
@@ -104,7 +110,7 @@ class TimingScaleSpec extends AnyFunSuite {
       }.mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("TIMING_SCALE.json"),
         s"""{
-           |  "_provenance": "written by TimingScaleSpec (GRAFT_SLOW=1): regenerates a 10x fixture from /root/testdata/sf0.1 with ScaleGen.generate (the same transform behind the committed BENCH_sf1/BENCH_sf10 records), times one representative operator per graded family at both scales (min of 2 runs, local[4]), and asserts each 10x-data ratio under the family's flag bar from tools/sf1_ratios.py (queries 10x, builds 12.5x = the n log n envelope). Envelope assertions, not exact numbers: the decade typically reads 1-6x, so a failure is a real super-linearity. Build knobs pinned (M=32/efC=256) at both scales so the build ratio reads the envelope, not the auto-scale threshold crossing.",
+           |  "_provenance": "written by TimingScaleSpec (GRAFT_SLOW=1): regenerates a 10x fixture from /root/testdata/sf0.1 with ScaleGen.generate (the same transform behind the committed BENCH_sf1/BENCH_sf10 records), times one representative operator per graded family at both scales (min of 2 runs, local[4]), and asserts each 10x-data ratio under the family's flag bar from tools/sf1_ratios.py (queries 10x, builds 12.5x = the n log n envelope). 7 families since round 17: tpch agg, jaccard mining, lsh top-k, text-quality (q37, the worst measured sf10 query scaler), multimodal decode (q83), knob-pinned build, graph probes. Envelope assertions, not exact numbers: the decade typically reads 1-6x, so a failure is a real super-linearity. Build knobs pinned (M=32/efC=256) at both scales so the build ratio reads the envelope, not the auto-scale threshold crossing.",
            |  "gen_sec": ${f"$genSec%.1f"},
            |$json
            |}
