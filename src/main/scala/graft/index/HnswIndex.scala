@@ -1050,8 +1050,17 @@ class HnswIndex(
     implicit val worstFirst: Ordering[(Double, Long)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
     val heap = mutable.PriorityQueue.empty[(Double, Long)] // max-heap: worst on top
+    // Racing-add bound (the linear-scan analog of searchLayer's visit-stamp
+    // bound): a delta graph is searched while inserts append to `keys` and
+    // `vecs`, and the two buffers advance at different instants — re-reading
+    // `keys.size` per iteration can hand out an id whose `vecs` entry is not
+    // appended yet (observed as a torn IndexOutOfBounds in the spill-race
+    // spec). Snapshot ONE bound <= both sizes: growth is append-only, so
+    // every id below it has fully-written entries in both buffers; rows
+    // added mid-scan are legitimately invisible to this search.
+    val n = math.min(keys.size, vecs.size)
     var id = 0
-    while (id < keys.size) {
+    while (id < n) {
       if (!tombstones.contains(id)) {
         val d = dist(q, vecs(id))
         val cand = (d, keys(id))

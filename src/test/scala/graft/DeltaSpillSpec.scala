@@ -152,6 +152,46 @@ class DeltaSpillSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(SpillKey)
   }
 
+  /** The broadcast half of the same advisor finding: default field-at-a-time
+    * serialization racing a spill could write the PRE-spill shard array and
+    * the POST-spill null delta, baking the lost rows into an executor
+    * broadcast for the epoch's lifetime. writeObject now snapshots both
+    * fields under the spill's own monitor — every serialized copy must see
+    * every row acknowledged before the snapshot started. */
+  test("serialized snapshots racing spills never lose acknowledged rows") {
+    val idx = freshIndex("spill_ser", 100)
+    spark.conf.set(SpillKey, "64")
+    try {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val maxId = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      var snapshots = 0
+      val writer = new Thread(() => {
+        try while (!stop.get()) {
+          val hi = maxId.get() // acknowledged BEFORE the snapshot starts
+          if (hi >= 1000L) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new java.io.ObjectOutputStream(bos)
+            out.writeObject(idx); out.close()
+            val in = new java.io.ObjectInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val copy = in.readObject().asInstanceOf[ShardedHnswIndex]
+            if (!copy.contains(hi))
+              errs.add(s"serialized snapshot lost acknowledged row $hi")
+            snapshots += 1
+          }
+        } catch { case t: Throwable => errs.add(s"writer died: $t") }
+      })
+      writer.start()
+      (1000L until 4000L).foreach { id => idx.insert(id, vec(id)); maxId.set(id) }
+      stop.set(true)
+      writer.join(60000)
+      assert(!writer.isAlive, "writer thread wedged")
+      assert(errs.isEmpty, s"${errs.size} failures, first: ${errs.peek()}")
+      assert(snapshots > 10, s"too few racing snapshots to mean anything: $snapshots")
+    } finally spark.conf.unset(SpillKey)
+  }
+
   test("a delta holding delete-removed rows spills only its live rows") {
     val idx = freshIndex("spill_b", 10)
     spark.conf.set(SpillKey, "40")
