@@ -611,7 +611,8 @@ class ShardedHnswIndex private (
     var curLive = 0L
     def flush(): Unit = if (cur.nonEmpty) {
       val metas = cur.reverse
-      groups += CompactGroup(metas, Array.empty, metas.head.knobsOrLoad)
+      groups += CompactGroup(metas, Array.empty, metas.head.knobsOrLoad,
+        clean = metas.lengthCompare(1) == 0 && tombstonesOf(metas.head) == 0)
       cur = Nil; curLive = 0L
     }
     shards0.foreach { s =>
@@ -633,7 +634,7 @@ class ShardedHnswIndex private (
         .map(_.metas.map(s => math.max(0, s.count - tombstonesOf(s)).toLong).sum)
         .getOrElse(Long.MaxValue)
       if (packed0.nonEmpty && lastLive + deltaLive.length <= target)
-        packed0.init :+ packed0.last.copy(deltaRows = deltaLive)
+        packed0.init :+ packed0.last.copy(deltaRows = deltaLive, clean = false)
       else
         packed0 :+ CompactGroup(Nil, deltaLive, shards0.head.knobsOrLoad)
     }
@@ -651,9 +652,14 @@ class ShardedHnswIndex private (
   def compacted(): VectorIndex = synchronized {
     val dir = freshCompactDir()
     val del = deletedKeySet()
+    // groups rewrite one after another on the driver, so each gets the
+    // local build parallelism (capped where addAll's combiner scaling tops
+    // out — same cap as SingleHnswIndex.compacted)
+    val threads = math.min(16, Runtime.getRuntime.availableProcessors())
     val all = compactionPlan(ShardedHnswIndex.compactTargetRows)
       .zipWithIndex.flatMap { case (g, i) =>
-        ShardedHnswIndex.rewriteGroup(g, del, dim, metric, s"$dir/shard-$i.hnsw")
+        ShardedHnswIndex.rewriteGroup(g, del, dim, metric, s"$dir/shard-$i.hnsw",
+          threads)
       }
     if (all.isEmpty) throw new IllegalStateException("compaction removed every vector")
     new ShardedHnswIndex(all.toArray)
@@ -670,11 +676,17 @@ class ShardedHnswIndex private (
     val del = deletedKeySet()
     val work = compactionPlan(ShardedHnswIndex.compactTargetRows)
       .zipWithIndex.map { case (g, i) => (g, s"$destDir/shard-$i.hnsw") }
+    // merging shrinks the group count, so when groups < task slots the
+    // spare slots move INSIDE each group's build (see rewriteGroup); with
+    // groups >> slots (the 100 TB shape) this is 1 and tasks stay
+    // single-threaded
+    val threads = math.min(16,
+      math.max(1, sc.defaultParallelism / math.max(1, work.length)))
     val dimL = dim
     val metricL = metric
     val newShards = sc.parallelize(work, work.length)
       .flatMap { case (g, p) =>
-        ShardedHnswIndex.rewriteGroup(g, del, dimL, metricL, p)
+        ShardedHnswIndex.rewriteGroup(g, del, dimL, metricL, p, threads)
       }.collect()
     if (newShards.isEmpty) throw new IllegalStateException("compaction removed every vector")
     new ShardedHnswIndex(newShards)
@@ -756,12 +768,20 @@ class LazyLoadedIndex(val artifactPath: String) extends VectorIndex {
 /** One compaction output shard's inputs: member shards to merge, live delta
   * rows packed into this group, and the build knobs the rewritten graph
   * inherits (the group head's — routed/spilled siblings share knobs by
-  * construction). Top-level so Spark task closures don't capture the
-  * index instance. */
+  * construction). `clean` marks a single-member group with no delta rows
+  * and ZERO attributed tombstones: its rewrite would reproduce the member
+  * graph exactly, so the artifact is COPIED instead of rebuilt (sound
+  * because Bloom attribution never false-negatives — every real tombstone
+  * is attributed to its owning shard, so zero attributed means truly
+  * clean; a falsely-attributed shard merely loses the shortcut). Repeat
+  * compactions of an already-compacted index become O(copy), the LSM
+  * skip-clean-segments rule. Top-level so Spark task closures don't
+  * capture the index instance. */
 private[index] case class CompactGroup(
     metas: Seq[ShardMeta],
     deltaRows: Array[(Long, Array[Float])],
-    knobs: BuildKnobs)
+    knobs: BuildKnobs,
+    clean: Boolean = false)
 
 object ShardedHnswIndex {
   /** Compaction output-shard size target (rows): the same knob that bounds
@@ -783,18 +803,40 @@ object ShardedHnswIndex {
     * (`compacted`) or inside one Spark task (`compactedDistributed`), where
     * member graphs stream through the executor's [[ShardCache]] one at a
     * time. Delta rows were captured live (the delta removes deleted keys in
-    * place) and are disjoint from `del` by the rowid contract. */
+    * place) and are disjoint from `del` by the rowid contract.
+    *
+    * `threads` parallelizes the output graph's construction (the
+    * flat-combining [[HnswIndex.addAll]]): merging shrinks the GROUP COUNT
+    * by design, so a compaction whose groups no longer fill the cluster's
+    * task slots must recover the lost parallelism INSIDE each group or pay
+    * it as wall-clock — measured 2.28 → 8.51 s on q19's sf1 shape (32
+    * route-built ~625-row shards merging into 2 groups on 32 slots) when
+    * the first cut built groups serially. Callers size it to
+    * slots / groups, so a 100 TB compaction (groups >> slots) stays
+    * one-thread-per-task. Buffering the group's live rows first costs
+    * <= target × (8 + 4·dim) bytes — the same order as the graph the task
+    * is about to hold. */
   private[index] def rewriteGroup(g: CompactGroup, del: Set[Long],
-      dim: Int, metric: String, outPath: String): Option[ShardMeta] = {
-    val keep = new HnswIndex(dim, metric, g.knobs.m, g.knobs.m0,
-      g.knobs.efConstruction, g.knobs.efSearch)
+      dim: Int, metric: String, outPath: String,
+      threads: Int = 1): Option[ShardMeta] = {
+    if (g.clean) {
+      // rewrite would reproduce the member graph bit-for-bit — copy the
+      // artifact (see CompactGroup.clean) and keep its stats/filter/knobs
+      ArtifactIO.copy(g.metas.head.path, outPath)
+      return Some(g.metas.head.copy(path = outPath))
+    }
+    val rows = mutable.ArrayBuffer.empty[(Long, Array[Float])]
     g.metas.foreach { s =>
       ShardCache.get(s.path).forEachLive((key, vec) =>
-        if (!del.contains(key)) keep.add(key, vec))
+        if (!del.contains(key)) rows += ((key, vec)))
     }
-    g.deltaRows.foreach { case (key, vec) => keep.add(key, vec) }
-    if (keep.size == 0) None
+    rows ++= g.deltaRows
+    if (rows.isEmpty) None
     else {
+      val keep = new HnswIndex(dim, metric, g.knobs.m, g.knobs.m0,
+        g.knobs.efConstruction, g.knobs.efSearch)
+      if (threads <= 1) rows.foreach { case (key, vec) => keep.add(key, vec) }
+      else keep.addAll(rows.iterator, threads)
       keep.save(outPath)
       Some(ShardMeta.of(outPath, keep))
     }

@@ -101,6 +101,28 @@ class CompactionMergeSpec extends GraftSparkSpec with BeforeAndAfterAll {
     } finally spark.conf.unset(TargetKey)
   }
 
+  test("re-compacting an already-clean index copies artifacts instead of rebuilding") {
+    val idx = freshIndex("cm_r", 120)
+    spark.conf.set(TargetKey, "80")
+    try {
+      (120L until 160L).foreach(id => idx.insert(id, vec(id)))
+      val once = idx.compacted().asInstanceOf[ShardedHnswIndex]
+      val twice = once.compacted().asInstanceOf[ShardedHnswIndex]
+      // every output group is a clean singleton (no tombstones, no delta):
+      // the LSM skip-clean-segments rule must COPY the artifact byte-for-byte
+      assert(twice.shards.length == once.shards.length)
+      once.shards.zip(twice.shards).foreach { case (a, b) =>
+        assert(a.path != b.path, "copy must still land under a fresh compact dir")
+        val ba = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.path))
+        val bb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(b.path))
+        assert(java.util.Arrays.equals(ba, bb),
+          s"clean shard ${a.path} must be copied, not rebuilt")
+      }
+      assert(twice.size == idx.size)
+      assert(twice.search(vec(130L), 1).head._1 == 130L)
+    } finally spark.conf.unset(TargetKey)
+  }
+
   test("ShardMeta carries build knobs; the first post-restore insert loads no graph") {
     val idx = freshIndex("cm_k", 60)
     idx.shards.foreach { s =>
