@@ -35,6 +35,11 @@ object GraftSql {
     """(?is)\s*PRAGMA\s+hnsw_compact_index\s*\(\s*'(\w+)'\s*\)\s*;?\s*""".r
   private val InfoRe =
     """(?is)\s*(?:PRAGMA\s+hnsw_index_info|SELECT\s+\*\s+FROM\s+pragma_hnsw_index_info\s*\(\s*\))\s*;?\s*""".r
+  // shard-level fragmentation/tombstone introspection (beyond the
+  // reference's surface — its single RAM graph has no shards): the
+  // operational companion of hnsw_compact_index
+  private val ShardInfoRe =
+    """(?is)\s*(?:PRAGMA\s+hnsw_shard_info\s*\(\s*'(\w+)'\s*\)|SELECT\s+\*\s+FROM\s+pragma_hnsw_shard_info\s*\(\s*'(\w+)'\s*\))\s*;?\s*""".r
   // DuckDB's optimizer toggle (reference hnsw_rewrite.test:17,
   // hnsw_join_macro.test:22): disables the engine's injected rewrite rules
   // so plans keep their declarative shape (Spark's own optimizer stays on —
@@ -294,6 +299,8 @@ object GraftSql {
       spark.emptyDataFrame
     case InfoRe() =>
       IndexCatalog.describe(spark)
+    case ShardInfoRe(n1, n2) =>
+      IndexCatalog.describeShards(spark, if (n1 != null) n1 else n2)
     case PragmaOptimizerRe(which) =>
       spark.conf.set(graft.plans.GraftOptimizerGate.ConfKey,
         (which.toLowerCase == "enable").toString)

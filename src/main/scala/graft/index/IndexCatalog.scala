@@ -617,6 +617,53 @@ object IndexCatalog {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Shard-level introspection of one index — the operational view of the
+    * LSM lifecycle this round closed: per-shard live/tombstone counts plus
+    * pending delta rows are exactly what a 100 TB operator reads to decide
+    * when `hnsw_compact_index` is due (fragmentation = shards past
+    * ~liveRows/autoShardRows, or tombstone-heavy shards). Metadata-only by
+    * construction: every column comes from the driver-resident ShardMeta /
+    * tombstone attribution, NO shard graph is ever loaded (knob columns are
+    * null for legacy manifests rather than paying the load). Single-graph
+    * indexes report one row with a null path; the delta reports one row
+    * with path "(delta)". Beyond the reference's surface (its single
+    * RAM-resident graph has no shards to introspect). */
+  def describeShards(spark: SparkSession, name: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("index_name", StringType),
+      StructField("shard", StringType),
+      StructField("rows", LongType),
+      StructField("tombstones", LongType),
+      StructField("live_rows", LongType),
+      StructField("levels", LongType),
+      StructField("approx_memory_bytes", LongType),
+      StructField("m", LongType),
+      StructField("ef_construction", LongType),
+      StructField("ef_search", LongType)))
+    val entry = entries.getOrElse(name,
+      throw new IllegalArgumentException(s"no HNSW index named $name"))
+    val rows = VectorIndex.resolve(entry.index) match {
+      case sh: ShardedHnswIndex =>
+        val shardRows = sh.shards.toSeq.map { s =>
+          val tombs = sh.tombstonesForShard(s.path).toLong
+          Row(name, s.path, s.count.toLong, tombs, s.count - tombs,
+            s.levels.toLong, s.approxMemoryBytes,
+            if (s.knobs == null) null else s.knobs.m.toLong,
+            if (s.knobs == null) null else s.knobs.efConstruction.toLong,
+            if (s.knobs == null) null else s.knobs.efSearch.toLong)
+        }
+        val delta = sh.pendingDeltaSize.toLong
+        if (delta == 0) shardRows
+        else shardRows :+ Row(name, "(delta)", delta, 0L, delta,
+          null, null, null, null, null)
+      case idx =>
+        Seq(Row(name, null, (idx.size + idx.deletedCount).toLong,
+          idx.deletedCount.toLong, idx.size.toLong, idx.levels.toLong,
+          idx.approxMemoryBytes, null, null, null))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** CHECKPOINT analog: persist every index artifact under `dir`
     * (reference PersistToDisk at checkpoint, src/hnsw/hnsw_index.cpp:510-532). */
   /** Persist every index artifact under `dir` at its STABLE path, each

@@ -151,6 +151,37 @@ class CompactionMergeSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(legacy.search(vec(2000L), 1).head._1 == 2000L)
   }
 
+  test("pragma_hnsw_shard_info reads the whole lifecycle metadata-only") {
+    val idx = freshIndex("cm_i", 80)
+    spark.conf.set(SpillKey, "20")
+    try {
+      (80L until 130L).foreach(id => idx.insert(id, vec(id))) // 2 spills + 10 pending
+      assert(idx.delete(85L)) // tombstone in a spilled shard
+      def info() = GraftSql.sql(spark,
+        "SELECT * FROM pragma_hnsw_shard_info('cm_i')").collect()
+      // metadata-only: a cold cache must stay cold through the introspection
+      graft.index.ShardCache.clear()
+      val rows = info()
+      assert(graft.index.ShardCache.residentCount == 0,
+        "shard info must not load any shard graph")
+      assert(rows.length == 4 + 1, s"4 shards + delta row, got ${rows.length}")
+      val delta = rows.find(_.getString(1) == "(delta)").get
+      assert(delta.getLong(2) == 10 && delta.getLong(4) == 10)
+      val tombstoned = rows.filter(r => r.getString(1) != "(delta)" && r.getLong(3) > 0)
+      assert(tombstoned.length == 1 && tombstoned.head.getLong(4) ==
+        tombstoned.head.getLong(2) - 1, "one spilled shard carries the tombstone")
+      rows.filter(_.getString(1) != "(delta)").foreach { r =>
+        assert(r.getLong(7) == 8 && r.getLong(8) == 16, s"knob columns: $r")
+      }
+      // post-compact: fragmentation and tombstones folded away
+      graft.index.IndexCatalog.compactIndex("cm_i")
+      val after = info()
+      assert(after.forall(_.getLong(3) == 0))
+      assert(after.map(_.getLong(4)).sum == idx.size) // idx.size already nets the delete
+      assert(!after.exists(_.getString(1) == "(delta)"))
+    } finally spark.conf.unset(SpillKey)
+  }
+
   test("a spilled delta's sealed shard inherits knobs through the meta") {
     val idx = freshIndex("cm_s", 40)
     spark.conf.set(SpillKey, "15")
