@@ -24,11 +24,24 @@ object GraftStreaming {
     * (rowid continuation, NULL-vector skip, index append). Every
     * `rematerializeEvery` batches the table view is collapsed back to a
     * single storage-backed relation — without it, N batches leave an
-    * N-deep union view and O(N) analysis cost per downstream query. Call
-    * `.start()` on the returned writer (optionally after setting checkpoint
-    * options). */
+    * N-deep union view and O(N) analysis cost per downstream query.
+    *
+    * `compactWhenFragmented` (0 = off) is the index-side maintenance
+    * analog: sustained per-row ingest seals one delta-spill shard per
+    * `deltaSpillRows` rows, and fan-out searches pay shards × flooredEf —
+    * so after each micro-batch, any sharded index on `table` whose EXCESS
+    * shard count (shards minus ceil(liveRows/autoShardRows), the count a
+    * fresh routed build would have) reaches the bound is compacted at the
+    * batch boundary — the only safe point: compaction swaps the catalog
+    * entry, and mid-batch DML holds the statement. The excess-based
+    * trigger (not a raw shard cap) cannot fire futilely on an index whose
+    * shards are simply full, and tombstone mass raises it too (live rows
+    * shrink while shard count stands), so delete-heavy streams also
+    * reclaim. Call `.start()` on the returned writer (optionally after
+    * setting checkpoint options). */
   def indexAppendWriter(spark: SparkSession, table: String, stream: DataFrame,
-      rematerializeEvery: Int = 64): DataStreamWriter[Row] =
+      rematerializeEvery: Int = 64,
+      compactWhenFragmented: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -36,13 +49,34 @@ object GraftStreaming {
         if (rematerializeEvery > 0 && (batchId + 1) % rematerializeEvery == 0) {
           graft.Graft.rematerialize(spark, table)
         }
+        if (compactWhenFragmented > 0) compactIfFragmented(
+          spark, table, compactWhenFragmented)
         ()
       }
 
+  /** Compact every sharded index on `table` whose excess shard count (vs
+    * the ideal ceil(liveRows/autoShardRows)) reaches `bound`. */
+  private def compactIfFragmented(spark: SparkSession, table: String,
+      bound: Int): Unit = {
+    graft.index.IndexCatalog.list.filter(_.table == table).foreach { e =>
+      graft.index.VectorIndex.resolve(e.index) match {
+        case sh: graft.index.ShardedHnswIndex =>
+          val target = math.max(1, graft.index.ShardedHnswIndex.compactTargetRows)
+          val ideal = math.max(1, math.ceil(sh.size.toDouble / target).toInt)
+          if (sh.shards.length - ideal >= bound) {
+            graft.index.IndexCatalog.compactIndex(spark, e.name)
+          }
+        case _ => // single-graph indexes have no shards to defragment
+      }
+    }
+  }
+
   /** Start the ingestion immediately (in-memory checkpointing). */
   def startIndexAppend(spark: SparkSession, table: String, stream: DataFrame,
-      rematerializeEvery: Int = 64): StreamingQuery =
-    indexAppendWriter(spark, table, stream, rematerializeEvery).start()
+      rematerializeEvery: Int = 64,
+      compactWhenFragmented: Int = 0): StreamingQuery =
+    indexAppendWriter(spark, table, stream, rematerializeEvery,
+      compactWhenFragmented).start()
 
   /** Continuous ingestion into an inverted term index
     * ([[graft.index.TermIndex]]): each micro-batch's postings land as new

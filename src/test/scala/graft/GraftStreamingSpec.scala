@@ -41,6 +41,55 @@ class GraftStreamingSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(spark.table("stream_t").filter($"vec_id" >= 90001L).count() == 2)
   }
 
+  test("compactWhenFragmented keeps the shard count bounded under sustained ingest") {
+    IndexCatalog.clear()
+    Graft.registerTable(spark, "frag_t",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    IndexCatalog.createIndex(spark, "frag_idx", "frag_t", "embedding",
+      Map("ef_search" -> "1000000"), sharded = true, numShards = 2)
+    // tiny spill threshold so every micro-batch fragments; target high
+    // enough that the ideal shard count stays 1
+    spark.conf.set(IndexCatalog.DeltaSpillRowsConfKey, "20")
+    spark.conf.set(IndexCatalog.AutoShardRowsConfKey, "100000")
+    try {
+      val size0 = IndexCatalog.get("frag_idx").get.index.size
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Seq[Float], Int)]
+      val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label")
+      val q = GraftStreaming.startIndexAppend(spark, "frag_t", stream,
+        rematerializeEvery = 64, compactWhenFragmented = 3)
+      def vec(id: Long): Seq[Float] =
+        Seq.tabulate(64)(j => ((id >> (j % 21)) & 7).toFloat)
+      var id = 700000L
+      (1 to 8).foreach { _ =>
+        mem.addData((0 until 30).map(i => (id + i, vec(id + i), 1)): _*)
+        id += 30
+        q.processAllAvailable()
+      }
+      q.stop()
+      val sh = graft.index.VectorIndex.resolve(
+        IndexCatalog.get("frag_idx").get.index)
+        .asInstanceOf[graft.index.ShardedHnswIndex]
+      // 240 streamed rows at spill threshold 20 = 12 spill-sealed shards
+      // without maintenance (2 + 12 = 14); the excess-3 bound must have
+      // folded them along the way: <= ideal(1) + bound(3) + the <=1 spill a
+      // batch can add after its own check
+      assert(sh.shards.length <= 5,
+        s"maintenance compaction must bound fragmentation, got ${sh.shards.length} shards")
+      assert(sh.size == size0 + 240)
+      // early and late streamed rows stay searchable through the folds
+      // (index keys are rowids — resolve back to vec_id via the query layer)
+      assert(Graft.indexTopK(spark, "frag_idx", vec(700000L).toArray, 1)
+        .select($"vec_id").as[Long].head() == 700000L)
+      assert(Graft.indexTopK(spark, "frag_idx", vec(id - 1).toArray, 1)
+        .select($"vec_id").as[Long].head() == id - 1)
+    } finally {
+      spark.conf.unset(IndexCatalog.DeltaSpillRowsConfKey)
+      spark.conf.unset(IndexCatalog.AutoShardRowsConfKey)
+    }
+  }
+
   test("streamed ingest is durable: micro-batches land in the checkpoint-" +
       "armed journals and ONE restoreAll after a crash brings back table " +
       "AND index with the streamed rows searchable") {
