@@ -133,6 +133,29 @@ object TextAnalysis {
     // would emit an internally inconsistent row — NULL ratios but
     // dup_2gram_frac=0.0 from greatest(n-1, 0))
     val nonNull = docs.where(col(textCol).isNotNull)
+    // all five counts in one native codegen'd loop per doc
+    // (graft.functions.WordRepetitionStats; the interpreted-HOF formulation
+    // below is kept as the differential-spec reference) — exact integers
+    // either way, so the ratio math and the SQL oracle are unchanged
+    val stage2 = nonNull
+      .select(col(idCol), graft.functions.WordRepetitionStats.column(
+        split(trim(col(textCol)), "\\s+")).as("__st"))
+      .select(col(idCol),
+        col("__st.n_words").as("n_words"),
+        col("__st.n_distinct_words").as("n_distinct_words"),
+        col("__st.top_word_cnt").as("top_word_cnt"),
+        col("__st.sum_word_len").as("sum_word_len"),
+        col("__st.n_distinct_bigrams").as("n_distinct_bigrams"),
+        greatest(col("__st.n_words") - 1, lit(0L)).as("n_bigrams"))
+    finishSignals(stage2, idCol)
+  }
+
+  /** The declarative (interpreted-HOF) formulation of
+    * [[repetitionSignals]] — the differential-spec reference the native
+    * expression is pinned against. Identical output contract. */
+  private[graft] def repetitionSignalsDeclarative(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nonNull = docs.where(col(textCol).isNotNull)
     // stage 1: materialize the split ONCE behind an alias — six consumers
     // below; CollapseProject keeps a non-cheap multi-consumer producer in
     // its own Project, so the regex split runs once per row
@@ -163,6 +186,11 @@ object TextAnalysis {
       when(n >= 2, size(array_distinct(bigrams))).otherwise(lit(0))
         .as("n_distinct_bigrams"),
       greatest(n - 1, lit(0)).as("n_bigrams"))
+    finishSignals(stage2, idCol)
+  }
+
+  /** Shared ratio tail of both repetition-signal formulations. */
+  private def finishSignals(stage2: DataFrame, idCol: String): DataFrame = {
     def ratio(a: Column, b: Column): Column =
       a.cast(DoubleType) / b.cast(DoubleType)
     stage2.select(

@@ -451,4 +451,35 @@ class PipelineOpsSpec extends GraftSparkSpec {
       assert(r.getDouble(5) == ws.map(_.length).sum.toDouble / n, s"mean_word_len doc $id")
     }
   }
+
+  test("repetitionSignals: native expression bit-equals the declarative HOF plan") {
+    // the shipped plan evaluates graft.functions.WordRepetitionStats (one
+    // codegen'd loop per doc); the interpreted-HOF formulation is the
+    // reference. Corpus stresses the edges: empty text, single word, spam
+    // runs (top_word_cnt), multi-codepoint unicode (sum_word_len counts
+    // chars, not bytes), high bigram duplication, mixed whitespace.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "über", "naïve", "猫猫", "x1", "zz")
+    val docs = (1L to 120L).map { i =>
+      val text = rnd.nextInt(6) match {
+        case 0 => ""
+        case 1 => vocab(rnd.nextInt(vocab.size))
+        case 2 => Seq.fill(3 + rnd.nextInt(40))(vocab(0)).mkString(" ") // spam run
+        case 3 => // repeated bigram block
+          val pair = s"${vocab(rnd.nextInt(vocab.size))} ${vocab(rnd.nextInt(vocab.size))}"
+          Seq.fill(2 + rnd.nextInt(10))(pair).mkString(" ")
+        case _ =>
+          Seq.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(if (rnd.nextBoolean()) " " else "  \t ")
+      }
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val native = TextAnalysis.repetitionSignals(df).orderBy($"doc_id").collect()
+    val decl = TextAnalysis.repetitionSignalsDeclarative(df).orderBy($"doc_id").collect()
+    assert(native.length == decl.length)
+    native.zip(decl).foreach { case (a, b) =>
+      assert(a == b, s"native vs declarative mismatch for doc ${a.getLong(0)}")
+    }
+  }
 }
