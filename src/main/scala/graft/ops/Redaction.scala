@@ -22,11 +22,13 @@ object Redaction {
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("phone", "\\b\\d{3}-\\d{3,4}\\b", "<PHONE>"))
 
-  /** Matches of one PII kind. */
+  /** Matches of one PII kind — the count-only native form of
+    * `size(regexp_extract_all(text, p, 0))` (same Matcher.find loop, no
+    * per-match array; graft.functions.RegexpMatchCount). */
   def piiCount(text: Column, kind: String): Column = {
     val p = patterns.find(_._1 == kind)
       .getOrElse(sys.error(s"unknown PII kind: $kind"))._2
-    size(regexp_extract_all(text, lit(p), lit(0))).cast(LongType)
+    graft.functions.RegexpMatchCount.column(text, p)
   }
 
   /** Text with every PII kind replaced by its placeholder token. */

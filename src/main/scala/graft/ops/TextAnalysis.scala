@@ -25,21 +25,33 @@ object TextAnalysis {
   val BpeTokenPattern = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast(LongType)
+    // count-only native form of size(regexp_extract_all(text, p, 0)): same
+    // Matcher.find loop, no per-match array materialization
+    graft.functions.RegexpMatchCount.column(text, BpeTokenPattern)
 
   /** Fraction of characters that are punctuation/symbols (not whitespace,
-    * letter, or number). */
+    * letter, or number). Counting the complement class directly equals
+    * deleting [\s\p{L}\p{N}] and measuring what remains (single-codepoint
+    * class matches), without allocating the stripped copy. */
   def punctRatio(text: Column, nChars: Column): Column =
-    length(regexp_replace(text, "[\\s\\p{L}\\p{N}]", "")).cast(DoubleType) /
-      nChars.cast(DoubleType)
+    graft.functions.RegexpMatchCount.column(text, "[^\\s\\p{L}\\p{N}]")
+      .cast(DoubleType) / nChars.cast(DoubleType)
 
   /** Common-English-stopword density per whitespace token (reuses the
     * language-ID marker counts). */
   def stopwordRatio(text: Column): Column =
     langScore(text, "en").cast(DoubleType) / tokenCount(text).cast(DoubleType)
 
-  /** Occurrences of `needle` via replace-length arithmetic (exact, portable). */
+  /** Non-overlapping occurrences of `needle` — a native indexOf walk
+    * (zero-allocation; the language-ID scan runs 20 of these per doc).
+    * Counts exactly what the replace-length idiom consumes. */
   def occurrences(text: Column, needle: String): Column =
+    graft.functions.SubstringCount.column(text, needle)
+
+  /** The replace-length formulation of [[occurrences]] (exact, portable) —
+    * kept as the differential-spec reference for the native count and as
+    * the shape the SQL oracles replay. */
+  private[graft] def occurrencesDeclarative(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length)
       .cast(LongType)
 
@@ -82,7 +94,10 @@ object TextAnalysis {
   def qualityScore(text: Column, nChars: Column): Column = {
     val nTokens = tokenCount(text)
     val charsPerToken = nChars.cast(DoubleType) / nTokens.cast(DoubleType)
-    val digits = length(regexp_replace(text, "[^0-9]", "")).cast(DoubleType)
+    // digit count via the native class-match count (== stripping non-digits
+    // and measuring the remainder, without allocating the stripped copy)
+    val digits = graft.functions.RegexpMatchCount.column(text, "[0-9]")
+      .cast(DoubleType)
     val digitRatio = digits / nChars.cast(DoubleType)
     // plausible-word-length band [3,12] scores high; digit soup scores low
     val lenScore = greatest(lit(0.0),

@@ -452,6 +452,46 @@ class PipelineOpsSpec extends GraftSparkSpec {
     }
   }
 
+  test("native counting expressions bit-equal their declarative forms") {
+    import org.apache.spark.sql.functions.{length, lit, regexp_extract_all, regexp_replace, size}
+    import org.apache.spark.sql.types.LongType
+    // corpora stressing the count edges: empty text, unicode classes,
+    // adjacent/non-overlapping needles, digit runs, zero-length-match regex
+    val texts = Seq(
+      "", "aaa", "aa aa", " the the and of ", "a@b.cc 555-1234 10.0.0.7",
+      "über naïve 猫 12.34!", "x?!,;:x", "the theatre thesis", "   ",
+      "aaaa", "ababab", "123-4567 and 999-999", "!!!???", "π≈3.14159")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // RegexpMatchCount == size(regexp_extract_all(_, p, 0)) for every pattern
+    // family the ops use: BPE alternation, char classes, PII shapes, and a
+    // zero-length-match pattern (find() advance semantics must agree)
+    val patterns = Seq(TextAnalysis.BpeTokenPattern, "[^\\s\\p{L}\\p{N}]",
+      "[0-9]", "\\b\\d{3}-\\d{3,4}\\b", "a*")
+    patterns.foreach { p =>
+      val rows = df.select(
+        graft.functions.RegexpMatchCount.column($"t", p).as("native"),
+        size(regexp_extract_all($"t", lit(p), lit(0))).cast(LongType).as("decl"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"RegexpMatchCount($p) ${r.getLong(0)} != declarative ${r.getLong(1)}"))
+    }
+    // SubstringCount == the replace-length idiom (non-overlapping,
+    // left-to-right), incl. adjacent occurrences and multi-byte needles
+    val needles = Seq("a", "aa", " the ", "猫", "ab", "?!")
+    needles.foreach { nd =>
+      val rows = df.select(
+        graft.functions.SubstringCount.column($"t", nd).as("native"),
+        TextAnalysis.occurrencesDeclarative($"t", nd).as("decl")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"SubstringCount($nd) ${r.getLong(0)} != declarative ${r.getLong(1)}"))
+    }
+    // NULL text flows through as NULL on both paths
+    val nr = Seq((1L, Option.empty[String])).toDF("id", "t")
+      .select(graft.functions.RegexpMatchCount.column($"t", "[0-9]").as("a"),
+        graft.functions.SubstringCount.column($"t", "x").as("b")).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("repetitionSignals: native expression bit-equals the declarative HOF plan") {
     // the shipped plan evaluates graft.functions.WordRepetitionStats (one
     // codegen'd loop per doc); the interpreted-HOF formulation is the

@@ -18,6 +18,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *     10× (worst measured sf10 query scaler, 6.48× — round-16 ask #4)
   *   - multimodal decode (q83)        — per-row binary decode, bar 10×
   *     (second-worst family not previously enveloped, 5.49× at sf10)
+  *   - PII masking (q39)              — regex-bound per-row rewrite, bar
+  *     10× (4.90× at sf10)
+  *   - batch BM25 join (q56)          — term-pruned postings join, bar 10×
+  *     (4.00× at sf10; completes the round-16 risk list)
   *   - knob-raised single-graph build — n·log n by construction, bar 12.5×
   *     (knobs PINNED at both scales so the ratio reads the envelope, not a
   *     threshold crossing — the same matched-options protocol as the
@@ -80,11 +84,23 @@ class TimingScaleSpec extends AnyFunSuite {
       "jaccard_mining" -> "q24_jaccard_pairs",
       "lsh_topk" -> "q88_embedding_lsh_topk",
       "text_quality" -> "q37_repetition_signals",
-      "multimodal_decode" -> "q83_image_decode")
+      "multimodal_decode" -> "q83_image_decode",
+      // the two remaining families with the largest measured sf10
+      // worst-cases (round-16 verdict's risk list): regex-bound PII
+      // masking (q39, 4.90x) and the batch BM25 join (q56, 4.00x — its
+      // first timed run also builds the shared term index; min-of-2 reads
+      // the query-only cost at both scales)
+      "misc_pii" -> "q39_pii_redaction",
+      "bm25_join" -> "q56_bm25_join")
 
     def measure(dir: String): Map[String, Double] = {
       val q = queryOps.map { case (fam, qname) =>
-        fam -> timed { SparkEntry.queries(qname)(spark, dir).count() }
+        // noop sink, not count(): count() lets Catalyst PRUNE the projected
+        // columns, so a pure-projection family (text-quality, PII) would
+        // time a row count instead of the operator — the same sink Bench
+        // times with, so the envelope measures the shipped work
+        fam -> timed { SparkEntry.queries(qname)(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
       }
       // build is measured cold both times (drop + rebuild inside the op);
       // probes reuse the second build
@@ -110,7 +126,7 @@ class TimingScaleSpec extends AnyFunSuite {
       }.mkString(",\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("TIMING_SCALE.json"),
         s"""{
-           |  "_provenance": "written by TimingScaleSpec (GRAFT_SLOW=1): regenerates a 10x fixture from /root/testdata/sf0.1 with ScaleGen.generate (the same transform behind the committed BENCH_sf1/BENCH_sf10 records), times one representative operator per graded family at both scales (min of 2 runs, local[4]), and asserts each 10x-data ratio under the family's flag bar from tools/sf1_ratios.py (queries 10x, builds 12.5x = the n log n envelope). 7 families since round 17: tpch agg, jaccard mining, lsh top-k, text-quality (q37, the worst measured sf10 query scaler), multimodal decode (q83), knob-pinned build, graph probes. Envelope assertions, not exact numbers: the decade typically reads 1-6x, so a failure is a real super-linearity. Build knobs pinned (M=32/efC=256) at both scales so the build ratio reads the envelope, not the auto-scale threshold crossing.",
+           |  "_provenance": "written by TimingScaleSpec (GRAFT_SLOW=1): regenerates a 10x fixture from /root/testdata/sf0.1 with ScaleGen.generate (the same transform behind the committed BENCH_sf1/BENCH_sf10 records), times one representative operator per graded family at both scales (min of 2 runs, local[4]), and asserts each 10x-data ratio under the family's flag bar from tools/sf1_ratios.py (queries 10x, builds 12.5x = the n log n envelope). 9 families since round 17: tpch agg, jaccard mining, lsh top-k, text-quality (q37), multimodal decode (q83), PII masking (q39), batch BM25 join (q56), knob-pinned build, graph probes — every family on the round-16 verdict's worst-scaler risk list is now enveloped. Queries are evaluated through the noop sink (count() would let Catalyst prune a pure-projection family's computed columns and time a row count). Envelope assertions, not exact numbers: the decade typically reads 1-6x, so a failure is a real super-linearity. Build knobs pinned (M=32/efC=256) at both scales so the build ratio reads the envelope, not the auto-scale threshold crossing.",
            |  "gen_sec": ${f"$genSec%.1f"},
            |$json
            |}
