@@ -1367,7 +1367,9 @@ object SparkEntry {
       * n_frames/n_sampled come from materialized 64-byte frame arrays, which
       * the oracle cross-checks with independent arithmetic. */
     def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
-      val media = graft.ops.Multimodal.fromText(tbl(s, dir, "documents"))
+      // sort-first (docsSorted): fromText/withByteStats/frameSample are
+      // order-preserving projections, so the md5+slice work runs once
+      val media = graft.ops.Multimodal.fromText(docsSorted(s, dir))
       graft.ops.Multimodal.withByteStats(media)
         .withColumn("n_frames",
           size(graft.ops.Multimodal.frameSample(col("media"), 64, 1)).cast(LongType))
@@ -1375,7 +1377,6 @@ object SparkEntry {
           size(graft.ops.Multimodal.frameSample(col("media"), 64, 4)).cast(LongType))
         .select(col("doc_id"), col("n_bytes"), col("content_md5"),
           col("n_frames"), col("n_sampled"))
-        .orderBy(col("doc_id"))
     }
 
     /** REAL image-codec round-trip, hash-checked: one solid-color PNG per
@@ -1393,7 +1394,11 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("channels").cast(LongType).as("channels"),
           col("gray_mean"))
-        .orderBy(col("doc_id"))
+        // synth tables are RANGE-partitioned by doc_id, so a per-partition
+        // sort yields globally id-ordered output without a second exchange
+        // (whose sampling pass would re-run every codec — sort-first note
+        // at docsSorted)
+        .sortWithinPartitions(col("doc_id"))
     }
 
     /** REAL audio-codec round-trip, hash-checked: one constant-amplitude
@@ -1406,7 +1411,11 @@ object SparkEntry {
         .select(col("doc_id"),
           col("sample_rate").cast(LongType).as("sample_rate"),
           col("n_frames"), col("duration_sec"), col("rms"))
-        .orderBy(col("doc_id"))
+        // synth tables are RANGE-partitioned by doc_id, so a per-partition
+        // sort yields globally id-ordered output without a second exchange
+        // (whose sampling pass would re-run every codec — sort-first note
+        // at docsSorted)
+        .sortWithinPartitions(col("doc_id"))
     }
 
     /** REAL video-container round-trip, hash-checked: one constant-luma-per-
@@ -1424,7 +1433,11 @@ object SparkEntry {
           col("width").cast(LongType).as("width"),
           col("height").cast(LongType).as("height"),
           col("n_frames"), col("duration_sec"), col("gray_mean"))
-        .orderBy(col("doc_id"))
+        // synth tables are RANGE-partitioned by doc_id, so a per-partition
+        // sort yields globally id-ordered output without a second exchange
+        // (whose sampling pass would re-run every codec — sort-first note
+        // at docsSorted)
+        .sortWithinPartitions(col("doc_id"))
     }
 
     // --- text search -----------------------------------------------------

@@ -902,8 +902,13 @@ object Multimodal {
     // one core — shuffling the 16-byte (id, seed) rows is free next to
     // 32x codec parallelism. Real media tables arrive as many files and
     // decodeMedia itself stays narrow; this is synthesis-side only.
+    // Range partitioning (its sampling pass touches only this 16-byte
+    // projection) so an id-ordered consumer needs only a per-partition
+    // sort after decode, never a second exchange whose sampling pass
+    // would re-run the codecs (the q39 sort-first finding).
     val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     val outSchema = mediaSchema
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -923,9 +928,10 @@ object Multimodal {
     * q84 oracle recomputes in SQL against the decoded frame count,
     * duration, and RMS. */
   def synthWavTable(docs: DataFrame): DataFrame = {
-    // same single-input-split spread as synthPngTable
+    // same single-input-split spread (and range keying) as synthPngTable
     val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     val outSchema = mediaSchema
     in.mapPartitions { rows =>
       rows.map { r =>
@@ -944,9 +950,10 @@ object Multimodal {
     * integer functions the q85 oracle recomputes in SQL against the
     * decoded dimensions, frame count, duration, and mean luma. */
   def synthY4mTable(docs: DataFrame): DataFrame = {
-    // same single-input-split spread as synthPngTable
+    // same single-input-split spread (and range keying) as synthPngTable
     val in = docs.select(col("doc_id").cast(LongType), col("n_chars").cast(LongType))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     val outSchema = mediaSchema
     in.mapPartitions { rows =>
       rows.map { r =>
