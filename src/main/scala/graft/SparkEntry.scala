@@ -1539,9 +1539,13 @@ object SparkEntry {
       * overlap): the doc → training-sequence / RAG-passage splitter. Pure
       * integer + slice + join algebra, one narrow pass. */
     def q57Chunk(s: SparkSession, dir: String): DataFrame =
-      graft.ops.Chunking.chunk(tbl(s, dir, "documents"), "doc_id", "text",
+      // sort-first (docsSorted): chunk's explode emits chunk_id ascending
+      // per doc and preserves row order, so a per-partition sort over the
+      // range-partitioned input yields the global (doc_id, chunk_id) order
+      // without an exchange whose sampling pass would re-chunk the corpus
+      graft.ops.Chunking.chunk(docsSorted(s, dir), "doc_id", "text",
           chunkTokens = 32, overlap = 8)
-        .orderBy(col("doc_id"), col("chunk_id"))
+        .sortWithinPartitions(col("doc_id"), col("chunk_id"))
 
     /** L2-normalized embeddings (DOUBLE elements; x/√(a·a) on the same
       * sequential-fold norm the kernels use) — the cosine→l2sq bridge the
