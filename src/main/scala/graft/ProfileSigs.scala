@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition for the shingle-family builds (build_dedup_sigs,
+  * build_shingle_index) and the batch BM25 join (q56): times each pipeline
+  * stage through the noop sink to locate the dominant cost before
+  * optimizing. Usage: SPARK_GRAFT_SF_DIR=<dir> java ... graft.ProfileSigs */
+object ProfileSigs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/scale_sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.Dedup
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def time(label: String)(body: => Unit): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[sigs] $label%-26s ${runs.min}%.2f s (runs ${runs.map(x => f"$x%.2f").mkString(", ")})")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // --- dedup-sigs pipeline ------------------------------------------
+    time("split_words_only")(noop(docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("w"))))
+    time("shingle_array")(noop(docs.select(col("doc_id"),
+      Dedup.shingleArray(col("text"), 3).as("g"))))
+    time("shingles_exploded")(noop(Dedup.shingles(docs, "doc_id", "text", 3)))
+    time("hashed_shingles")(noop(Dedup.hashedShingles(docs, "doc_id", "text", 3)))
+    time("minhash_signatures")(noop(
+      Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)))
+    time("sigs_write_parquet") {
+      Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+        .write.mode("overwrite").parquet("/tmp/profile_sigs_out")
+    }
+    time("shingles_write_bucketed") {
+      val nBuckets = 32
+      Dedup.hashedShingles(docs, "doc_id", "text", 3)
+        .repartition(nBuckets, pmod(hash(col("shingle")), lit(nBuckets)))
+        .write.mode("overwrite").parquet("/tmp/profile_shingles_out")
+    }
+
+    // --- q56 pipeline --------------------------------------------------
+    val dirTag = Integer.toHexString(sfDir.hashCode)
+    time("q56_full")(noop(SparkEntry.queries("q56_bm25_join")(spark, sfDir)))
+    graft.index.TermIndex.get(s"q53_term_$dirTag").foreach { e =>
+      val postings = spark.read.parquet(e.path)
+      time("q56_postings_scan")(noop(postings.select(col("term"),
+        col(e.idCol), col("tf"), col("dl"))))
+    }
+    spark.stop()
+  }
+}

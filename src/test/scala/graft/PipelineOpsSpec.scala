@@ -492,6 +492,27 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("shingleArray: native expression bit-equals the declarative HOF plan") {
+    // gram-edge corpus: shorter-than-n docs (empty array), exactly-n docs,
+    // duplicate grams (first-occurrence order), empty tokens from leading
+    // tab after space-only trim (grams like " a b" must survive verbatim),
+    // unicode, single-word spam
+    val texts = Seq(
+      "", "a", "a b", "a b c", "a b c d", "a a a a a a", "x y x y x y x",
+      "\ta b c", "über naïve 猫 über naïve 猫", "p q r p q r s",
+      "  lead and trail  ", "one\ttwo\nthree four")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(
+        graft.ops.Dedup.shingleArray($"t", n).as("native"),
+        graft.ops.Dedup.shingleArrayDeclarative($"t", n).as("decl")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text='$t': native ${r.getSeq[String](0)} != declarative ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("repetitionSignals: native expression bit-equals the declarative HOF plan") {
     // the shipped plan evaluates graft.functions.WordRepetitionStats (one
     // codegen'd loop per doc); the interpreted-HOF formulation is the
