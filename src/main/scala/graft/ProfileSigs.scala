@@ -52,6 +52,36 @@ object ProfileSigs {
         .write.mode("overwrite").parquet("/tmp/profile_shingles_out")
     }
 
+    // --- span-removal (build_clean_corpus) stages ----------------------
+    {
+      val words = split(trim(col("text")), "\\s+")
+      val toksOnly = docs
+        .select(col("doc_id"), filter(words, t => length(t) > 0).as("__w"))
+      time("spans_tokens_only")(noop(toksOnly))
+      val nWin = size(col("__w")) - 8 + 1
+      val winStarts = when(nWin >= 1, sequence(lit(1), nWin))
+        .otherwise(array().cast("array<int>"))
+      time("spans_window_hashes")(noop(toksOnly
+        .select(col("doc_id"), posexplode(transform(winStarts,
+          i => md5(concat_ws(" ", slice(col("__w"), i, lit(8))))))
+          .as(Seq("start", "whash")))))
+      time("spans_full")(noop(Dedup.removeDuplicatedSpans(
+        docs, "doc_id", "text", 8, 2)))
+      val wins = toksOnly
+        .select(col("doc_id"), posexplode(transform(winStarts,
+          i => md5(concat_ws(" ", slice(col("__w"), i, lit(8))))))
+          .as(Seq("start", "whash")))
+        .localCheckpoint()
+      val hot = wins.groupBy(col("whash")).agg(count(lit(1)).as("__occ"))
+        .where(col("__occ") >= 2).select(col("whash"))
+      val covered = wins.join(hot, "whash")
+        .select(col("doc_id"), explode(sequence(col("start"),
+          col("start") + lit(7))).as("pos"))
+        .distinct()
+      println(s"[sigs] wins rows = ${wins.count()}; hot = ${hot.count()}; " +
+        s"covered = ${covered.count()}; covered docs = ${covered.select(col("doc_id")).distinct().count()}")
+    }
+
     // --- q56 pipeline --------------------------------------------------
     val dirTag = Integer.toHexString(sfDir.hashCode)
     time("q56_full")(noop(SparkEntry.queries("q56_bm25_join")(spark, sfDir)))

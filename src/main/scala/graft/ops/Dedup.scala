@@ -167,6 +167,54 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowLen: Int = 8, minOccurrences: Int = 2): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
+    // the window table feeds BOTH the hot-window aggregate and the cover
+    // join: materialize it once so the tokenize+md5 pass over the corpus
+    // runs once, not twice. Window hashes come from the native GramHashes
+    // loop (the interpreted-HOF slice+concat_ws+md5 chain measured 6.1 s
+    // of this pass at the 100x cut — ProfileSigs); posexplode gives the
+    // 0-based window start.
+    val wins = docs
+      .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
+      .select(col(idCol), posexplode(
+        graft.functions.GramHashes.column(col("__w"), windowLen))
+        .as(Seq("start", "whash")))
+      .localCheckpoint()
+    val hot = wins.groupBy(col("whash")).agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") >= minOccurrences).select(col("whash"))
+    val covered = wins.join(hot, "whash")
+      .select(col(idCol), explode(sequence(col("start"),
+        col("start") + lit(windowLen - 1))).as("pos"))
+      .distinct()
+    // Rebuild shape: the covered-position set is DUPLICATE-MASS-sized
+    // (only docs containing a hot window appear; measured 2.5M positions
+    // over 47.7k of 500k docs at the 100x cut) while the token stream is
+    // the corpus — so instead of anti-joining every exploded token and
+    // re-aggregating the whole corpus through collect_list, gather each
+    // doc's covered positions into a sorted array and rebuild the cleaned
+    // text from the original token array in one native two-pointer pass
+    // (RemoveTokensAt). Identical output: same kept tokens in the same
+    // order, n_tokens = all non-empty tokens, n_removed = |covered|.
+    val coveredPerDoc = covered.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__cpos"))
+    docs
+      .select(col(idCol),
+        coalesce(filter(words, t => length(t) > 0),
+          array().cast("array<string>")).as("__w"))
+      .join(coveredPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.RemoveTokensAt.column(col("__w"),
+          coalesce(col("__cpos"), array().cast("array<int>"))).as("clean_text"),
+        size(col("__w")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("__cpos")), lit(0)).cast(LongType).as("n_removed"))
+  }
+
+  /** The original exploded-token formulation of [[removeDuplicatedSpans]]
+    * — the differential-spec reference for the native rebuild (identical
+    * output contract, including NULL-text docs yielding ("", 0, 0)). */
+  private[graft] def removeDuplicatedSpansDeclarative(docs: DataFrame,
+      idCol: String, textCol: String,
+      windowLen: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
     val toks = docs
       .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
       .select(col(idCol), posexplode(col("__w")).as(Seq("pos", "tok")))
@@ -175,9 +223,6 @@ object Dedup {
     val nWin = size(col("__w")) - windowLen + 1
     val winStarts = when(nWin >= 1, sequence(lit(1), nWin))
       .otherwise(array().cast("array<int>"))
-    // the window table feeds BOTH the hot-window aggregate and the cover
-    // join: materialize it once so the tokenize+md5 pass over the corpus
-    // runs once, not twice (toks has a single consumer — no checkpoint)
     val wins = docs
       .select(col(idCol), filter(words, t => length(t) > 0).as("__w"))
       .select(col(idCol), posexplode(transform(winStarts,

@@ -311,6 +311,27 @@ class FilteredSearchSpec extends GraftSparkSpec {
     assert(got(1) == ((2L, "a b", 9L)))
   }
 
+  test("removeDuplicatedSpans: native rebuild bit-equals the exploded-token " +
+      "formulation (incl. NULL text and fully-covered docs)") {
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 $run u2"),
+      (2L, run), // fully covered -> clean_text ""
+      (3L, s"$run $run"), // hot window also duplicated WITHIN the doc
+      (4L, "unique words only here"),
+      (5L, null.asInstanceOf[String]), // NULL text -> ("", 0, 0)
+      (6L, ""), (7L, "   "),
+      (8L, s"pre  $run  post extra tail")).toDF("doc_id", "text")
+    val native = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      .orderBy(col("doc_id")).collect()
+    val decl = Dedup.removeDuplicatedSpansDeclarative(docs, "doc_id", "text", 8, 2)
+      .orderBy(col("doc_id")).collect()
+    assert(native.length == decl.length)
+    native.zip(decl).foreach { case (a, b) =>
+      assert(a == b, s"native vs declarative mismatch for doc ${a.getLong(0)}")
+    }
+  }
+
   test("simHashTopK ranks by (hamming, id) with the query doc first") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = Dedup.simHashTopK(docs, "doc_id", "text", lit(7L), 5).collect()
