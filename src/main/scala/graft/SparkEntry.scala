@@ -1531,7 +1531,11 @@ object SparkEntry {
     /** Corpus vocabulary: the 50 highest-df terms with document frequency
       * and total occurrences — the stopword/vocab-pruning rollup. */
     def q60VocabStats(s: SparkSession, dir: String): DataFrame =
-      graft.ops.TextSearch.termStats(tbl(s, dir, "documents"), "doc_id", "text")
+      // through the shared term index: bit-identical to the live
+      // termStats pass (artifact completeness — differential spec), but
+      // the corpus is never re-tokenized; the top-50 is a
+      // TakeOrderedAndProject over the per-term rollup
+      graft.index.TermIndex.termStats(s, sharedTermIndex(s, dir))
         .orderBy(col("df").desc, col("term"))
         .limit(50)
 

@@ -291,6 +291,20 @@ object TermIndex {
       k, k1, b)
   }
 
+  /** Corpus vocabulary rollup through the index — identical output to
+    * `TextSearch.termStats(sourceTable, ...)` (the artifact holds the SAME
+    * (term, doc, tf) tuples the live tokenize pass produces —
+    * bucket-completeness, the df argument [[search]] relies on), but the
+    * corpus is never re-tokenized: one bucketed-artifact scan with a
+    * map-side-combined per-term rollup. */
+  def termStats(spark: SparkSession, name: String): DataFrame = {
+    val entry = registry.getOrThrow(name, "term")
+    spark.read.parquet(entry.path)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast(org.apache.spark.sql.types.LongType).as("total_tf"))
+  }
+
   def scoredPostings(spark: SparkSession, entry: TermEntry, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val buckets = bucketsOf(spark, terms, entry.nBuckets)

@@ -78,6 +78,20 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("TermIndex.termStats is bit-identical to the live corpus rollup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("ts_docs_vs")
+    val name = "ts_idx_vocab"
+    if (TermIndex.get(name).isEmpty) {
+      TermIndex.create(spark, name, "ts_docs_vs", "doc_id", "text", nBuckets = 8)
+    }
+    val live = TextSearch.termStats(docs, "doc_id", "text")
+      .orderBy($"term").as[(String, Long, Long)].collect().toSeq
+    val viaIdx = TermIndex.termStats(spark, name)
+      .orderBy($"term").as[(String, Long, Long)].collect().toSeq
+    assert(viaIdx == live)
+  }
+
   test("TermIndex search prunes posting partitions (PartitionFilters)") {
     val entry = TermIndex.get("ts_idx_8").get
     val df = TermIndex.search(spark, "ts_idx_8", Seq("spark"), 5)
