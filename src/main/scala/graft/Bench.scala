@@ -71,9 +71,10 @@ object Bench {
     val unknownSkip = skip -- knownSkip
     require(unknownSkip.isEmpty,
       s"SPARK_GRAFT_SKIP names unknown entries: ${unknownSkip.mkString(",")}")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // scale-adaptive shuffle width + size-first AQE coalescing
+    // (SessionTuning: input-bytes-derived, env-parameterized — round 18)
+    val spark = SessionTuning.tuned(SparkSession.builder()
+      .master(s"local[$cpus]"), sfDir, cpus.toInt)
       .config("spark.ui.enabled", "false")
       // shuffle cleanup is fire-and-forget by default: the ContextCleaner
       // dispatches removeShuffle and moves on, so the file deletion IO can

@@ -37,9 +37,8 @@ object IsolatedSweep {
       .map(math.max(1, _)).getOrElse(4)
     val stealCap = sys.env.get("SPARK_GRAFT_SWEEP_STEAL")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(2.0)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val spark = SessionTuning.tuned(SparkSession.builder()
+      .master(s"local[$cpus]"), sfDir, cpus.toInt)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .withExtensions(new graft.plans.GraftExtensions)

@@ -1317,17 +1317,20 @@ object SparkEntry {
           lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com"),
           lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
           lit(" from 10.0.0."), pmod(col("doc_id"), lit(256)).cast(StringType)))
-      // redact (3 chained regex replaces) aliased in its own projection so
-      // it runs once per row for its two consumers (CollapseProject keeps a
-      // non-cheap multi-consumer producer separate — the q37 pattern)
-      pii.select(col("doc_id"), col("pii_text"),
-          r.redact(col("pii_text")).as("__red"))
+      // counts + chained redaction fused into ONE native pass
+      // (Redaction.redactWithCounts — round 18; the piiCount×3 + redact
+      // chain ran 6 regex evaluations and 6 UTF8String conversions per
+      // row), aliased in its own projection so it runs once per row for
+      // its five consumers (CollapseProject keeps a non-cheap
+      // multi-consumer producer separate — the q37 pattern)
+      pii.select(col("doc_id"),
+          r.redactWithCounts(col("pii_text")).as("__pr"))
         .select(col("doc_id"),
-          r.piiCount(col("pii_text"), "email").as("n_emails"),
-          r.piiCount(col("pii_text"), "phone").as("n_phones"),
-          r.piiCount(col("pii_text"), "ipv4").as("n_ips"),
-          md5(col("__red")).as("red_md5"),
-          length(col("__red")).cast(LongType).as("red_len"))
+          col("__pr.counts").getItem(r.kindIndex("email")).as("n_emails"),
+          col("__pr.counts").getItem(r.kindIndex("phone")).as("n_phones"),
+          col("__pr.counts").getItem(r.kindIndex("ipv4")).as("n_ips"),
+          md5(col("__pr.red")).as("red_md5"),
+          length(col("__pr.red")).cast(LongType).as("red_len"))
     }
 
     /** Gap-based sessionization (30-min gap) over event timestamps at µs

@@ -273,22 +273,21 @@ object TermIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val entry = registry.getOrThrow(name, "term")
     // three consumers (bucket collect, semi-join, score join): materialize
-    // the exploded query-term table once
-    val qterms = queries
-      .select(col(qidCol), explode(col(termsCol)).as("term"))
-      .distinct()
-      .localCheckpoint()
-    val buckets = qterms
+    // the exploded query-term table once (driver-local when small —
+    // TextSearch.materializeQterms — so the bucket collect and the distinct
+    // below fold to LocalRelation work instead of re-running the explode)
+    val (qpos, maxTerms) = TextSearch.materializeQterms(queries, qidCol, termsCol)
+    val buckets = qpos
       .select(bucketExpr(col("term"), entry.nBuckets).as("__b")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val postings = spark.read.parquet(entry.path)
       .where(col(BucketCol).isin(buckets: _*)) // partition pruning
-      .join(broadcast(qterms.select(col("term")).distinct()),
+      .join(broadcast(qpos.select(col("term")).distinct()),
         Seq("term"), "left_semi")
     val stats = spark.range(1)
       .select(lit(entry.nDocs).as("n"), lit(entry.avgDl).as("avgdl"))
-    TextSearch.bm25JoinScored(postings, stats, qterms, entry.idCol, qidCol,
-      k, k1, b)
+    TextSearch.bm25JoinScored(postings, stats, qpos, maxTerms, entry.idCol,
+      qidCol, k, k1, b)
   }
 
   /** Corpus vocabulary rollup through the index — identical output to

@@ -192,25 +192,106 @@ object TextSearch {
   def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // materialized once: three consumers (postings semi-join, the position
-    // window + its maxTerms action, the score join) — same shape as
-    // TermIndex.searchJoin
-    val qterms = queries
+    val (qpos, maxTerms) = materializeQterms(queries, qidCol, termsCol)
+    val postings = postingsForTerms(docs, idCol, textCol, qpos)
+    bm25JoinScored(postings, corpusStats(docs, textCol), qpos, maxTerms,
+      idCol, qidCol, k, k1, b)
+  }
+
+  /** Row cap for the driver-local query-term materialization below. The
+    * batch scorers already broadcast the exploded (qid, term) table to the
+    * postings semi-join and the candidate join, so the table MUST fit on
+    * the driver regardless; the cap only bounds the Row-object overhead of
+    * holding it there eagerly. System-property override exists for specs
+    * that exercise the large (checkpoint) arm on small data. */
+  // 512k pairs: sf0.1/sf1-sized query tables (≤190k pairs) take the
+  // zero-action local arm; sf10's 1.86M pairs take the checkpoint arm,
+  // which measured slightly FASTER there (10.6 vs 11.7 s warm — the
+  // driver-side Row conversion of ~2M pairs costs more than one
+  // distributed window) and keeps the driver's Row-object footprint small
+  private[graft] val QTermsLocalCapDefault: Int = 1 << 19
+  private[graft] def qtermsLocalCap: Int =
+    sys.props.get("graft.qterms.local.cap").map(_.toInt)
+      .getOrElse(QTermsLocalCapDefault)
+
+  /** Materialize the exploded distinct (qid, term) table ONCE, with each
+    * term's ascending-term-order position within its query (`__pos`) and
+    * the max per-query distinct-term count. Shared head of both batch BM25
+    * paths ([[bm25JoinTopK]], TermIndex.searchJoin); the downstream plan
+    * is bit-identical either way:
+    *
+    *  - ≤ [[qtermsLocalCap]] pairs (every benched scale): ONE limit-collect
+    *    action pulls the pairs to the driver; positions are assigned
+    *    driver-side in UTF8String binary order — exactly the window's
+    *    `orderBy(term)` ascending-nulls-first sort order — and the result
+    *    is a LocalRelation with exact size stats. The old shape paid a
+    *    localCheckpoint action + a maxTerms head() action (whose plan ran
+    *    the position window once) + a SECOND run of the window inside the
+    *    main plan (an exchange + sort) — per-invocation fixed cost that
+    *    dominated sub-second corpora (q56 regressed 2.48 → 3.03 s at sf0.1
+    *    in round 17 exactly on this overhead).
+    *  - larger: the window-computed positions are localCheckpointed (ONE
+    *    action; the window runs once, not twice) and maxTerms is a cheap
+    *    aggregate over the materialized blocks. */
+  private[graft] def materializeQterms(queries: DataFrame, qidCol: String,
+      termsCol: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.unsafe.types.UTF8String
+    val exploded = queries
       .select(col(qidCol), explode(col(termsCol)).as("term"))
       .distinct()
-      .localCheckpoint()
-    val postings = postingsForTerms(docs, idCol, textCol, qterms)
-    bm25JoinScored(postings, corpusStats(docs, textCol), qterms,
-      idCol, qidCol, k, k1, b)
+    val cap = qtermsLocalCap
+    val head = exploded.limit(cap + 1).collect()
+    if (head.length <= cap) {
+      // Spark's ascending sort over STRING: nulls first, then UTF8String
+      // binary (UTF-8 byte) order — String.compareTo (UTF-16 code units)
+      // differs on supplementary planes, so compare the same UTF8Strings
+      // the window would
+      val termOrd = new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = (a, b) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x: String, y: String) =>
+            UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+        }
+      }
+      var maxTerms = 0
+      val rows = head.groupBy(_.get(0)).valuesIterator.flatMap { grp =>
+        val sorted = grp.sortBy(_.get(1))(termOrd)
+        if (sorted.length > maxTerms) maxTerms = sorted.length
+        sorted.iterator.zipWithIndex.map { case (r, i) =>
+          Row(r.get(0), r.get(1), i)
+        }
+      }.toVector
+      val schema = StructType(exploded.schema.fields :+
+        StructField("__pos", IntegerType, nullable = false))
+      import scala.jdk.CollectionConverters._
+      (queries.sparkSession.createDataFrame(rows.asJava, schema), maxTerms)
+    } else {
+      val posW = Window.partitionBy(col(qidCol)).orderBy(col("term"))
+      val qpos = exploded
+        .select(col(qidCol), col("term"),
+          (row_number().over(posW) - 1).as("__pos"))
+        .localCheckpoint()
+      val maxTerms = qpos.agg(max(col("__pos"))).head() match {
+        case r if r.isNullAt(0) => 0
+        case r => r.getInt(0) + 1
+      }
+      (qpos, maxTerms)
+    }
   }
 
   /** The scoring tail of [[bm25JoinTopK]] from prepared inputs: postings
     * covering every occurrence of each retained term (df is computed from
-    * them), one-row corpus stats, and the exploded (qid, term) table.
-    * Shared by the brute-force path above and the term-index batch join
-    * (TermIndex.searchJoin), so both score with the one formula. */
+    * them), one-row corpus stats, and the [[materializeQterms]] output —
+    * the materialized (qid, term, __pos) table plus the max per-query
+    * distinct-term count. Shared by the brute-force path above and the
+    * term-index batch join (TermIndex.searchJoin), so both score with the
+    * one formula. */
   private[graft] def bm25JoinScored(postings: DataFrame, stats: DataFrame,
-      qterms: DataFrame, idCol: String, qidCol: String, k: Int,
+      qpos: DataFrame, maxTerms: Int, idCol: String, qidCol: String, k: Int,
       k1: Double, b: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val contrib = withContrib(postings, stats, k1, b, "c")
@@ -226,27 +307,18 @@ object TextSearch {
     // Determinism: per-(qid, doc) contributions are summed in ascending
     // TERM order. When every query has few distinct terms (the normal
     // batch-retrieval shape), the sum is a fixed per-position pivot —
-    // each query term gets its ascending-order index from a window over
-    // the SMALL qterms table, the candidate join carries the int position
-    // instead of the term string, and the aggregate is max-per-position
-    // over primitive buffers folded left-to-right. Bit-identical to the
-    // sorted-list fold (positions enumerate ascending term order;
-    // contributions are positive and x + 0.0 == x for positive x, so the
-    // coalesce(…, 0.0) slots of a doc's absent terms don't perturb the
-    // IEEE sum) — and measured 15.9 -> 7.4 s on q56 at the 100x cut: the
-    // interpreted collect_list/sort_array/fold over 24.7M groups and the
-    // term strings riding the 58M-row candidate join were half the query.
-    // Queries with many distinct terms (pivot width unbounded) keep the
-    // sorted-list fold.
-    val posW = Window.partitionBy(col(qidCol)).orderBy(col("term"))
-    val qpos = qterms.select(col(qidCol), col("term"),
-      (row_number().over(posW) - 1).as("__pos"))
-    // tiny driver action over the exploded query table (its lineage is the
-    // queries frame — callers pass it materialized or trivially cheap)
-    val maxTerms = qpos.agg(max(col("__pos"))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0) + 1
-    }
+    // each query term carries its ascending-order index (`__pos`, assigned
+    // once by materializeQterms), the candidate join carries the int
+    // position instead of the term string, and the aggregate is
+    // max-per-position over primitive buffers folded left-to-right.
+    // Bit-identical to the sorted-list fold (positions enumerate ascending
+    // term order; contributions are positive and x + 0.0 == x for positive
+    // x, so the coalesce(…, 0.0) slots of a doc's absent terms don't
+    // perturb the IEEE sum) — and measured 15.9 -> 7.4 s on q56 at the
+    // 100x cut: the interpreted collect_list/sort_array/fold over 24.7M
+    // groups and the term strings riding the 58M-row candidate join were
+    // half the query. Queries with many distinct terms (pivot width
+    // unbounded) keep the sorted-list fold.
     val scored =
       if (maxTerms > 0 && maxTerms <= 64) {
         val slots = (0 until maxTerms).map(p =>
@@ -258,7 +330,7 @@ object TextSearch {
           .agg(round(slots.reduceLeft(_ + _), 6).as("score"))
       } else {
         contrib
-          .join(qterms, "term")
+          .join(qpos.select(col(qidCol), col("term")), "term")
           .groupBy(col(qidCol), col(idCol))
           .agg(round(
             aggregate(

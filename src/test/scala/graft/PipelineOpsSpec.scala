@@ -145,6 +145,41 @@ class PipelineOpsSpec extends GraftSparkSpec {
     assert(out(2).getLong(3) == 0L, "4+ digit groups only — 555-12 is not a phone")
   }
 
+  test("redactWithCounts (fused native pass) is bit-identical to " +
+      "piiCount x3 + the chained redact") {
+    // edge cases: overlapping kinds (IP inside a failed email), adjacent
+    // matches, match at string start/end, empty string, no matches, and the
+    // sf0.01 fixture corpus with the q39 synthetic PII appended
+    val edge = Seq(
+      (1L, "mail a.b+c@sub.example.org or root@10.1.2.3 call 555-1234 x 1.2.3.4"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.ai, phone 555-12 is too short"),
+      (4L, ""),
+      (5L, "a@b.cc1.2.3.4 555-999 10.0.0.1"),
+      (6L, "1.2.3.4"),
+      (7L, "x@y.zz")).toDF("id", "t")
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as("id"),
+        concat($"text", lit(" u"), $"doc_id".cast("string"), lit("@e.com"),
+          lit(" 555-0001 9.9.9."), ($"doc_id" % 256).cast("string")).as("t"))
+    for (df <- Seq(edge, fixture)) {
+      val ref = df.select($"id",
+        Redaction.piiCount($"t", "email").as("e"),
+        Redaction.piiCount($"t", "phone").as("p"),
+        Redaction.piiCount($"t", "ipv4").as("ip"),
+        Redaction.redact($"t").as("r"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val fused = df.select($"id", Redaction.redactWithCounts($"t").as("f"))
+        .select($"id",
+          $"f.counts".getItem(Redaction.kindIndex("email")).as("e"),
+          $"f.counts".getItem(Redaction.kindIndex("phone")).as("p"),
+          $"f.counts".getItem(Redaction.kindIndex("ipv4")).as("ip"),
+          $"f.red".as("r"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(fused == ref)
+    }
+  }
+
   // --- Sessionize --------------------------------------------------------
 
   test("sessionize splits on gap, orders ties deterministically") {

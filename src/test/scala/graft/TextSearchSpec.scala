@@ -249,6 +249,27 @@ class TextSearchSpec extends GraftSparkSpec with BeforeAndAfterAll {
     assert(got == ref)
   }
 
+  test("bm25JoinTopK: the large-qterms (checkpoint) arm is bit-identical to " +
+      "the driver-local arm") {
+    // materializeQterms pulls the exploded (qid, term) pairs to the driver
+    // when they fit under the cap; forcing the cap to 2 exercises the
+    // distributed-window arm on the same data — scores, ranks, and row set
+    // must be identical (both assign the same ascending-term positions)
+    val queries = Seq(
+      (10L, Seq("apple", "cherry")),
+      (20L, Seq("banana")),
+      (30L, Seq("durian", "banana", "zzz"))).toDF("qid", "terms")
+    def run() = TextSearch.bm25JoinTopK(tiny, "doc_id", "text",
+        queries, "qid", "terms", 2)
+      .select($"qid", $"doc_id", $"score", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val local = run()
+    assert(local.nonEmpty)
+    System.setProperty("graft.qterms.local.cap", "2")
+    try assert(run() == local)
+    finally System.clearProperty("graft.qterms.local.cap")
+  }
+
   test("phraseCount: adjacency, overlaps, repeats, and short-doc edge cases") {
     val docs = Seq(
       (1L, "a b a b a"), // "a b" twice, "b a" twice, "a b a" twice (overlapping)
