@@ -81,9 +81,14 @@ object SessionTuning {
       // selective limits over huge scans; here every partition is small and
       // a driver probe that needs most rows (materializeQterms' bounded
       // collect, embQueryVec's filtered head) pays 3-4 back-to-back jobs'
-      // fixed latency for nothing. One job over all partitions wins
-      // locally; at cluster scale set it back down with the env knob.
+      // fixed latency for nothing. Default max(cpus, 16), NOT "all": at
+      // sf0.1/local[32] that is every partition in one job (measured: q56
+      // in-suite 2.35 -> 2.01 s and the vector-probe family 1.3-1.6x),
+      // while at sf10's ~380 input-derived partitions a SELECTIVE head()
+      // (embQueryVec's vec_id filter, answered by the first partitions)
+      // must not scan the whole table — a 4096 default measured q27/q53/
+      // q54/q68/q80 0.6-0.9 s slower each at sf10.
       .config("spark.sql.limit.initialNumPartitions",
-        envInt("SPARK_GRAFT_LIMIT_INITIAL_PARTITIONS", 4096))
+        envInt("SPARK_GRAFT_LIMIT_INITIAL_PARTITIONS", math.max(cpus, 16)))
   }
 }
